@@ -1,0 +1,10 @@
+"""Test config: force CPU with 8 virtual devices so multi-chip sharding
+compiles and executes without TPU hardware (the driver separately dry-runs
+the multichip path via ``__graft_entry__.dryrun_multichip``)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,298 @@
+"""SpeculativeTurnTracker state machine tests.
+
+Covers the behavioral contract of reference ``pipeline/speculative_turns.py``
+(pending reopen candidates, reopen grace, commits, pruning, gates).
+"""
+
+import threading
+import time
+
+import pytest
+
+from s2s_tpu.pipeline.turns import SpeculativeTurnTracker
+
+
+@pytest.fixture
+def tracker():
+    return SpeculativeTurnTracker()
+
+
+# ── observe / is_latest ──────────────────────────────────────────────
+
+
+def test_none_ids_always_pass(tracker):
+    assert tracker.is_latest(None, 0)
+    assert tracker.is_latest("t", None)
+    assert tracker.is_latest_after_pending_reopen(None, None)
+    assert tracker.commit_if_latest_after_reopen_grace(None, 1)
+
+
+def test_unknown_turn_is_latest(tracker):
+    assert tracker.is_latest("turn", 5)
+
+
+def test_observe_tracks_max_revision(tracker):
+    tracker.observe("t", 0)
+    assert tracker.is_latest("t", 0)
+    tracker.observe("t", 2)
+    assert not tracker.is_latest("t", 0)
+    assert tracker.is_latest("t", 2)
+    tracker.observe("t", 1)  # lower revision does not regress
+    assert tracker.is_latest("t", 2)
+
+
+# ── commit ───────────────────────────────────────────────────────────
+
+
+def test_commit_records_and_blocks_reopen(tracker):
+    tracker.observe("t", 0)
+    tracker.commit("t", 0)
+    assert tracker.is_committed("t")
+    assert tracker.is_committed("t", 0)
+    assert not tracker.is_committed("t", 1)
+    assert tracker.begin_reopen_candidate("t", 0) is None
+
+
+def test_commit_unknown_turn_reports_valid_without_recording(tracker):
+    assert tracker.commit_if_latest_after_pending_reopen("ghost", 3)
+    assert not tracker.is_committed("ghost")
+
+
+def test_commit_stale_revision_reports_invalid(tracker):
+    tracker.observe("t", 1)
+    assert not tracker.commit_if_latest_after_pending_reopen("t", 0)
+
+
+def test_commit_deferred_while_reopen_pending(tracker):
+    tracker.observe("t", 0)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    assert cand == 1
+    tracker.commit("t", 0)  # deferred: candidate decides the fate
+    assert not tracker.is_committed("t")
+    tracker.cancel_reopen_candidate("t", cand)
+    tracker.commit("t", 0)
+    assert tracker.is_committed("t", 0)
+
+
+# ── reopen candidates ────────────────────────────────────────────────
+
+
+def test_reopen_candidate_lifecycle_confirm(tracker):
+    tracker.observe("t", 0)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    assert cand == 1
+    assert tracker.has_pending_reopen("t", 0)
+    assert tracker.confirm_reopen_candidate("t", 0, cand)
+    assert not tracker.has_pending_reopen("t", 0)
+    assert tracker.is_latest("t", 1)
+    assert not tracker.is_latest("t", 0)
+
+
+def test_reopen_candidate_idempotent_for_same_base(tracker):
+    tracker.observe("t", 0)
+    assert tracker.begin_reopen_candidate("t", 0) == 1
+    assert tracker.begin_reopen_candidate("t", 0) == 1  # same candidate back
+    assert tracker.begin_reopen_candidate("t", 1) is None  # different base
+
+
+def test_reopen_candidate_rejected_for_stale_base(tracker):
+    tracker.observe("t", 2)
+    assert tracker.begin_reopen_candidate("t", 1) is None
+
+
+def test_confirm_with_wrong_ids_fails(tracker):
+    tracker.observe("t", 0)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    assert not tracker.confirm_reopen_candidate("t", 0, cand + 5)
+    assert not tracker.confirm_reopen_candidate("t", 99, cand)
+    # original candidate untouched
+    assert tracker.has_pending_reopen("t", 0)
+
+
+def test_confirm_after_commit_clears_pending_and_fails(tracker):
+    tracker.observe("t", 0)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    # commit via the unconditional internal path used when output goes audible
+    tracker.cancel_reopen_candidate("t")
+    tracker.commit("t", 0)
+    cand2 = tracker.begin_reopen_candidate("t", 0)
+    assert cand2 is None
+    assert not tracker.confirm_reopen_candidate("t", 0, cand)
+
+
+def test_cancel_reopen_candidate_with_mismatched_revision_is_noop(tracker):
+    tracker.observe("t", 0)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    tracker.cancel_reopen_candidate("t", cand + 1)
+    assert tracker.has_pending_reopen("t", 0)
+    tracker.cancel_reopen_candidate("t", cand)
+    assert not tracker.has_pending_reopen("t", 0)
+
+
+# ── gates ────────────────────────────────────────────────────────────
+
+
+def test_try_gates_return_none_while_pending(tracker):
+    tracker.observe("t", 0)
+    tracker.begin_reopen_candidate("t", 0)
+    assert tracker.try_is_latest_after_pending_reopen("t", 0) is None
+    assert tracker.try_is_latest_after_reopen_grace("t", 0) is None
+    assert tracker.try_commit_if_latest_after_pending_reopen("t", 0) is None
+    assert tracker.try_commit_if_latest_after_reopen_grace("t", 0) is None
+    # other revision unaffected
+    assert tracker.try_is_latest_after_pending_reopen("t", 1) is False
+
+
+def test_blocking_gate_waits_for_confirm(tracker):
+    tracker.observe("t", 0)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    result = {}
+
+    def gate():
+        result["latest"] = tracker.is_latest_after_pending_reopen("t", 0)
+
+    th = threading.Thread(target=gate)
+    th.start()
+    time.sleep(0.05)
+    assert "latest" not in result  # still blocked
+    tracker.confirm_reopen_candidate("t", 0, cand)
+    th.join(timeout=2)
+    assert result["latest"] is False  # superseded by revision 1
+
+
+def test_blocking_gate_waits_for_cancel(tracker):
+    tracker.observe("t", 0)
+    tracker.begin_reopen_candidate("t", 0)
+    result = {}
+
+    def gate():
+        result["latest"] = tracker.commit_if_latest_after_pending_reopen("t", 0)
+
+    th = threading.Thread(target=gate)
+    th.start()
+    time.sleep(0.05)
+    tracker.cancel_reopen_candidate("t")
+    th.join(timeout=2)
+    assert result["latest"] is True
+    assert tracker.is_committed("t", 0)
+
+
+def test_pending_reopen_timeout_force_clears(tracker, monkeypatch):
+    import s2s_tpu.pipeline.turns as turns_mod
+
+    monkeypatch.setattr(turns_mod, "PENDING_REOPEN_TIMEOUT_S", 0.05)
+    tracker.observe("t", 0)
+    tracker.begin_reopen_candidate("t", 0)
+    t0 = time.monotonic()
+    assert tracker.is_latest_after_pending_reopen("t", 0)
+    assert time.monotonic() - t0 < 1.0
+    assert not tracker.has_pending_reopen("t", 0)
+
+
+# ── reopen grace ─────────────────────────────────────────────────────
+
+
+def test_grace_window_blocks_try_gate_until_expiry(tracker):
+    tracker.observe("t", 0)
+    tracker.start_reopen_grace("t", 0, 0.08)
+    assert tracker.has_pending_reopen_or_grace("t", 0)
+    assert tracker.try_is_latest_after_reopen_grace("t", 0) is None
+    time.sleep(0.1)
+    assert tracker.try_is_latest_after_reopen_grace("t", 0) is True
+    assert not tracker.has_pending_reopen_or_grace("t", 0)
+
+
+def test_grace_blocking_gate_waits_out_window(tracker):
+    tracker.observe("t", 0)
+    tracker.start_reopen_grace("t", 0, 0.08)
+    t0 = time.monotonic()
+    assert tracker.is_latest_after_reopen_grace("t", 0)
+    assert time.monotonic() - t0 >= 0.07
+
+
+def test_grace_released_early_when_superseded(tracker):
+    tracker.observe("t", 0)
+    tracker.start_reopen_grace("t", 0, 5.0)
+    tracker.observe("t", 1)  # revision bumped: old grace is void
+    t0 = time.monotonic()
+    assert not tracker.is_latest_after_reopen_grace("t", 0)
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_grace_not_started_for_committed_or_stale(tracker):
+    tracker.observe("t", 1)
+    tracker.start_reopen_grace("t", 0, 5.0)  # stale revision: ignored
+    assert not tracker.has_pending_reopen_or_grace("t", 0)
+    tracker.commit("t", 1)
+    tracker.start_reopen_grace("t", 1, 5.0)  # committed: ignored
+    assert not tracker.has_pending_reopen_or_grace("t", 1)
+
+
+def test_commit_after_grace(tracker):
+    tracker.observe("t", 0)
+    tracker.start_reopen_grace("t", 0, 0.05)
+    assert tracker.commit_if_latest_after_reopen_grace("t", 0)
+    assert tracker.is_committed("t", 0)
+
+
+# ── stability window ─────────────────────────────────────────────────
+
+
+def test_stability_window_passes_when_quiet(tracker):
+    tracker.observe("t", 0)
+    t0 = time.monotonic()
+    assert tracker.is_latest_after_stability_window("t", 0, 0.06)
+    assert time.monotonic() - t0 >= 0.05
+
+
+def test_stability_window_fails_when_superseded_midway(tracker):
+    tracker.observe("t", 0)
+
+    def bump():
+        time.sleep(0.03)
+        tracker.observe("t", 1)
+
+    th = threading.Thread(target=bump)
+    th.start()
+    assert not tracker.is_latest_after_stability_window("t", 0, 0.5)
+    th.join()
+
+
+def test_stability_window_zero_delegates_to_pending_gate(tracker):
+    tracker.observe("t", 0)
+    assert tracker.is_latest_after_stability_window("t", 0, 0.0)
+
+
+# ── pruning / reset ──────────────────────────────────────────────────
+
+
+def test_prune_evicts_oldest_beyond_cap():
+    tracker = SpeculativeTurnTracker(max_tracked_turns=3)
+    for i in range(5):
+        tracker.observe(f"t{i}", 0)
+    # Oldest two turns pruned -> unknown turns pass any revision gate.
+    assert tracker.is_latest("t0", 99)
+    assert tracker.is_latest("t1", 99)
+    # Newest retained with real tracking.
+    tracker.observe("t4", 1)
+    assert not tracker.is_latest("t4", 0)
+
+
+def test_prune_spares_pending_and_grace():
+    tracker = SpeculativeTurnTracker(max_tracked_turns=1)
+    tracker.observe("pend", 0)
+    tracker.begin_reopen_candidate("pend", 0)
+    tracker.observe("grace", 0)
+    tracker.start_reopen_grace("grace", 0, 10.0)
+    for i in range(4):
+        tracker.observe(f"x{i}", 0)
+    assert tracker.has_pending_reopen("pend", 0)
+    assert tracker.has_pending_reopen_or_grace("grace", 0)
+
+
+def test_reset_clears_everything(tracker):
+    tracker.observe("t", 3)
+    tracker.commit("t", 3)
+    tracker.reset()
+    assert tracker.is_latest("t", 0)
+    assert not tracker.is_committed("t")
