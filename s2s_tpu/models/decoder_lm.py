@@ -1,0 +1,303 @@
+"""Decoder-only language model (Llama/SmolLM2/Qwen family), pure JAX.
+
+Serves three roles:
+
+- the **local LLM backend** (SmolLM2-1.7B per BASELINE configs), replacing
+  the reference's transformers/mlx-lm streaming generation
+  (reference ``LLM/language_model.py:627-800``);
+- the **Qwen3-TTS talker LM** body (codec-token LM) via a different head;
+- the flagship for ``__graft_entry__`` (single-chip forward + multi-chip
+  pjit training step).
+
+Architecture: RMSNorm, RoPE, GQA attention, SwiGLU MLP, optional tied
+embeddings — covering SmolLM2/Llama/Qwen checkpoints via the converter in
+:func:`convert_hf_state_dict`.
+
+TPU design: prefill is one jitted call over a bucketed-length batch; decode
+is one jitted step with a donated (KVCache, pos) carry; sharding follows
+the megatron layout (attention heads / MLP hidden column-split, row-merged)
+expressed as `jax.sharding` PartitionSpecs over a ("data", "model") mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from s2s_tpu.models.common import (
+    KVCache,
+    Params,
+    apply_rope,
+    attention,
+    causal_mask,
+    length_mask,
+    linear,
+    rms_norm,
+    rope_frequencies,
+    swiglu,
+)
+
+
+@dataclass(frozen=True)
+class DecoderLMConfig:
+    vocab_size: int = 49152  # SmolLM2 default
+    d_model: int = 2048
+    n_layers: int = 24
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    d_ff: int = 8192
+    max_seq_len: int = 4096
+    rope_theta: float = 130000.0
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @staticmethod
+    def smollm2_1_7b() -> "DecoderLMConfig":
+        return DecoderLMConfig()
+
+    @staticmethod
+    def smollm2_360m() -> "DecoderLMConfig":
+        return DecoderLMConfig(d_model=960, n_layers=32, n_heads=15, n_kv_heads=5, d_ff=2560)
+
+    @staticmethod
+    def tiny(vocab: int = 256) -> "DecoderLMConfig":
+        """Test-size config (CPU-friendly)."""
+        return DecoderLMConfig(
+            vocab_size=vocab, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128,
+            max_seq_len=128, dtype=jnp.float32,
+        )
+
+
+def init_params(key, cfg: DecoderLMConfig) -> Params:
+    keys = jax.random.split(key, cfg.n_layers + 2)
+    dt = cfg.dtype
+
+    def lin(k, di, do):
+        return (jax.random.normal(k, (di, do), jnp.float32) * (di ** -0.5)).astype(dt)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[i], 7)
+        layers.append(
+            {
+                "attn_norm": jnp.ones((cfg.d_model,), dt),
+                "wq": lin(lk[0], cfg.d_model, cfg.n_heads * cfg.head_dim),
+                "wk": lin(lk[1], cfg.d_model, cfg.n_kv_heads * cfg.head_dim),
+                "wv": lin(lk[2], cfg.d_model, cfg.n_kv_heads * cfg.head_dim),
+                "wo": lin(lk[3], cfg.n_heads * cfg.head_dim, cfg.d_model),
+                "mlp_norm": jnp.ones((cfg.d_model,), dt),
+                "w_gate": lin(lk[4], cfg.d_model, cfg.d_ff),
+                "w_up": lin(lk[5], cfg.d_model, cfg.d_ff),
+                "w_down": lin(lk[6], cfg.d_ff, cfg.d_model),
+            }
+        )
+    params: Params = {
+        "embed": (jax.random.normal(keys[-2], (cfg.vocab_size, cfg.d_model), jnp.float32) * 0.02).astype(dt),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.d_model,), dt),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = lin(keys[-1], cfg.d_model, cfg.vocab_size)
+    return params
+
+
+def param_shardings(cfg: DecoderLMConfig) -> Params:
+    """Megatron-style PartitionSpecs over a ("data", "model") mesh."""
+    layer = {
+        "attn_norm": P(),
+        "wq": P(None, "model"),
+        "wk": P(None, "model"),
+        "wv": P(None, "model"),
+        "wo": P("model", None),
+        "mlp_norm": P(),
+        "w_gate": P(None, "model"),
+        "w_up": P(None, "model"),
+        "w_down": P("model", None),
+    }
+    specs: Params = {
+        "embed": P("model", None),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "final_norm": P(),
+    }
+    if not cfg.tie_embeddings:
+        specs["lm_head"] = P(None, "model")
+    return specs
+
+
+class DecodeState(NamedTuple):
+    """Donated decode carry: per-layer caches + current position (scalar)."""
+
+    caches: tuple[KVCache, ...]
+    pos: jax.Array  # int32 scalar: number of tokens already in cache
+
+
+def init_decode_state(cfg: DecoderLMConfig, batch: int, max_t: int | None = None) -> DecodeState:
+    max_t = max_t or cfg.max_seq_len
+    caches = tuple(
+        KVCache.create(batch, cfg.n_kv_heads, max_t, cfg.head_dim, cfg.dtype)
+        for _ in range(cfg.n_layers)
+    )
+    return DecodeState(caches, jnp.zeros((), jnp.int32))
+
+
+def _block(x, lp, cfg: DecoderLMConfig, cache: KVCache | None, pos, cos, sin, mask):
+    """One transformer block; returns (x, updated_cache)."""
+    b, t, _ = x.shape
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+    q = linear(h, lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = linear(h, lp["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = linear(h, lp["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if cache is not None:
+        cache = cache.update(k, v, pos)
+        k_all, v_all = cache.k, cache.v
+    else:
+        k_all, v_all = k, v
+    attn = attention(q, k_all, v_all, mask)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
+    x = x + linear(attn, lp["wo"])
+    h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+    x = x + swiglu(h, lp["w_gate"], lp["w_up"], lp["w_down"])
+    return x, cache
+
+
+def _logits(x, params, cfg: DecoderLMConfig):
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return jnp.einsum("btd,dv->btv", x, head, preferred_element_type=jnp.float32)
+
+
+def forward(params, cfg: DecoderLMConfig, tokens, positions=None):
+    """Full-sequence causal forward (training / scoring). tokens: (B, T) int32.
+    Returns float32 logits (B, T, V)."""
+    b, t = tokens.shape
+    x = params["embed"][tokens].astype(cfg.dtype)
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    cos, sin = cos_full[:t], sin_full[:t]
+    mask = causal_mask(t, t, 0)
+    for lp in params["layers"]:
+        x, _ = _block(x, lp, cfg, None, None, cos, sin, mask)
+    return _logits(x, params, cfg)
+
+
+def prefill(params, cfg: DecoderLMConfig, tokens, state: DecodeState, prompt_len):
+    """Consume a (B, T_bucket) right-padded prompt; fill caches; return
+    (last-position logits (B, V), new state).  *prompt_len* (B,) or scalar
+    gives true lengths inside the bucket."""
+    b, t = tokens.shape
+    x = params["embed"][tokens].astype(cfg.dtype)
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    cos, sin = cos_full[:t], sin_full[:t]
+    max_t = state.caches[0].k.shape[2]
+    mask = causal_mask(t, max_t, 0) & length_mask(max_t, t)
+    new_caches = []
+    for lp, cache in zip(params["layers"], state.caches):
+        x, cache = _block(x, lp, cfg, cache, 0, cos, sin, mask)
+        new_caches.append(cache)
+    logits = _logits(x, params, cfg)  # (B, T, V)
+    prompt_len = jnp.asarray(prompt_len)
+    if prompt_len.ndim == 0:
+        prompt_len = jnp.full((b,), prompt_len)
+    last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
+    return last, DecodeState(tuple(new_caches), jnp.max(prompt_len).astype(jnp.int32))
+
+
+def decode_step(params, cfg: DecoderLMConfig, token, state: DecodeState):
+    """One token step. token: (B,) int32. Returns (logits (B, V), new state)."""
+    b = token.shape[0]
+    x = params["embed"][token][:, None, :].astype(cfg.dtype)
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, state.pos, 1)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, state.pos, 1)
+    max_t = state.caches[0].k.shape[2]
+    mask = length_mask(max_t, state.pos + 1)
+    new_caches = []
+    for lp, cache in zip(params["layers"], state.caches):
+        x, cache = _block(x, lp, cfg, cache, state.pos, cos, sin, mask)
+        new_caches.append(cache)
+    logits = _logits(x, params, cfg)[:, 0]
+    return logits, DecodeState(tuple(new_caches), state.pos + 1)
+
+
+def make_jit_decode_step(params, cfg: DecoderLMConfig):
+    """Jitted decode step with donated carry (state buffers reused in place)."""
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def step(token, state):
+        return decode_step(params, cfg, token, state)
+
+    return step
+
+
+def loss_fn(params, cfg: DecoderLMConfig, tokens, targets, mask):
+    """Mean next-token cross-entropy over *mask* (training path)."""
+    logits = forward(params, cfg, tokens)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    mask = mask.astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def sgd_train_step(params, cfg: DecoderLMConfig, tokens, targets, mask, lr=1e-4):
+    """One SGD step (the multi-chip dryrun target; optax wiring lives in
+    :mod:`s2s_tpu.parallel.training`)."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, cfg, tokens, targets, mask)
+    new_params = jax.tree_util.tree_map(
+        lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating)
+        else p,
+        params,
+        grads,
+    )
+    return loss, new_params
+
+
+# ── HF checkpoint conversion ─────────────────────────────────────────
+
+
+def convert_hf_state_dict(state_dict: dict[str, Any], cfg: DecoderLMConfig) -> Params:
+    """Map a HF Llama/SmolLM2-style ``state_dict`` (numpy arrays) onto our
+    pytree.  Weight names follow ``model.layers.N.self_attn.q_proj.weight``
+    etc.; HF stores (out, in) so projections transpose."""
+    import numpy as np
+
+    dt = cfg.dtype
+
+    def t(name):
+        return jnp.asarray(np.asarray(state_dict[name]).T, dtype=dt)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        layers.append(
+            {
+                "attn_norm": jnp.asarray(state_dict[p + "input_layernorm.weight"], dt),
+                "wq": t(p + "self_attn.q_proj.weight"),
+                "wk": t(p + "self_attn.k_proj.weight"),
+                "wv": t(p + "self_attn.v_proj.weight"),
+                "wo": t(p + "self_attn.o_proj.weight"),
+                "mlp_norm": jnp.asarray(state_dict[p + "post_attention_layernorm.weight"], dt),
+                "w_gate": t(p + "mlp.gate_proj.weight"),
+                "w_up": t(p + "mlp.up_proj.weight"),
+                "w_down": t(p + "mlp.down_proj.weight"),
+            }
+        )
+    params: Params = {
+        "embed": jnp.asarray(state_dict["model.embed_tokens.weight"], dt),
+        "layers": layers,
+        "final_norm": jnp.asarray(state_dict["model.norm.weight"], dt),
+    }
+    if not cfg.tie_embeddings and "lm_head.weight" in state_dict:
+        params["lm_head"] = t("lm_head.weight")
+    return params
