@@ -1,0 +1,316 @@
+"""VAD stack: iterator semantics with scripted models, JAX Silero streaming,
+Smart Turn audio prep, and handler turn-taking behavior."""
+
+import threading
+import time
+from queue import Queue
+
+import numpy as np
+import pytest
+
+from s2s_tpu.pipeline.events import SpeechStartedEvent, SpeechStoppedEvent
+from s2s_tpu.pipeline.messages import VADAudio
+from s2s_tpu.pipeline.turns import SpeculativeTurnTracker
+from s2s_tpu.vad.handler import VADHandler
+from s2s_tpu.vad.iterator import VADIterator
+
+CHUNK = 512
+SR = 16000
+
+
+class ScriptedModel:
+    """Returns a scripted probability sequence (reference _FakeVADModel seam)."""
+
+    def __init__(self, probs):
+        self.probs = list(probs)
+        self.i = 0
+
+    def __call__(self, chunk, sr):
+        p = self.probs[min(self.i, len(self.probs) - 1)]
+        self.i += 1
+        return p
+
+    def reset_states(self):
+        self.i = 0
+
+
+def chunks(n, value=0.1):
+    return [np.full(CHUNK, value, dtype=np.float32) for _ in range(n)]
+
+
+# ── iterator ─────────────────────────────────────────────────────────
+
+
+def test_iterator_triggers_and_ends():
+    # 3 speech chunks then silence; min_silence 64 ms = 2 chunks
+    model = ScriptedModel([0.9, 0.9, 0.9] + [0.1] * 10)
+    it = VADIterator(model, threshold=0.5, min_silence_duration_ms=64, speech_pad_ms=0)
+    outputs = [it(c) for c in chunks(8)]
+    utterances = [o for o in outputs if o is not None]
+    assert len(utterances) == 1
+    # buffer includes the trailing low-confidence chunks before end confirmed
+    assert len(utterances[0]) >= 3
+    assert it.last_utterance_active_speech_samples == 3 * CHUNK
+
+
+def test_iterator_prespeech_pad():
+    model = ScriptedModel([0.1, 0.1, 0.9, 0.9] + [0.0] * 6)
+    it = VADIterator(model, threshold=0.5, min_silence_duration_ms=64, speech_pad_ms=32)
+    cs = chunks(10)
+    for i, c in enumerate(cs):
+        c[:] = i  # label chunks
+    utterance = None
+    for c in cs:
+        out = it(c)
+        if out is not None:
+            utterance = out
+    assert utterance is not None
+    # pad keeps 32 ms = 512 samples: exactly the chunk before the trigger
+    assert utterance[0][0] == 1  # chunk index 1 retained as prefix
+    assert sum(len(c) for c in utterance) >= 512 * 3
+
+
+def test_iterator_hysteresis_band_counts_as_active():
+    model = ScriptedModel([0.9, 0.4, 0.4, 0.9] + [0.0] * 6)  # 0.4 >= 0.5-0.15
+    it = VADIterator(model, threshold=0.5, min_silence_duration_ms=32, speech_pad_ms=0)
+    for c in chunks(10):
+        it(c)
+    assert it.last_utterance_active_speech_samples == 4 * CHUNK
+
+
+def test_iterator_hysteresis_does_not_trigger_start():
+    model = ScriptedModel([0.45] * 5)
+    it = VADIterator(model, threshold=0.5, min_silence_duration_ms=64)
+    for c in chunks(5):
+        assert it(c) is None
+    assert not it.triggered
+
+
+# ── JAX silero model ─────────────────────────────────────────────────
+
+
+def test_silero_jax_streaming_step():
+    from s2s_tpu.models.silero_vad import SileroVAD
+
+    vad = SileroVAD(seed=0)
+    probs = [vad(np.random.RandomState(i).randn(CHUNK).astype(np.float32) * 0.1) for i in range(5)]
+    assert all(0.0 <= p <= 1.0 for p in probs)
+    vad.reset_states()
+    probs2 = [vad(np.random.RandomState(i).randn(CHUNK).astype(np.float32) * 0.1) for i in range(5)]
+    np.testing.assert_allclose(probs, probs2, atol=1e-6)  # deterministic across resets
+
+
+def test_silero_jax_batched_sessions():
+    import jax
+    import jax.numpy as jnp
+
+    from s2s_tpu.models import silero_vad
+
+    params = silero_vad.init_params(jax.random.PRNGKey(0))
+    state = silero_vad.SileroState.create(4)
+    chunk = jnp.zeros((4, CHUNK))
+    prob, state = silero_vad.step(params, state, chunk)
+    assert prob.shape == (4,)
+
+
+# ── smart turn ───────────────────────────────────────────────────────
+
+
+def test_smart_turn_prepare_audio_window():
+    from s2s_tpu.vad.smart_turn import prepare_audio
+
+    short = np.ones(16000, np.float32)
+    prepped = prepare_audio(short)
+    assert len(prepped) == 8 * SR
+    assert prepped[0] == 0.0 and prepped[-1] == 1.0  # front-padded
+    long = np.arange(10 * SR, dtype=np.float32)
+    prepped = prepare_audio(long)
+    assert len(prepped) == 8 * SR and prepped[-1] == long[-1]
+
+
+def test_smart_turn_scripted_analyzer():
+    from s2s_tpu.vad.smart_turn import SmartTurnAnalyzer
+
+    analyzer = SmartTurnAnalyzer(threshold=0.5, predict_fn=lambda a: 0.9)
+    res = analyzer.predict(np.zeros(SR, np.float32))
+    assert res.complete and res.probability == 0.9
+
+
+# ── handler ──────────────────────────────────────────────────────────
+
+
+class StaticAnalyzer:
+    def __init__(self, prob=0.9, threshold=0.5):
+        self.prob = prob
+        self.threshold = threshold
+
+    def predict(self, audio, sample_rate=16000):
+        from s2s_tpu.vad.smart_turn import SmartTurnResult
+
+        return SmartTurnResult(self.prob > self.threshold, self.prob, 0.1)
+
+
+def build_handler(probs, **overrides):
+    stop = threading.Event()
+    qin, qout, qtext = Queue(), Queue(), Queue()
+    should_listen = threading.Event()
+    should_listen.set()
+    tracker = SpeculativeTurnTracker()
+    kwargs = dict(
+        should_listen=should_listen,
+        speculative_turns=tracker,
+        thresh=0.5,
+        min_silence_ms=64,
+        min_speech_ms=384,  # 12 chunks
+        speech_pad_ms=0,
+        text_output_queue=qtext,
+        model=ScriptedModel(probs),
+        smart_turn=True,
+        smart_turn_analyzer=StaticAnalyzer(0.9),
+    )
+    kwargs.update(overrides)
+    handler = VADHandler(stop, qin, qout, setup_kwargs=kwargs)
+    return handler, qtext, tracker
+
+
+def feed(handler, n, value=100):
+    out = []
+    pcm = np.full(CHUNK, value, dtype=np.int16)
+    for _ in range(n):
+        out.extend(handler.process(pcm.tobytes()))
+    return out
+
+
+def drain(q):
+    items = []
+    while not q.empty():
+        items.append(q.get_nowait())
+    return items
+
+
+def test_handler_deferred_speech_started_and_final():
+    # 20 speech chunks (640 ms) then silence
+    handler, qtext, tracker = build_handler([0.9] * 20 + [0.0] * 20)
+    outputs = feed(handler, 30)
+    events = drain(qtext)
+    starts = [e for e in events if isinstance(e, SpeechStartedEvent)]
+    stops = [e for e in events if isinstance(e, SpeechStoppedEvent)]
+    assert len(starts) == 1 and starts[0].turn_id == "turn_1" and starts[0].turn_revision == 0
+    assert len(stops) == 1 and stops[0].duration_s > 0
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 1
+    assert finals[0].turn_id == "turn_1" and finals[0].turn_revision == 0
+    assert finals[0].processing_delay_s == 0.0  # smart turn said complete
+    assert tracker.has_pending_reopen_or_grace("turn_1", 0)  # grace started
+
+
+def test_handler_short_speech_discarded():
+    # only 4 speech chunks (128 ms) < min_speech 384 ms
+    handler, qtext, _ = build_handler([0.9] * 4 + [0.0] * 20)
+    outputs = feed(handler, 20)
+    assert not [o for o in outputs if isinstance(o, VADAudio)]
+    assert not [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+
+
+def test_handler_smart_turn_incomplete_sets_delay_and_long_grace():
+    handler, qtext, tracker = build_handler(
+        [0.9] * 20 + [0.0] * 20, smart_turn_analyzer=StaticAnalyzer(0.1)
+    )
+    outputs = feed(handler, 30)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert finals[0].processing_delay_s == 0.6  # smart_turn_incomplete_delay_ms default
+
+
+def test_handler_progressive_release():
+    handler, qtext, _ = build_handler(
+        [0.9] * 40 + [0.0] * 20,
+        enable_realtime_transcription=True,
+        realtime_processing_pause=0.0,  # release on every chunk once threshold met
+    )
+    outputs = feed(handler, 50)
+    progressive = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "progressive"]
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert progressive and finals
+    assert progressive[0].turn_id == finals[0].turn_id
+    # progressive audio grows monotonically
+    sizes = [len(p.audio) for p in progressive]
+    assert sizes == sorted(sizes)
+
+
+def test_handler_reopen_after_soft_end():
+    """Speech resuming within the reopen window bumps the revision and the
+    final audio includes the prior segment as prefix."""
+    probs = [0.9] * 20 + [0.0] * 10 + [0.9] * 8 + [0.0] * 10
+    handler, qtext, tracker = build_handler(probs)
+    outputs = feed(handler, 48)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 2
+    assert finals[0].turn_id == finals[1].turn_id == "turn_1"
+    assert finals[0].turn_revision == 0
+    assert finals[1].turn_revision == 1  # reopened
+    assert len(finals[1].audio) > len(finals[0].audio)  # prefix accumulated
+    starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert starts[1].reopened
+    # continuation hysteresis: 8 chunks (256 ms) >= 192 ms sufficed
+    assert not tracker.is_latest("turn_1", 0)
+
+
+def test_handler_new_turn_after_commit():
+    probs = [0.9] * 20 + [0.0] * 10 + [0.9] * 20 + [0.0] * 10
+    handler, qtext, tracker = build_handler(probs)
+    outputs = []
+    pcm = np.full(CHUNK, 100, dtype=np.int16).tobytes()
+    for i in range(60):
+        outputs.extend(handler.process(pcm))
+        if i == 25:  # after first final, before speech resumes: assistant replied
+            tracker.commit("turn_1", 0)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 2
+    assert finals[1].turn_id == "turn_2" and finals[1].turn_revision == 0
+    assert len(finals[1].audio) <= len(finals[0].audio)  # no prefix carried
+
+
+def test_handler_should_listen_gate():
+    handler, qtext, _ = build_handler([0.9] * 10)
+    handler.should_listen.clear()
+    outputs = feed(handler, 10)
+    assert outputs == [] and drain(qtext) == []
+
+
+def test_handler_short_segment_stitching():
+    """Two sub-threshold fragments within the merge window stitch into one
+    start-worthy segment with the gap re-inserted as silence."""
+    # fragment A: 6 chunks (192 ms) speech; silence; fragment B: 6 chunks
+    probs = [0.9] * 6 + [0.0] * 4 + [0.9] * 6 + [0.0] * 20
+    handler, qtext, _ = build_handler(
+        probs, short_segment_merge_ms=1000, min_speech_ms=320, min_speech_continuation_ms=0
+    )
+    outputs = feed(handler, 36)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 1
+    # stitched audio spans fragment A + gap + fragment B
+    assert len(finals[0].audio) >= 12 * CHUNK
+
+
+def test_handler_session_end_resets():
+    handler, qtext, tracker = build_handler([0.9] * 20 + [0.0] * 20)
+    feed(handler, 30)
+    handler.on_session_end()
+    assert handler.turns.turn_id is None
+    assert handler._total_samples == 0
+    assert handler.should_listen.is_set()
+
+
+def test_handler_runtime_config_updates_threshold():
+    from s2s_tpu.realtime.config import RuntimeConfig
+    from s2s_tpu.realtime.types import ServerVad, SessionConfig
+
+    handler, _, _ = build_handler([0.0] * 5)
+    rc = RuntimeConfig()
+    rc.apply_session_update(
+        SessionConfig(audio={"input": {"turn_detection": ServerVad(threshold=0.8, silence_duration_ms=128)}})
+    )
+    pcm = np.zeros(CHUNK, dtype=np.int16)
+    list(handler.process((pcm.tobytes(), rc)))
+    assert handler.iterator.threshold == 0.8
+    assert handler.iterator.min_silence_samples == 16000 * 128 / 1000
