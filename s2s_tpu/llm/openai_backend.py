@@ -1,0 +1,488 @@
+"""Remote OpenAI-compatible LLM backends (Responses API + Chat Completions).
+
+Pure-httpx re-implementation of reference
+``LLM/base_openai_compatible_language_model.py`` + ``responses_api_...`` +
+``chat_completions_...`` (the reference default LLM path — no TPU involved):
+
+- normalized **provider events** (text delta / assistant message / tool call
+  / usage) emitted by shape-specific SSE parsers;
+- streaming consumption with sentence batching and per-event staleness
+  gates; **eager tool-call history recording** before forwarding;
+- **transactional history**: the user-visible items a generation writes are
+  rolled back if it fails;
+- ``httpx.ReadTimeout`` -> canned spoken apology (response still terminates
+  cleanly);
+- provider ``extra_body`` to disable reasoning on non-official servers;
+  ``api_key`` defaults to "none" for loopback base URLs;
+- audio-input requests (``--stt none``) serialize the WAV as base64
+  ``input_audio`` content through the Chat Completions shape on either
+  backend.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import struct
+from typing import Any, Iterator, Optional
+from urllib.parse import urlparse
+
+import httpx
+import numpy as np
+from pydantic import BaseModel
+
+from s2s_tpu.llm.base_handler import BaseLLMHandler, StreamContext
+from s2s_tpu.llm.chat import Chat, make_user_audio_message
+from s2s_tpu.llm.compaction import build_compactor
+from s2s_tpu.pipeline.messages import GenerateResponseRequest
+from s2s_tpu.realtime.types import FunctionToolCall, generate_id
+
+logger = logging.getLogger(__name__)
+
+READ_TIMEOUT_APOLOGY = "Sorry, I could not reach my language model in time. Please try again."
+
+
+# ── normalized provider events ───────────────────────────────────────
+
+
+class TextDelta(BaseModel):
+    text: str
+
+
+class AssistantMessage(BaseModel):
+    text: str
+
+
+class ToolCall(BaseModel):
+    call: FunctionToolCall
+
+
+class Usage(BaseModel):
+    input_tokens: int = 0
+    output_tokens: int = 0
+
+
+ProviderEvent = TextDelta | AssistantMessage | ToolCall | Usage
+
+
+def _is_local_base_url(base_url: str) -> bool:
+    host = urlparse(base_url).hostname
+    return host in ("localhost", "127.0.0.1", "::1", "0.0.0.0")
+
+
+def _is_official_openai(base_url: Optional[str]) -> bool:
+    return base_url is None or base_url.rstrip("/") == "https://api.openai.com/v1"
+
+
+def audio_to_wav_base64(audio: np.ndarray, sample_rate: int) -> str:
+    """int16-PCM WAV container, base64 (stdlib only — no soundfile)."""
+    pcm = np.clip(np.asarray(audio) * 32768, -32768, 32767).astype("<i2") if audio.dtype != np.int16 else audio.astype("<i2")
+    data = pcm.tobytes()
+    buf = io.BytesIO()
+    buf.write(b"RIFF")
+    buf.write(struct.pack("<I", 36 + len(data)))
+    buf.write(b"WAVEfmt ")
+    buf.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16))
+    buf.write(b"data")
+    buf.write(struct.pack("<I", len(data)))
+    buf.write(data)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def iter_sse_data(response: httpx.Response) -> Iterator[dict[str, Any]]:
+    """Yield parsed ``data:`` JSON payloads from an SSE byte stream."""
+    for line in response.iter_lines():
+        line = line.strip()
+        if not line.startswith("data:"):
+            continue
+        payload = line[5:].strip()
+        if payload == "[DONE]":
+            return
+        try:
+            yield json.loads(payload)
+        except json.JSONDecodeError:
+            logger.warning("Skipping malformed SSE payload: %.120s", payload)
+
+
+class RemoteLLMHandler(BaseLLMHandler):
+    """Shared lifecycle for both remote API shapes."""
+
+    api_shape = "chat"  # or "responses"
+
+    def setup(
+        self,
+        cancel_scope=None,
+        speculative_turns=None,
+        model_name: str = "gpt-4o-mini",
+        base_url: Optional[str] = None,
+        api_key: Optional[str] = None,
+        stream: bool = True,
+        stream_batch_sentences: int = 3,
+        enable_lang_prompt: bool = False,
+        compact_history: bool = False,
+        disable_thinking: bool = True,
+        reasoning_effort: Optional[str] = None,
+        gen_kwargs: dict[str, Any] | None = None,
+        timeout_s: float = 60.0,
+        client: httpx.Client | None = None,
+        warmup: bool = False,
+    ) -> None:
+        self.cancel_scope = cancel_scope
+        self.speculative_turns = speculative_turns
+        self.model_name = model_name
+        self.stream = stream
+        self.stream_batch_sentences = max(1, stream_batch_sentences)
+        self.enable_lang_prompt = enable_lang_prompt
+        self.gen_kwargs = gen_kwargs or {}
+        if api_key is None and base_url is not None and _is_local_base_url(base_url):
+            api_key = "none"
+        self.base_url = (base_url or "https://api.openai.com/v1").rstrip("/")
+        self.client = client or httpx.Client(
+            base_url=self.base_url,
+            headers={"Authorization": f"Bearer {api_key or 'none'}"},
+            timeout=httpx.Timeout(timeout_s, connect=10.0),
+        )
+        self.extra_body = self._build_extra_body(base_url, disable_thinking, reasoning_effort)
+        self.compactor = build_compactor(self._compaction_generate) if compact_history else None
+        if warmup:
+            try:
+                self._compaction_generate("You are terse.", "Say ok.")
+            except Exception:
+                logger.warning("LLM warmup request failed (continuing)", exc_info=True)
+
+    @staticmethod
+    def _build_extra_body(base_url, disable_thinking, reasoning_effort) -> dict[str, Any]:
+        """Provider-specific knobs to turn off reasoning; the official server
+        rejects unknown keys, so only applied to non-official base URLs."""
+        if _is_official_openai(base_url):
+            return {}
+        body: dict[str, Any] = {}
+        if disable_thinking:
+            body["chat_template_kwargs"] = {"enable_thinking": False}
+        if reasoning_effort:
+            body["reasoning_effort"] = reasoning_effort
+        return body
+
+    # ── request serialization (shape-specific) ───────────────────────
+
+    def _request_events(self, chat: Chat, tools, tool_choice, max_tokens) -> Iterator[ProviderEvent]:
+        if self.api_shape == "responses":
+            yield from self._responses_request(chat, tools, tool_choice, max_tokens)
+        else:
+            yield from self._chat_request(chat.to_chat_messages(), tools, tool_choice, max_tokens)
+
+    def _responses_request(self, chat: Chat, tools, tool_choice, max_tokens) -> Iterator[ProviderEvent]:
+        body: dict[str, Any] = {
+            "model": self.model_name,
+            "input": chat.to_responses_input(),
+            "stream": self.stream,
+            "store": False,
+            **self.extra_body,
+        }
+        if tools:
+            body["tools"] = [
+                {"type": "function", "name": t.name, "description": t.description, "parameters": t.parameters}
+                for t in tools
+            ]
+        if tool_choice is not None:
+            body["tool_choice"] = tool_choice
+        if max_tokens:
+            body["max_output_tokens"] = max_tokens
+        if self.stream:
+            with self.client.stream("POST", "/responses", json=body) as resp:
+                resp.raise_for_status()
+                for ev in iter_sse_data(resp):
+                    et = ev.get("type", "")
+                    if et == "response.output_text.delta":
+                        yield TextDelta(text=ev.get("delta", ""))
+                    elif et == "response.output_item.done":
+                        item = ev.get("item", {})
+                        if item.get("type") == "function_call":
+                            yield ToolCall(
+                                call=FunctionToolCall(
+                                    name=item.get("name", ""),
+                                    arguments=item.get("arguments", ""),
+                                    # regenerate ids: provider ids may repeat across requests
+                                    call_id=generate_id("call"),
+                                    id=generate_id("fc"),
+                                    status="in_progress",
+                                )
+                            )
+                    elif et == "response.completed":
+                        usage = (ev.get("response") or {}).get("usage") or {}
+                        yield Usage(
+                            input_tokens=usage.get("input_tokens", 0),
+                            output_tokens=usage.get("output_tokens", 0),
+                        )
+        else:
+            resp = self.client.post("/responses", json=body)
+            resp.raise_for_status()
+            data = resp.json()
+            for item in data.get("output", []):
+                if item.get("type") == "message":
+                    text = "".join(
+                        c.get("text", "") for c in item.get("content", []) if c.get("type") == "output_text"
+                    )
+                    if text:
+                        yield AssistantMessage(text=text)
+                elif item.get("type") == "function_call":
+                    yield ToolCall(
+                        call=FunctionToolCall(
+                            name=item.get("name", ""), arguments=item.get("arguments", ""),
+                            call_id=generate_id("call"), id=generate_id("fc"), status="in_progress",
+                        )
+                    )
+            usage = data.get("usage") or {}
+            yield Usage(
+                input_tokens=usage.get("input_tokens", 0), output_tokens=usage.get("output_tokens", 0)
+            )
+
+    @staticmethod
+    def _tools_to_chat_format(tools) -> list[dict[str, Any]]:
+        return [
+            {
+                "type": "function",
+                "function": {"name": t.name, "description": t.description, "parameters": t.parameters},
+            }
+            for t in tools
+        ]
+
+    def _chat_request(self, messages, tools, tool_choice, max_tokens) -> Iterator[ProviderEvent]:
+        body: dict[str, Any] = {
+            "model": self.model_name,
+            "messages": messages,
+            "stream": self.stream,
+            **self.extra_body,
+            **{k: v for k, v in self.gen_kwargs.items() if k in ("temperature", "top_p")},
+        }
+        if tools:
+            body["tools"] = self._tools_to_chat_format(tools)
+        if tool_choice is not None:
+            # Responses tool_choice strings map 1:1; function objects nest.
+            if isinstance(tool_choice, dict) and tool_choice.get("type") == "function":
+                body["tool_choice"] = {
+                    "type": "function", "function": {"name": tool_choice.get("name")}
+                }
+            else:
+                body["tool_choice"] = tool_choice
+        if max_tokens:
+            body["max_tokens"] = max_tokens
+        if self.stream:
+            body["stream_options"] = {"include_usage": True}
+            tool_acc: dict[int, dict[str, str]] = {}
+            with self.client.stream("POST", "/chat/completions", json=body) as resp:
+                resp.raise_for_status()
+                for ev in iter_sse_data(resp):
+                    for choice in ev.get("choices", []):
+                        delta = choice.get("delta") or {}
+                        if delta.get("content"):
+                            yield TextDelta(text=delta["content"])
+                        for tc in delta.get("tool_calls") or []:
+                            slot = tool_acc.setdefault(tc.get("index", 0), {"name": "", "arguments": ""})
+                            fn = tc.get("function") or {}
+                            if fn.get("name"):
+                                slot["name"] += fn["name"]
+                            if fn.get("arguments"):
+                                slot["arguments"] += fn["arguments"]
+                        if choice.get("finish_reason") == "tool_calls":
+                            for idx in sorted(tool_acc):
+                                slot = tool_acc[idx]
+                                yield ToolCall(
+                                    call=FunctionToolCall(
+                                        name=slot["name"], arguments=slot["arguments"],
+                                        call_id=generate_id("call"), id=generate_id("fc"),
+                                        status="in_progress",
+                                    )
+                                )
+                            tool_acc.clear()
+                    usage = ev.get("usage")
+                    if usage:
+                        yield Usage(
+                            input_tokens=usage.get("prompt_tokens", 0),
+                            output_tokens=usage.get("completion_tokens", 0),
+                        )
+        else:
+            resp = self.client.post("/chat/completions", json=body)
+            resp.raise_for_status()
+            data = resp.json()
+            msg = data["choices"][0]["message"]
+            if msg.get("content"):
+                yield AssistantMessage(text=msg["content"])
+            for tc in msg.get("tool_calls") or []:
+                fn = tc.get("function") or {}
+                yield ToolCall(
+                    call=FunctionToolCall(
+                        name=fn.get("name", ""), arguments=fn.get("arguments", ""),
+                        call_id=generate_id("call"), id=generate_id("fc"), status="in_progress",
+                    )
+                )
+            usage = data.get("usage") or {}
+            yield Usage(
+                input_tokens=usage.get("prompt_tokens", 0),
+                output_tokens=usage.get("completion_tokens", 0),
+            )
+
+    # ── BaseLLMHandler integration ───────────────────────────────────
+
+    def _apply_instructions(self, chat, instructions, raw_tools, tool_choice, ctx, wants_audio) -> None:
+        """Remote APIs do native tool calling: system prompt only (no <code>
+        prompt section), tools go in the request body."""
+        from s2s_tpu.llm.chat import make_system_message
+        from s2s_tpu.llm.prompts import build_text_system_prompt, build_voice_system_prompt
+        from s2s_tpu.realtime.types import FunctionTool
+
+        if instructions:
+            builder = build_voice_system_prompt if wants_audio else build_text_system_prompt
+            chat.add_item(make_system_message(builder(instructions)))
+        ctx.function_tools = [
+            t if isinstance(t, FunctionTool) else FunctionTool.model_validate(t)
+            for t in (raw_tools or [])
+            if getattr(t, "type", None) == "function" or (isinstance(t, dict) and t.get("type") == "function")
+        ]
+
+    def process(self, request) -> Iterator[Any]:
+        """Wrap the shared lifecycle with transactional history + audio path."""
+        if isinstance(request, GenerateResponseRequest) and request.audio is not None:
+            yield from self._process_audio(request)
+            return
+        self._provisional_items: set[str] = set()
+        self._provisional_calls: set[str] = set()
+        self._had_error = False
+        yield from super().process(request)
+
+    def _generate_stream(self, chat: Chat, ctx: StreamContext, runtime_config, response) -> Iterator[str]:
+        tools = ctx.function_tools
+        tool_choice = (
+            response.tool_choice if response and response.tool_choice else runtime_config.session.tool_choice
+        ) if runtime_config else None
+        max_tokens = (
+            response.max_output_tokens if response and response.max_output_tokens
+            else (runtime_config.session.max_output_tokens if runtime_config else None)
+        )
+        if max_tokens == "inf":
+            max_tokens = None
+        original_chat = runtime_config.chat if runtime_config else None
+        try:
+            for event in self._request_events(chat, tools, tool_choice, max_tokens):
+                if isinstance(event, TextDelta):
+                    yield event.text
+                elif isinstance(event, AssistantMessage):
+                    yield event.text
+                elif isinstance(event, ToolCall):
+                    # Eager history record: a fast client may send the tool
+                    # output before EndOfResponse; its FC must already exist.
+                    ctx.tools.append(event.call)
+                    if original_chat is not None:
+                        from s2s_tpu.realtime.types import FunctionCallItem
+
+                        original_chat.add_item(
+                            FunctionCallItem(
+                                id=event.call.id, call_id=event.call.call_id,
+                                name=event.call.name, arguments=event.call.arguments,
+                                status=event.call.status,
+                            )
+                        )
+                        self._provisional_calls.add(event.call.call_id)
+                elif isinstance(event, Usage):
+                    ctx.input_tokens = event.input_tokens
+                    ctx.output_tokens = event.output_tokens
+        except httpx.ReadTimeout:
+            logger.warning("LLM API read timeout; speaking canned apology")
+            yield READ_TIMEOUT_APOLOGY
+
+    # Eager FCs are recorded during streaming; keep base write-back from
+    # double-adding them.
+    def _count_output_tokens(self, raw_text: str) -> int:
+        return max(0, len(raw_text.split()))
+
+    # ── audio-input turns (direct audio sessions) ────────────────────
+
+    def _process_audio(self, request: GenerateResponseRequest) -> Iterator[Any]:
+        """Audio turns serialize the WAV into an ``input_audio`` content part
+        (Chat Completions shape on either backend) with a transactional user
+        message: rolled back if the request fails."""
+        from s2s_tpu.pipeline.messages import EndOfResponse, LLMResponseChunk, TokenUsage
+
+        runtime_config = request.runtime_config
+        chat = runtime_config.chat
+        wav_b64 = audio_to_wav_base64(request.audio, request.audio_sample_rate)
+        user_msg = chat.add_item(make_user_audio_message(wav_b64))
+        active = chat.copy()
+        ctx = StreamContext(
+            turn_id=request.turn_id,
+            turn_revision=request.turn_revision,
+            speech_stopped_at_s=request.speech_stopped_at_s,
+            cancel_generation=self.cancel_scope.generation if self.cancel_scope else None,
+        )
+        messages = active.to_chat_messages()
+        # rewrite audio placeholders on the LAST user message into input_audio
+        for msg in reversed(messages):
+            if msg.get("role") == "user":
+                msg["content"] = [
+                    {"type": "input_audio", "input_audio": {"data": wav_b64, "format": "wav"}}
+                ]
+                break
+        gen = ctx.cancel_generation
+        try:
+            pieces = self._chat_request(messages, [], None, None)
+
+            def text_iter():
+                for event in pieces:
+                    if isinstance(event, (TextDelta, AssistantMessage)):
+                        yield event.text
+                    elif isinstance(event, Usage):
+                        ctx.input_tokens = event.input_tokens
+                        ctx.output_tokens = event.output_tokens
+
+            yield from self._stream(text_iter(), gen, None, ctx, runtime_config, request.response)
+            output_allowed = not ctx.cancelled and self._turn_output_allowed(ctx.turn_id, ctx.turn_revision)
+            if output_allowed:
+                from s2s_tpu.llm.chat import make_assistant_message
+
+                chat.add_item(make_assistant_message(ctx.clean_text))
+                chat.compact_audio_history(max_audio_turns=2)
+                if ctx.printable.strip():
+                    yield self._chunk(ctx.printable.strip(), ctx, None, runtime_config, request.response)
+                if ctx.input_tokens or ctx.output_tokens:
+                    yield TokenUsage(
+                        input_tokens=ctx.input_tokens, output_tokens=ctx.output_tokens,
+                        turn_id=ctx.turn_id, turn_revision=ctx.turn_revision,
+                    )
+        except Exception as exc:
+            if user_msg.id:
+                chat.remove_user_message(user_msg.id)  # transactional rollback
+            logger.exception("Audio LLM turn failed; rolled back user message")
+            yield EndOfResponse(
+                turn_id=ctx.turn_id, turn_revision=ctx.turn_revision,
+                cancel_generation=ctx.cancel_generation,
+                error=f"Language model generation failed: {exc}",
+            )
+            return
+        yield EndOfResponse(
+            turn_id=ctx.turn_id, turn_revision=ctx.turn_revision, cancel_generation=ctx.cancel_generation
+        )
+
+    # ── compaction ───────────────────────────────────────────────────
+
+    def _compaction_generate(self, system: str, user: str) -> str:
+        messages = [{"role": "system", "content": system}, {"role": "user", "content": user}]
+        body = {"model": self.model_name, "messages": messages, "stream": False, **self.extra_body}
+        resp = self.client.post("/chat/completions", json=body)
+        resp.raise_for_status()
+        return resp.json()["choices"][0]["message"]["content"] or ""
+
+
+class ResponsesAPIHandler(RemoteLLMHandler):
+    """Default LLM backend: OpenAI ``/v1/responses`` (reference
+    ``LLM/responses_api_language_model.py``)."""
+
+    api_shape = "responses"
+
+
+class ChatCompletionsHandler(RemoteLLMHandler):
+    """OpenAI ``/v1/chat/completions`` backend (reference
+    ``LLM/chat_completions_language_model.py``)."""
+
+    api_shape = "chat"
