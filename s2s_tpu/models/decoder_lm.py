@@ -213,6 +213,45 @@ def prefill(params, cfg: DecoderLMConfig, tokens, state: DecodeState, prompt_len
     return last, DecodeState(tuple(new_caches), jnp.max(prompt_len).astype(jnp.int32))
 
 
+def prefill_embeds(params, cfg: DecoderLMConfig, embeds, state: DecodeState, prompt_len):
+    """Like :func:`prefill` but over precomputed input embeddings (B, T, D) —
+    used by multimodal heads (e.g. the TTS talker mixing text + codec
+    embeddings).  Returns (last hidden states (B, D), new state)."""
+    b, t, _ = embeds.shape
+    x = embeds.astype(cfg.dtype)
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    cos, sin = cos_full[:t], sin_full[:t]
+    max_t = state.caches[0].k.shape[2]
+    mask = causal_mask(t, max_t, 0) & length_mask(max_t, t)
+    new_caches = []
+    for lp, cache in zip(params["layers"], state.caches):
+        x, cache = _block(x, lp, cfg, cache, 0, cos, sin, mask)
+        new_caches.append(cache)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    prompt_len = jnp.asarray(prompt_len)
+    if prompt_len.ndim == 0:
+        prompt_len = jnp.full((b,), prompt_len)
+    last = jnp.take_along_axis(x, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
+    return last, DecodeState(tuple(new_caches), jnp.max(prompt_len).astype(jnp.int32))
+
+
+def decode_step_embeds(params, cfg: DecoderLMConfig, embed, state: DecodeState):
+    """One step over a precomputed embedding (B, D). Returns final hidden
+    states (B, D) + new state (caller applies its own output head)."""
+    x = embed[:, None, :].astype(cfg.dtype)
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, state.pos, 1)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, state.pos, 1)
+    max_t = state.caches[0].k.shape[2]
+    mask = length_mask(max_t, state.pos + 1)
+    new_caches = []
+    for lp, cache in zip(params["layers"], state.caches):
+        x, cache = _block(x, lp, cfg, cache, state.pos, cos, sin, mask)
+        new_caches.append(cache)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)[:, 0]
+    return x, DecodeState(tuple(new_caches), state.pos + 1)
+
+
 def decode_step(params, cfg: DecoderLMConfig, token, state: DecodeState):
     """One token step. token: (B,) int32. Returns (logits (B, V), new state)."""
     b = token.shape[0]

@@ -1,0 +1,200 @@
+"""Shared TTS stage contract (reference TTS handlers, SURVEY §2.5).
+
+Every backend: consume ``TTSInput | EndOfResponse``; gate on
+``is_latest_after_reopen_grace`` then **commit** the turn (first audible
+output makes it un-reopenable); coalesce queued same-turn sentence chunks
+before synthesis; yield int16 PCM in 512-sample blocks at 16 kHz; yield
+``AUDIO_RESPONSE_DONE`` on ``EndOfResponse``; check ``cancel_scope`` per
+chunk; log TTFA/RTF and the end-to-end "last speech in -> first speech out"
+metric.
+"""
+
+from __future__ import annotations
+
+import logging
+from time import perf_counter
+from typing import Any, Iterator, Optional
+
+import numpy as np
+
+from s2s_tpu.audio.resample import resample_float
+from s2s_tpu.pipeline.control import SESSION_END, is_control
+from s2s_tpu.pipeline.messages import AUDIO_RESPONSE_DONE, PIPELINE_END, EndOfResponse, TTSInput
+from s2s_tpu.runtime.base_handler import BaseHandler
+from s2s_tpu.runtime.device_scheduler import GLOBAL_SCHEDULER, Lane
+
+logger = logging.getLogger(__name__)
+
+PIPELINE_SR = 16_000
+BLOCKSIZE = 512
+_PREROLL_S = 0.040
+_SILENCE_THRESHOLD = int(32768 * 0.01)
+
+
+class BaseTTSHandler(BaseHandler):
+    """Streaming synthesis base; subclasses implement ``_synthesize``."""
+
+    blocksize = BLOCKSIZE
+
+    def setup_base(
+        self,
+        cancel_scope=None,
+        speculative_turns=None,
+        device_scheduler=None,
+        should_listen=None,
+        blocksize: int = BLOCKSIZE,
+    ) -> None:
+        self.cancel_scope = cancel_scope
+        self.speculative_turns = speculative_turns
+        self.scheduler = device_scheduler or GLOBAL_SCHEDULER
+        self.should_listen = should_listen
+        self.blocksize = blocksize
+
+    # ── subclass hooks ───────────────────────────────────────────────
+
+    def _synthesize(
+        self, text: str, language_code: Optional[str], runtime_config, response
+    ) -> Iterator[tuple[np.ndarray, int]]:
+        """Yield (float32 audio, sample_rate) pieces."""
+        raise NotImplementedError
+
+    def _session_voice(self, runtime_config, response) -> Optional[str]:
+        """Voice override from session/response config (reference
+        ``session.audio.output.voice`` handling)."""
+        for source in (response, runtime_config.session if runtime_config else None):
+            audio = getattr(source, "audio", None)
+            out = getattr(audio, "output", None)
+            voice = getattr(out, "voice", None)
+            if voice:
+                return voice
+        return None
+
+    # ── queued-text coalescing ───────────────────────────────────────
+
+    def _coalesce(self, current: TTSInput) -> tuple[str, Optional[str]]:
+        """Merge queued same-turn TTSInputs into one synthesis call."""
+        q = self.queue_in
+        if not hasattr(q, "mutex") or not hasattr(q, "queue"):
+            return current.text, current.language_code
+        text, language = current.text, current.language_code
+        parts = [text.strip()] if text and text.strip() else []
+        with q.mutex:
+            while q.queue:
+                nxt = q.queue[0]
+                if is_control(nxt, SESSION_END.kind):
+                    break
+                if isinstance(nxt, bytes) and nxt == PIPELINE_END:
+                    break
+                if isinstance(nxt, EndOfResponse) or not isinstance(nxt, TTSInput):
+                    break
+                if nxt.turn_id != current.turn_id or nxt.turn_revision != current.turn_revision:
+                    break
+                if language is not None and nxt.language_code is not None and nxt.language_code != language:
+                    break
+                q.queue.popleft()
+                if nxt.text.strip():
+                    parts.append(nxt.text.strip())
+                if language is None:
+                    language = nxt.language_code
+        return " ".join(parts).strip(), language
+
+    # ── streaming loop ───────────────────────────────────────────────
+
+    def _stream(self, piece_iter, label: str) -> Iterator[np.ndarray]:
+        """TTFA/RTF logging, leading-silence trim with preroll, resample to
+        16 kHz, fixed-block rechunking, per-chunk cancellation."""
+        cancel_gen = self.cancel_scope.generation if self.cancel_scope else None
+        start = perf_counter()
+        total = 0
+        first = True
+        found_speech = False
+        leftover = np.array([], dtype=np.int16)
+
+        for piece in piece_iter:
+            if (
+                cancel_gen is not None
+                and self.cancel_scope is not None
+                and self.cancel_scope.is_stale(cancel_gen)
+            ):
+                logger.info("TTS generation cancelled (interruption)")
+                return
+            audio, sr = piece
+            audio = np.asarray(audio, dtype=np.float32).squeeze()
+            if audio.size == 0:
+                continue
+            if first:
+                logger.info("TTS TTFA: %.2fs (%s)", perf_counter() - start, label)
+                first = False
+            if sr != PIPELINE_SR:
+                audio = resample_float(audio, sr, PIPELINE_SR)
+            pcm = np.clip(audio * 32768, -32768, 32767).astype(np.int16)
+
+            if not found_speech:
+                above = np.abs(pcm) > _SILENCE_THRESHOLD
+                if not np.any(above):
+                    continue
+                start_idx = max(0, int(np.argmax(above)) - int(PIPELINE_SR * _PREROLL_S))
+                pcm = pcm[start_idx:]
+                found_speech = True
+
+            pcm = np.concatenate([leftover, pcm])
+            n = (len(pcm) // self.blocksize) * self.blocksize
+            for i in range(0, n, self.blocksize):
+                yield pcm[i : i + self.blocksize]
+                total += self.blocksize
+            leftover = pcm[n:]
+
+        if len(leftover):
+            yield np.pad(leftover, (0, self.blocksize - len(leftover)))
+            total += len(leftover)
+
+        dt = perf_counter() - start
+        dur = total / PIPELINE_SR
+        logger.info("TTS generated %.2fs audio in %.2fs (RTF: %.2f, %s)", dur, dt, dur / dt if dt else 0, label)
+
+    # ── main entry ───────────────────────────────────────────────────
+
+    def process(self, item) -> Iterator[Any]:
+        tracker = self.speculative_turns
+        if isinstance(item, EndOfResponse):
+            if tracker and not tracker.is_latest_after_reopen_grace(item.turn_id, item.turn_revision):
+                return
+            yield AUDIO_RESPONSE_DONE
+            return
+
+        if tracker and not tracker.is_latest_after_reopen_grace(item.turn_id, item.turn_revision):
+            logger.debug("Dropping stale TTS input turn=%s rev=%s", item.turn_id, item.turn_revision)
+            return
+        if tracker:
+            # First audible output commits the speculative turn.
+            tracker.commit(item.turn_id, item.turn_revision)
+
+        text, language = self._coalesce(item)
+        text = text or "Hello."
+        logger.info("ASSISTANT: %s", text)
+
+        try:
+            with self.scheduler.slot(Lane.INTERACTIVE):
+                piece_iter = self._synthesize(text, language, item.runtime_config, item.response)
+                first_audio = True
+                for chunk in self._stream(piece_iter, type(self).__name__):
+                    if first_audio:
+                        self._log_first_audio_latency(item)
+                        first_audio = False
+                    yield chunk
+        except Exception:
+            logger.exception("TTS synthesis failed")
+
+    def _log_first_audio_latency(self, item: TTSInput) -> None:
+        if item.speech_stopped_at_s is None:
+            return
+        latency = perf_counter() - item.speech_stopped_at_s
+        if latency >= 0:
+            logger.info(
+                "Last speech detected to first speech out: %.3fs (turn=%s rev=%s)",
+                latency, item.turn_id, item.turn_revision,
+            )
+
+    @property
+    def min_time_to_debug(self) -> float:
+        return 0.0001

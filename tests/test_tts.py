@@ -1,0 +1,233 @@
+"""TTS layer: streaming contract, coalescing, commit/gating, cancellation,
+token estimation, and JAX model smoke tests (random weights)."""
+
+import threading
+from queue import Queue
+
+import numpy as np
+import pytest
+
+from s2s_tpu.pipeline.control import CancelScope
+from s2s_tpu.pipeline.messages import AUDIO_RESPONSE_DONE, EndOfResponse, TTSInput
+from s2s_tpu.pipeline.turns import SpeculativeTurnTracker
+from s2s_tpu.tts.kokoro_handler import KokoroTTSHandler
+from s2s_tpu.tts.qwen3_handler import Qwen3TTSHandler, estimate_max_new_tokens
+
+SR = 16000
+
+
+def tone_pieces(n=3, seconds=0.1, sr=24000):
+    """Fake synth output: pieces of audible sine at 24 kHz."""
+    for i in range(n):
+        t = np.arange(int(seconds * sr)) / sr
+        yield (0.5 * np.sin(2 * np.pi * 300 * t)).astype(np.float32), sr
+
+
+def make_handler(cls=KokoroTTSHandler, synth=None, tracker=None, scope=None, **kw):
+    return cls(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(
+            synthesize_fn=synth or (lambda text, lang: tone_pieces()),
+            speculative_turns=tracker,
+            cancel_scope=scope,
+            **kw,
+        ),
+    )
+
+
+def tts_input(text="Hello there.", turn="t1", rev=0, gen=None):
+    return TTSInput(text=text, turn_id=turn, turn_revision=rev, cancel_generation=gen)
+
+
+# ── streaming contract ───────────────────────────────────────────────
+
+
+def test_yields_fixed_blocks_at_16k():
+    handler = make_handler()
+    chunks = list(handler.process(tts_input()))
+    assert chunks, "no audio emitted"
+    assert all(isinstance(c, np.ndarray) and c.dtype == np.int16 for c in chunks)
+    assert all(len(c) == 512 for c in chunks)
+    # 3 pieces x 0.1 s @24k -> 0.3 s -> ~9 blocks at 16 kHz (minus silence trim)
+    assert 6 <= len(chunks) <= 12
+
+
+def test_end_of_response_yields_done_sentinel():
+    handler = make_handler()
+    outs = list(handler.process(EndOfResponse(turn_id="t1", turn_revision=0)))
+    assert outs == [AUDIO_RESPONSE_DONE]
+
+
+def test_leading_silence_trimmed_with_preroll():
+    def synth(text, lang):
+        silence = np.zeros(SR // 2, np.float32)  # 0.5 s silence
+        t = np.arange(SR // 4) / SR
+        yield np.concatenate([silence, 0.5 * np.sin(2 * np.pi * 300 * t).astype(np.float32)]), SR
+
+    handler = make_handler(synth=synth)
+    chunks = list(handler.process(tts_input()))
+    total = sum(len(c) for c in chunks)
+    # 0.25 s of speech + 40 ms preroll, not the full 0.75 s
+    assert total <= int(0.35 * SR)
+
+
+def test_cancellation_stops_stream():
+    scope = CancelScope()
+
+    def synth(text, lang):
+        for i, piece in enumerate(tone_pieces(n=10)):
+            if i == 2:
+                scope.cancel()
+            yield piece
+
+    handler = make_handler(synth=synth, scope=scope)
+    chunks = list(handler.process(tts_input(gen=scope.generation)))
+    # stops soon after cancel: far fewer than the full 10 pieces worth
+    assert sum(len(c) for c in chunks) < 10 * 0.1 * SR
+
+
+# ── speculative gating ───────────────────────────────────────────────
+
+
+def test_stale_input_dropped_and_latest_commits():
+    tracker = SpeculativeTurnTracker()
+    tracker.observe("t1", 1)
+    handler = make_handler(tracker=tracker)
+    assert list(handler.process(tts_input(rev=0))) == []  # stale
+    chunks = list(handler.process(tts_input(rev=1)))
+    assert chunks
+    assert tracker.is_committed("t1", 1)  # first audible output commits
+
+
+def test_stale_end_of_response_dropped():
+    tracker = SpeculativeTurnTracker()
+    tracker.observe("t1", 1)
+    handler = make_handler(tracker=tracker)
+    assert list(handler.process(EndOfResponse(turn_id="t1", turn_revision=0))) == []
+
+
+# ── coalescing ───────────────────────────────────────────────────────
+
+
+def test_queued_same_turn_text_coalesced():
+    seen = []
+
+    def synth(text, lang):
+        seen.append(text)
+        yield from tone_pieces(1)
+
+    handler = make_handler(synth=synth)
+    handler.queue_in.put(tts_input("Second sentence.", rev=0))
+    handler.queue_in.put(tts_input("Third sentence.", rev=0))
+    handler.queue_in.put(tts_input("Different turn.", turn="t2"))
+    list(handler.process(tts_input("First sentence.", rev=0)))
+    assert seen == ["First sentence. Second sentence. Third sentence."]
+    assert handler.queue_in.qsize() == 1  # other turn untouched
+
+
+def test_coalescing_stops_at_end_of_response():
+    seen = []
+
+    def synth(text, lang):
+        seen.append(text)
+        yield from tone_pieces(1)
+
+    handler = make_handler(synth=synth)
+    handler.queue_in.put(EndOfResponse(turn_id="t1", turn_revision=0))
+    handler.queue_in.put(tts_input("After end.", rev=0))
+    list(handler.process(tts_input("Before end.", rev=0)))
+    assert seen == ["Before end."]
+    assert handler.queue_in.qsize() == 2
+
+
+# ── token estimation ─────────────────────────────────────────────────
+
+
+def test_estimate_max_new_tokens_scales_with_text():
+    short = estimate_max_new_tokens("Hi.")
+    longer = estimate_max_new_tokens("This is a much longer sentence with many words to speak aloud today.")
+    assert short >= 16 and longer > short
+    assert longer % 8 == 0  # chunk aligned
+
+
+def test_estimate_empty_text_minimal():
+    assert estimate_max_new_tokens("") == 16
+    assert estimate_max_new_tokens(None) == 16
+
+
+def test_estimate_respects_cap():
+    assert estimate_max_new_tokens("word " * 500, cap=64) == 64
+
+
+# ── JAX models (random weights) ──────────────────────────────────────
+
+
+def test_kokoro_jax_synthesizes():
+    from s2s_tpu.models.kokoro import KokoroConfig, KokoroTTS
+
+    tts = KokoroTTS(cfg=KokoroConfig.tiny())
+    audio = tts.synthesize("Hello world.")
+    assert audio.dtype == np.float32 and len(audio) > 0
+    assert np.all(np.isfinite(audio))
+
+
+def test_qwen3_jax_streams_chunks():
+    from s2s_tpu.models.qwen3_tts import UPSAMPLE, Qwen3TTS, Qwen3TTSConfig
+
+    tts = Qwen3TTS(cfg=Qwen3TTSConfig.tiny(), chunk_frames=4)
+    chunks = list(tts.stream("Hi.", max_new_tokens=8))
+    assert chunks
+    for audio, sr in chunks:
+        assert sr == 16000
+        assert len(audio) % UPSAMPLE == 0
+        assert np.all(np.isfinite(audio))
+
+
+def test_qwen3_cancel_between_frames():
+    from s2s_tpu.models.qwen3_tts import Qwen3TTS, Qwen3TTSConfig
+
+    tts = Qwen3TTS(cfg=Qwen3TTSConfig.tiny(), chunk_frames=2)
+    calls = []
+
+    def cancel():
+        calls.append(1)
+        return len(calls) >= 3
+
+    chunks = list(tts.stream("Hi.", max_new_tokens=32, cancel_check=cancel))
+    assert len(chunks) <= 2  # aborted early
+
+
+def test_qwen3_handler_end_to_end_jax():
+    from s2s_tpu.models.qwen3_tts import Qwen3TTS, Qwen3TTSConfig
+
+    model = Qwen3TTS(cfg=Qwen3TTSConfig.tiny(), chunk_frames=4)
+    handler = Qwen3TTSHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(model=model, streaming_chunk_size=4, max_new_tokens=8),
+    )
+    chunks = list(handler.process(tts_input("Hello.")))
+    done = list(handler.process(EndOfResponse(turn_id="t1", turn_revision=0)))
+    assert done == [AUDIO_RESPONSE_DONE]
+
+
+def test_istft_reconstructs_sine():
+    """iSTFT(STFT(x)) round trip within tolerance."""
+    import jax.numpy as jnp
+
+    from s2s_tpu.ops.istft import istft
+
+    n_fft, hop = 512, 256
+    t = np.arange(8192) / 16000
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    # forward STFT via numpy for the test
+    pad = n_fft // 2
+    xp = np.pad(x, (pad, pad), mode="reflect")
+    frames = np.lib.stride_tricks.sliding_window_view(xp, n_fft)[::hop]
+    win = np.hanning(n_fft + 1)[:-1]
+    spec = np.fft.rfft(frames * win, axis=1)
+    mag, phase = np.abs(spec), np.angle(spec)
+    rec = np.asarray(istft(jnp.asarray(mag, jnp.float32), jnp.asarray(phase, jnp.float32), n_fft, hop))
+    n = min(len(rec), len(x))
+    # ignore edges
+    err = np.abs(rec[hop : n - hop] - x[hop : n - hop])
+    assert err.max() < 5e-2 and err.mean() < 1e-2
