@@ -1,0 +1,322 @@
+"""Dataclass-driven CLI argument system (reference ``arguments_classes/`` +
+``s2s_pipeline.py:170-280``).
+
+Three-phase parse: (1) selector pre-parse picks the active backends, (2) a
+strict argparse over [module, server, VAD, selected backend configs], (3)
+leftover flags matching an *inactive* backend's config are warned-then-
+ignored; anything else errors.  Alternatively a single ``config.json`` path
+supplies everything.  ``gen_*`` flags fold into each backend's
+``gen_kwargs``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+from dataclasses import dataclass, field, fields
+from pathlib import Path
+from typing import Any, Optional, Type
+
+logger = logging.getLogger(__name__)
+
+
+# ── config dataclasses ───────────────────────────────────────────────
+
+
+@dataclass
+class ModuleArgs:
+    """Backend selectors + global switches."""
+
+    stt: str = "whisper"  # whisper | parakeet-tdt | none
+    llm_backend: str = "responses-api"  # responses-api | chat-completions | local-jax
+    tts: str = "qwen3"  # qwen3 | kokoro
+    enable_live_transcription: bool = True
+    enable_llm_proxy: bool = False
+    num_pipelines: int = 1
+    log_level: str = "info"
+
+
+@dataclass
+class RealtimeServerArgs:
+    host: str = "127.0.0.1"
+    port: int = 8123
+    chat_size: int = 30
+    default_instructions: Optional[str] = None
+
+
+@dataclass
+class VADArgs:
+    """Every turn-taking knob (reference ``vad_arguments.py``)."""
+
+    prefix = "vad"
+
+    thresh: float = 0.6
+    min_silence_ms: int = 64
+    min_speech_ms: int = 384
+    min_speech_continuation_ms: int = 192
+    max_speech_ms: float = float("inf")
+    speech_pad_ms: int = 30
+    realtime_processing_pause: float = 0.5
+    speculative_reopen_ms: int = 800
+    unanswered_reopen_ms: int = 7000
+    short_segment_merge_ms: int = 0
+    smart_turn: bool = True
+    smart_turn_threshold: float = 0.5
+    smart_turn_max_wait_ms: int = 2000
+    smart_turn_incomplete_delay_ms: int = 600
+
+
+@dataclass
+class WhisperSTTArgs:
+    prefix = "stt"
+
+    model_size: str = "tiny"
+    language: Optional[str] = None
+    checkpoint: Optional[str] = None  # path to converted weights (msgpack/npz)
+    tokenizer: Optional[str] = None  # path to tokenizer.json / vocab.json
+
+
+@dataclass
+class ParakeetSTTArgs:
+    prefix = "stt"
+
+    model_size: str = "0.6b"
+    language: Optional[str] = None
+    checkpoint: Optional[str] = None
+    tokenizer: Optional[str] = None
+
+
+@dataclass
+class RemoteLLMArgs:
+    prefix = "llm"
+
+    model_name: str = "gpt-4o-mini"
+    base_url: Optional[str] = None
+    api_key: Optional[str] = None
+    stream: bool = True
+    stream_batch_sentences: int = 3
+    compact_history: bool = True
+    enable_lang_prompt: bool = False
+    disable_thinking: bool = True
+    reasoning_effort: Optional[str] = None
+    timeout_s: float = 60.0
+    gen_kwargs: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class LocalLLMArgs:
+    prefix = "llm"
+
+    model_size: str = "smollm2-1.7b"
+    checkpoint: Optional[str] = None
+    tokenizer: Optional[str] = None
+    max_new_tokens: int = 256
+    stream_batch_sentences: int = 3
+    compact_history: bool = False
+    enable_lang_prompt: bool = False
+    gen_kwargs: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class Qwen3TTSArgs:
+    prefix = "tts"
+
+    voice: Optional[str] = None
+    voice_instruct: Optional[str] = None
+    ref_audio: Optional[str] = None  # wav path for voice cloning
+    streaming_chunk_size: int = 8
+    max_new_tokens: int = 1024
+    checkpoint: Optional[str] = None
+    blocksize: int = 512
+
+
+@dataclass
+class KokoroTTSArgs:
+    prefix = "tts"
+
+    voice: Optional[str] = None
+    speed: float = 1.0
+    checkpoint: Optional[str] = None
+    blocksize: int = 512
+
+
+@dataclass
+class ClientArgs:
+    """``talk`` client options."""
+
+    url: str = "ws://127.0.0.1:8123/v1/realtime"
+    instructions: Optional[str] = None
+    voice: Optional[str] = None
+    input_wav: Optional[str] = None  # headless mode: read mic audio from file
+    output_wav: Optional[str] = None  # headless mode: write playback to file
+    sample_rate: int = 16000
+
+
+@dataclass
+class ParsedArguments:
+    module: ModuleArgs
+    server: RealtimeServerArgs
+    vad: VADArgs
+    stt_config: Any
+    llm_config: Any
+    tts_config: Any
+
+
+# ── parser machinery ─────────────────────────────────────────────────
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls: Type, prefix: str | None = None) -> None:
+    for f in fields(cls):
+        if f.name == "prefix":
+            continue
+        name = f"{prefix}_{f.name}" if prefix else f.name
+        flag = f"--{name}"
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.type in ("bool", bool):
+            parser.add_argument(flag, type=_parse_bool, default=default, metavar="BOOL")
+        elif f.type in ("dict[str, Any]",) or f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+            parser.add_argument(flag, type=json.loads, default=None)
+        elif f.type in ("int", int):
+            parser.add_argument(flag, type=int, default=default)
+        elif f.type in ("float", float):
+            parser.add_argument(flag, type=float, default=default)
+        else:
+            parser.add_argument(flag, type=str, default=default)
+
+
+def _parse_bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+def _extract(cls: Type, ns: argparse.Namespace, prefix: str | None = None, extra_gen: dict | None = None):
+    kwargs: dict[str, Any] = {}
+    for f in fields(cls):
+        if f.name == "prefix":
+            continue
+        name = f"{prefix}_{f.name}" if prefix else f.name
+        val = getattr(ns, name, None)
+        if val is not None:
+            kwargs[f.name] = val
+    if extra_gen and "gen_kwargs" in {f.name for f in fields(cls)}:
+        merged = dict(kwargs.get("gen_kwargs") or {})
+        merged.update(extra_gen)
+        kwargs["gen_kwargs"] = merged
+    return cls(**kwargs)
+
+
+STT_CONFIGS: dict[str, Type] = {
+    "whisper": WhisperSTTArgs,
+    "parakeet-tdt": ParakeetSTTArgs,
+    "none": WhisperSTTArgs,  # unused fields; direct-audio path
+}
+LLM_CONFIGS: dict[str, Type] = {
+    "responses-api": RemoteLLMArgs,
+    "chat-completions": RemoteLLMArgs,
+    "local-jax": LocalLLMArgs,
+}
+TTS_CONFIGS: dict[str, Type] = {
+    "qwen3": Qwen3TTSArgs,
+    "kokoro": KokoroTTSArgs,
+}
+
+
+def parse_arguments(argv: list[str] | None = None) -> ParsedArguments:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    # single-JSON-file alternative
+    if len(argv) == 1 and argv[0].endswith(".json"):
+        return _parse_config_file(Path(argv[0]))
+
+    # phase 1: selector pre-parse
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--stt", default=ModuleArgs.stt)
+    pre.add_argument("--llm_backend", default=ModuleArgs.llm_backend)
+    pre.add_argument("--tts", default=ModuleArgs.tts)
+    sel, _ = pre.parse_known_args(argv)
+
+    stt_cls = STT_CONFIGS.get(sel.stt)
+    llm_cls = LLM_CONFIGS.get(sel.llm_backend)
+    tts_cls = TTS_CONFIGS.get(sel.tts)
+    for kind, name, cls in (("stt", sel.stt, stt_cls), ("llm_backend", sel.llm_backend, llm_cls), ("tts", sel.tts, tts_cls)):
+        if cls is None:
+            raise SystemExit(f"Unknown --{kind} backend: {name!r}")
+
+    # phase 2: strict parse over selected groups
+    parser = argparse.ArgumentParser(prog="s2s-tpu")
+    _add_dataclass_args(parser, ModuleArgs)
+    _add_dataclass_args(parser, RealtimeServerArgs)
+    _add_dataclass_args(parser, VADArgs, prefix="vad")
+    _add_dataclass_args(parser, stt_cls, prefix="stt")
+    _add_dataclass_args(parser, llm_cls, prefix="llm")
+    _add_dataclass_args(parser, tts_cls, prefix="tts")
+    ns, leftovers = parser.parse_known_args(argv)
+
+    # gen_* folding: --llm_gen_temperature 0.7 -> gen_kwargs["temperature"]
+    gen_extra: dict[str, Any] = {}
+    remaining: list[str] = []
+    i = 0
+    while i < len(leftovers):
+        tok = leftovers[i]
+        if tok.startswith("--llm_gen_") and i + 1 < len(leftovers):
+            key = tok[len("--llm_gen_"):]
+            raw = leftovers[i + 1]
+            try:
+                gen_extra[key] = json.loads(raw)
+            except json.JSONDecodeError:
+                gen_extra[key] = raw
+            i += 2
+            continue
+        remaining.append(tok)
+        i += 1
+
+    # phase 3: leftovers matching inactive backend configs warn; others error
+    inactive_flags = set()
+    for group, active in (
+        (STT_CONFIGS, stt_cls),
+        (LLM_CONFIGS, llm_cls),
+        (TTS_CONFIGS, tts_cls),
+    ):
+        for cls in group.values():
+            if cls is active:
+                continue
+            for f in fields(cls):
+                if f.name != "prefix":
+                    inactive_flags.add(f"--{cls.prefix}_{f.name}")
+    unknown = []
+    for tok in remaining:
+        if tok.startswith("--"):
+            base = tok.split("=")[0]
+            if base in inactive_flags:
+                logger.warning("Ignoring flag for inactive backend: %s", base)
+            else:
+                unknown.append(base)
+    if unknown:
+        raise SystemExit(f"Unknown arguments: {unknown}")
+
+    return ParsedArguments(
+        module=_extract(ModuleArgs, ns),
+        server=_extract(RealtimeServerArgs, ns),
+        vad=_extract(VADArgs, ns, prefix="vad"),
+        stt_config=_extract(stt_cls, ns, prefix="stt"),
+        llm_config=_extract(llm_cls, ns, prefix="llm", extra_gen=gen_extra),
+        tts_config=_extract(tts_cls, ns, prefix="tts"),
+    )
+
+
+def _parse_config_file(path: Path) -> ParsedArguments:
+    data = json.loads(path.read_text())
+    module = ModuleArgs(**data.get("module", {}))
+    stt_cls = STT_CONFIGS[module.stt]
+    llm_cls = LLM_CONFIGS[module.llm_backend]
+    tts_cls = TTS_CONFIGS[module.tts]
+    return ParsedArguments(
+        module=module,
+        server=RealtimeServerArgs(**data.get("server", {})),
+        vad=VADArgs(**data.get("vad", {})),
+        stt_config=stt_cls(**data.get("stt", {})),
+        llm_config=llm_cls(**data.get("llm", {})),
+        tts_config=tts_cls(**data.get("tts", {})),
+    )

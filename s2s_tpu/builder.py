@@ -1,0 +1,164 @@
+"""Pipeline builder (reference ``s2s_pipeline.py:348-603``).
+
+Builds N isolated ``PipelineUnit``s (own queues, CancelScope, tracker,
+RealtimeService, handler chain) behind one server.  Models are shared
+through the registry's ``ModelCache`` — N units, ONE weight set in HBM.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from queue import Queue
+from typing import Any
+
+from s2s_tpu.arguments import ParsedArguments
+from s2s_tpu.llm.output_processor import LMOutputProcessor
+from s2s_tpu.pipeline.control import CancelScope
+from s2s_tpu.pipeline.log_context import install_pipeline_log_filter
+from s2s_tpu.pipeline.turns import SpeculativeTurnTracker
+from s2s_tpu.realtime.pipeline_unit import PipelineUnit
+from s2s_tpu.realtime.server import RealtimeServer
+from s2s_tpu.realtime.service import RealtimeService
+from s2s_tpu.registry import GLOBAL_MODEL_CACHE, HandlerContext, get_backend
+from s2s_tpu.runtime.device_scheduler import GLOBAL_SCHEDULER
+from s2s_tpu.runtime.thread_manager import ThreadManager
+from s2s_tpu.stt.notifier import TranscriptionNotifier
+from s2s_tpu.vad.handler import VADHandler
+
+logger = logging.getLogger(__name__)
+
+
+def build_pipeline_unit(index: int, args: ParsedArguments, stop_event: threading.Event) -> PipelineUnit:
+    """One unit: 8 queues, 2 events, control plane, service, handler chain."""
+    input_queue: Queue = Queue()
+    spoken_prompt_queue: Queue = Queue()
+    stt_output_queue: Queue = Queue()
+    text_prompt_queue: Queue = Queue()
+    lm_response_queue: Queue = Queue()
+    lm_processed_queue: Queue = Queue()
+    output_queue: Queue = Queue()
+    text_output_queue: Queue = Queue()
+
+    should_listen = threading.Event()
+    should_listen.set()
+    response_playing = threading.Event()
+    cancel_scope = CancelScope()
+    tracker = SpeculativeTurnTracker()
+
+    stt_spec = get_backend("stt", args.module.stt)
+    llm_spec = get_backend("llm", args.module.llm_backend)
+    tts_spec = get_backend("tts", args.module.tts)
+
+    def ctx(queue_in: Queue, queue_out: Queue) -> HandlerContext:
+        return HandlerContext(
+            stop_event=stop_event,
+            queue_in=queue_in,
+            queue_out=queue_out,
+            text_output_queue=text_output_queue,
+            should_listen=should_listen,
+            cancel_scope=cancel_scope,
+            speculative_turns=tracker,
+            device_scheduler=GLOBAL_SCHEDULER,
+            model_cache=GLOBAL_MODEL_CACHE,
+        )
+
+    vad = VADHandler(
+        stop_event, input_queue, spoken_prompt_queue,
+        setup_kwargs=dict(
+            should_listen=should_listen,
+            speculative_turns=tracker,
+            thresh=args.vad.thresh,
+            min_silence_ms=args.vad.min_silence_ms,
+            min_speech_ms=args.vad.min_speech_ms,
+            min_speech_continuation_ms=args.vad.min_speech_continuation_ms,
+            max_speech_ms=args.vad.max_speech_ms,
+            speech_pad_ms=args.vad.speech_pad_ms,
+            enable_realtime_transcription=args.module.enable_live_transcription,
+            realtime_processing_pause=args.vad.realtime_processing_pause,
+            text_output_queue=text_output_queue,
+            speculative_reopen_ms=args.vad.speculative_reopen_ms,
+            unanswered_reopen_ms=args.vad.unanswered_reopen_ms,
+            short_segment_merge_ms=args.vad.short_segment_merge_ms,
+            smart_turn=args.vad.smart_turn,
+            smart_turn_threshold=args.vad.smart_turn_threshold,
+            smart_turn_max_wait_ms=args.vad.smart_turn_max_wait_ms,
+            smart_turn_incomplete_delay_ms=args.vad.smart_turn_incomplete_delay_ms,
+        ),
+    )
+
+    handlers: list[Any] = [vad]
+    bypass_notifier = stt_spec.capabilities.bypasses_transcription_notifier
+    if bypass_notifier:
+        # direct-audio: VAD final -> AudioInputNotifier -> (service bridges to LLM)
+        stt = stt_spec.create_handler(args.stt_config, ctx(spoken_prompt_queue, stt_output_queue))
+        handlers.append(stt)
+    else:
+        stt = stt_spec.create_handler(args.stt_config, ctx(spoken_prompt_queue, stt_output_queue))
+        notifier = TranscriptionNotifier(
+            stop_event, stt_output_queue, text_prompt_queue,
+            setup_kwargs=dict(text_output_queue=text_output_queue, should_listen=should_listen),
+        )
+        handlers.extend([stt, notifier])
+
+    llm = llm_spec.create_handler(args.llm_config, ctx(text_prompt_queue, lm_response_queue))
+    processor = LMOutputProcessor(
+        stop_event, lm_response_queue, lm_processed_queue,
+        setup_kwargs=dict(text_output_queue=text_output_queue, speculative_turns=tracker),
+    )
+    tts = tts_spec.create_handler(args.tts_config, ctx(lm_processed_queue, output_queue))
+    handlers.extend([llm, processor, tts])
+
+    for handler in handlers:
+        handler.pipeline_index = index
+
+    service = RealtimeService(
+        text_prompt_queue=text_prompt_queue,
+        should_listen=should_listen,
+        chat_size=args.server.chat_size,
+        speculative_turns=tracker,
+        default_instructions=args.server.default_instructions,
+    )
+
+    return PipelineUnit(
+        index=index,
+        service=service,
+        cancel_scope=cancel_scope,
+        should_listen=should_listen,
+        response_playing=response_playing,
+        input_queue=input_queue,
+        output_queue=output_queue,
+        text_output_queue=text_output_queue,
+        text_prompt_queue=text_prompt_queue,
+        handlers=handlers,
+    )
+
+
+def build_pipeline(args: ParsedArguments, stop_event: threading.Event) -> tuple[ThreadManager, RealtimeServer]:
+    install_pipeline_log_filter()
+    pool = [build_pipeline_unit(i, args, stop_event) for i in range(args.module.num_pipelines)]
+    server = RealtimeServer(
+        stop_event, pool, host=args.server.host, port=args.server.port,
+        llm_proxy=_build_llm_proxy(args),
+    )
+    all_handlers: list[Any] = [h for unit in pool for h in unit.handlers]
+    all_handlers.append(server)
+    manager = ThreadManager(all_handlers)
+    return manager, server
+
+
+def _build_llm_proxy(args: ParsedArguments):
+    if not args.module.enable_llm_proxy:
+        return None
+    from s2s_tpu.realtime.llm_proxy import LLMProxy
+
+    spec = get_backend("llm", args.module.llm_backend)
+    if not spec.capabilities.supports_llm_proxy:
+        logger.warning("LLM proxy requested but backend %s does not support it", spec.name)
+        return None
+    return LLMProxy(
+        base_url=args.llm_config.base_url,
+        api_key=args.llm_config.api_key,
+        model_name=args.llm_config.model_name,
+        shape="responses" if args.module.llm_backend == "responses-api" else "chat",
+    )

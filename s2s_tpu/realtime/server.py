@@ -92,6 +92,8 @@ class RealtimeServer:
             self._ws_handler, self.host, self.port, process_request=self._process_request
         ) as server:
             self.bound_port = server.sockets[0].getsockname()[1] if server.sockets else self.port
+            if self.llm_proxy is not None:
+                self.llm_proxy.start(self.host, self.bound_port)
             self.started.set()
             logger.info("Realtime server on ws://%s:%d/v1/realtime", self.host, self.bound_port)
             while not self.stop_event.is_set():

@@ -1,0 +1,312 @@
+"""Declarative backend registry (reference ``backend_registry.py``).
+
+``BackendSpec`` describes each swappable stage backend: its config
+dataclass, a handler factory, and capability flags the builder validates
+against.  ``ModelCache`` is the TPU twist: handler factories obtain shared
+jitted models from a process-wide cache so N pipeline units reuse ONE weight
+set in HBM (the reference loads N model copies — ``s2s_pipeline.py:551-562``).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from dataclasses import dataclass, field
+from queue import Queue
+from typing import Any, Callable, Type
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class BackendCapabilities:
+    bypasses_transcription_notifier: bool = False
+    supports_audio_input: bool = False
+    supports_llm_proxy: bool = False
+
+
+@dataclass(frozen=True)
+class HandlerContext:
+    """Everything a handler factory may wire in."""
+
+    stop_event: Any
+    queue_in: Queue
+    queue_out: Queue
+    text_output_queue: Queue
+    should_listen: Any
+    cancel_scope: Any
+    speculative_turns: Any
+    device_scheduler: Any
+    model_cache: "ModelCache"
+
+
+@dataclass(frozen=True)
+class BackendSpec:
+    name: str
+    kind: str  # "stt" | "llm" | "tts"
+    config_type: Type
+    create_handler: Callable[[Any, HandlerContext], Any]
+    capabilities: BackendCapabilities = field(default_factory=BackendCapabilities)
+
+
+class ModelCache:
+    """Process-wide jitted-model cache keyed by (factory, config-key)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._models: dict[tuple, Any] = {}
+
+    def get(self, key: tuple, factory: Callable[[], Any]) -> Any:
+        with self._lock:
+            if key not in self._models:
+                logger.info("Loading shared model %s", key)
+                self._models[key] = factory()
+            return self._models[key]
+
+
+GLOBAL_MODEL_CACHE = ModelCache()
+
+
+# ── factories ────────────────────────────────────────────────────────
+
+
+def _make_whisper_stt(config, ctx: HandlerContext):
+    from s2s_tpu.stt.whisper_handler import WhisperSTTHandler
+
+    tokenizer = None
+    if config.tokenizer:
+        from s2s_tpu.stt.tokenizer import ByteLevelTokenizer
+
+        tokenizer = ByteLevelTokenizer.from_file(config.tokenizer)
+    return WhisperSTTHandler(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            speculative_turns=ctx.speculative_turns,
+            device_scheduler=ctx.device_scheduler,
+            cancel_scope=ctx.cancel_scope,
+            model_size=config.model_size,
+            language=config.language,
+            tokenizer=tokenizer,
+            params=_load_checkpoint(config.checkpoint),
+        ),
+    )
+
+
+def _make_parakeet_stt(config, ctx: HandlerContext):
+    from s2s_tpu.stt.parakeet_handler import ParakeetSTTHandler
+
+    return ParakeetSTTHandler(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            speculative_turns=ctx.speculative_turns,
+            device_scheduler=ctx.device_scheduler,
+            cancel_scope=ctx.cancel_scope,
+            language=config.language,
+            params=_load_checkpoint(config.checkpoint),
+        ),
+    )
+
+
+def _make_none_stt(config, ctx: HandlerContext):
+    from s2s_tpu.llm.audio_input_notifier import AudioInputNotifier
+
+    return AudioInputNotifier(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            text_output_queue=ctx.text_output_queue,
+            speculative_turns=ctx.speculative_turns,
+        ),
+    )
+
+
+def _make_remote_llm(shape: str):
+    def make(config, ctx: HandlerContext):
+        from s2s_tpu.llm.openai_backend import ChatCompletionsHandler, ResponsesAPIHandler
+
+        cls = ResponsesAPIHandler if shape == "responses" else ChatCompletionsHandler
+        return cls(
+            ctx.stop_event, ctx.queue_in, ctx.queue_out,
+            setup_kwargs=dict(
+                cancel_scope=ctx.cancel_scope,
+                speculative_turns=ctx.speculative_turns,
+                model_name=config.model_name,
+                base_url=config.base_url,
+                api_key=config.api_key,
+                stream=config.stream,
+                stream_batch_sentences=config.stream_batch_sentences,
+                compact_history=config.compact_history,
+                enable_lang_prompt=config.enable_lang_prompt,
+                disable_thinking=config.disable_thinking,
+                reasoning_effort=config.reasoning_effort,
+                timeout_s=config.timeout_s,
+                gen_kwargs=config.gen_kwargs,
+            ),
+        )
+
+    return make
+
+
+def _make_local_llm(config, ctx: HandlerContext):
+    from s2s_tpu.llm.local_backend import LocalJAXLLMHandler
+
+    return LocalJAXLLMHandler(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            cancel_scope=ctx.cancel_scope,
+            speculative_turns=ctx.speculative_turns,
+            device_scheduler=ctx.device_scheduler,
+            model_size=config.model_size,
+            params=_load_checkpoint(config.checkpoint),
+            max_new_tokens=config.max_new_tokens,
+            stream_batch_sentences=config.stream_batch_sentences,
+            compact_history=config.compact_history,
+            enable_lang_prompt=config.enable_lang_prompt,
+            gen_kwargs=config.gen_kwargs,
+        ),
+    )
+
+
+def _make_qwen3_tts(config, ctx: HandlerContext):
+    from s2s_tpu.models.qwen3_tts import Qwen3TTS
+    from s2s_tpu.tts.qwen3_handler import Qwen3TTSHandler
+
+    model = ctx.model_cache.get(
+        ("qwen3_tts", config.checkpoint, config.streaming_chunk_size),
+        lambda: Qwen3TTS(
+            params=_load_checkpoint(config.checkpoint), chunk_frames=config.streaming_chunk_size
+        ),
+    )
+    ref_audio = None
+    if config.ref_audio:
+        import wave
+
+        import numpy as np
+
+        with wave.open(config.ref_audio) as w:
+            ref_audio = (
+                np.frombuffer(w.readframes(w.getnframes()), np.int16).astype(np.float32) / 32768.0
+            )
+    return Qwen3TTSHandler(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            cancel_scope=ctx.cancel_scope,
+            speculative_turns=ctx.speculative_turns,
+            device_scheduler=ctx.device_scheduler,
+            should_listen=ctx.should_listen,
+            model=model,
+            voice=config.voice,
+            voice_instruct=config.voice_instruct,
+            ref_audio=ref_audio,
+            streaming_chunk_size=config.streaming_chunk_size,
+            max_new_tokens=config.max_new_tokens,
+            blocksize=config.blocksize,
+        ),
+    )
+
+
+def _make_kokoro_tts(config, ctx: HandlerContext):
+    from s2s_tpu.models.kokoro import KokoroTTS
+    from s2s_tpu.tts.kokoro_handler import KokoroTTSHandler
+
+    model = ctx.model_cache.get(
+        ("kokoro", config.checkpoint), lambda: KokoroTTS(params=_load_checkpoint(config.checkpoint))
+    )
+    return KokoroTTSHandler(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            cancel_scope=ctx.cancel_scope,
+            speculative_turns=ctx.speculative_turns,
+            device_scheduler=ctx.device_scheduler,
+            should_listen=ctx.should_listen,
+            model=model,
+            voice=config.voice,
+            speed=config.speed,
+            blocksize=config.blocksize,
+        ),
+    )
+
+
+def _load_checkpoint(path: str | None):
+    """Load converted weights from an .npz/.msgpack file (None -> random init)."""
+    if not path:
+        return None
+    import numpy as np
+
+    if path.endswith(".npz"):
+        flat = dict(np.load(path, allow_pickle=False))
+        return unflatten_params(flat)
+    raise ValueError(f"Unsupported checkpoint format: {path}")
+
+
+def unflatten_params(flat: dict) -> dict:
+    """'a/b/0/c' -> nested dict/list pytree."""
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for i, part in enumerate(parts[:-1]):
+            nxt = parts[i + 1]
+            default: Any = [] if nxt.isdigit() else {}
+            if isinstance(node, list):
+                idx = int(part)
+                while len(node) <= idx:
+                    node.append(None)
+                if node[idx] is None:
+                    node[idx] = default
+                node = node[idx]
+            else:
+                node = node.setdefault(part, default)
+        last = parts[-1]
+        if isinstance(node, list):
+            idx = int(last)
+            while len(node) <= idx:
+                node.append(None)
+            node[idx] = value
+        else:
+            node[last] = value
+    return root
+
+
+# ── registries ───────────────────────────────────────────────────────
+
+from s2s_tpu.arguments import (  # noqa: E402
+    KokoroTTSArgs,
+    LocalLLMArgs,
+    ParakeetSTTArgs,
+    Qwen3TTSArgs,
+    RemoteLLMArgs,
+    WhisperSTTArgs,
+)
+
+STT_BACKENDS: dict[str, BackendSpec] = {
+    "whisper": BackendSpec("whisper", "stt", WhisperSTTArgs, _make_whisper_stt),
+    "parakeet-tdt": BackendSpec("parakeet-tdt", "stt", ParakeetSTTArgs, _make_parakeet_stt),
+    "none": BackendSpec(
+        "none", "stt", WhisperSTTArgs, _make_none_stt,
+        BackendCapabilities(bypasses_transcription_notifier=True),
+    ),
+}
+
+LLM_BACKENDS: dict[str, BackendSpec] = {
+    "responses-api": BackendSpec(
+        "responses-api", "llm", RemoteLLMArgs, _make_remote_llm("responses"),
+        BackendCapabilities(supports_audio_input=True, supports_llm_proxy=True),
+    ),
+    "chat-completions": BackendSpec(
+        "chat-completions", "llm", RemoteLLMArgs, _make_remote_llm("chat"),
+        BackendCapabilities(supports_audio_input=True, supports_llm_proxy=True),
+    ),
+    "local-jax": BackendSpec("local-jax", "llm", LocalLLMArgs, _make_local_llm),
+}
+
+TTS_BACKENDS: dict[str, BackendSpec] = {
+    "qwen3": BackendSpec("qwen3", "tts", Qwen3TTSArgs, _make_qwen3_tts),
+    "kokoro": BackendSpec("kokoro", "tts", KokoroTTSArgs, _make_kokoro_tts),
+}
+
+
+def get_backend(kind: str, name: str) -> BackendSpec:
+    registry = {"stt": STT_BACKENDS, "llm": LLM_BACKENDS, "tts": TTS_BACKENDS}[kind]
+    if name not in registry:
+        raise ValueError(f"Unknown {kind} backend {name!r}; available: {sorted(registry)}")
+    return registry[name]

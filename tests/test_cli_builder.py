@@ -1,0 +1,196 @@
+"""CLI argument parsing (defaults, selectors, gen_* folding, inactive-flag
+tolerance, config.json) + full pipeline build + parakeet model tests."""
+
+import json
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2s_tpu.arguments import (
+    KokoroTTSArgs,
+    LocalLLMArgs,
+    ModuleArgs,
+    RemoteLLMArgs,
+    WhisperSTTArgs,
+    parse_arguments,
+)
+
+
+# ── argument parsing ─────────────────────────────────────────────────
+
+
+def test_release_default_profile():
+    """Pins the default backends (reference test_cli_defaults)."""
+    args = parse_arguments([])
+    assert args.module.stt == "whisper"
+    assert args.module.llm_backend == "responses-api"
+    assert args.module.tts == "qwen3"
+    assert args.module.enable_live_transcription is True
+    assert args.module.num_pipelines == 1
+    assert args.server.chat_size == 30
+    assert args.vad.min_silence_ms == 64
+    assert args.vad.min_speech_ms == 384
+    assert args.vad.speculative_reopen_ms == 800
+    assert isinstance(args.llm_config, RemoteLLMArgs)
+
+
+def test_selector_switches_config_types():
+    args = parse_arguments(["--llm_backend", "local-jax", "--tts", "kokoro"])
+    assert isinstance(args.llm_config, LocalLLMArgs)
+    assert isinstance(args.tts_config, KokoroTTSArgs)
+
+
+def test_backend_flags_parse():
+    args = parse_arguments(
+        ["--stt_model_size", "base", "--llm_model_name", "my-model", "--vad_thresh", "0.7"]
+    )
+    assert args.stt_config.model_size == "base"
+    assert args.llm_config.model_name == "my-model"
+    assert args.vad.thresh == 0.7
+
+
+def test_gen_kwargs_folding():
+    args = parse_arguments(["--llm_gen_temperature", "0.7", "--llm_gen_top_p", "0.9"])
+    assert args.llm_config.gen_kwargs == {"temperature": 0.7, "top_p": 0.9}
+
+
+def test_inactive_backend_flag_warned_not_fatal(caplog):
+    # kokoro flag while qwen3 is active: warn + ignore
+    args = parse_arguments(["--tts", "qwen3", "--tts_speed", "1.5"])
+    assert args.module.tts == "qwen3"
+
+
+def test_unknown_flag_errors():
+    with pytest.raises(SystemExit):
+        parse_arguments(["--definitely_not_a_flag", "1"])
+
+
+def test_unknown_backend_errors():
+    with pytest.raises(SystemExit):
+        parse_arguments(["--stt", "nonexistent"])
+
+
+def test_config_json_file(tmp_path):
+    cfg = {
+        "module": {"stt": "none", "llm_backend": "chat-completions", "tts": "kokoro"},
+        "server": {"port": 9999},
+        "vad": {"thresh": 0.4},
+        "llm": {"model_name": "m", "base_url": "http://localhost:1234/v1"},
+        "tts": {"speed": 1.2},
+    }
+    path = tmp_path / "config.json"
+    path.write_text(json.dumps(cfg))
+    args = parse_arguments([str(path)])
+    assert args.module.stt == "none"
+    assert args.server.port == 9999
+    assert args.vad.thresh == 0.4
+    assert args.tts_config.speed == 1.2
+
+
+# ── parakeet model ───────────────────────────────────────────────────
+
+
+@pytest.fixture(scope="module")
+def parakeet_tiny():
+    from s2s_tpu.models import parakeet
+
+    cfg = parakeet.ParakeetConfig.test_tiny()
+    params = parakeet.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_parakeet_encoder_subsamples_8x(parakeet_tiny):
+    from s2s_tpu.models import parakeet
+
+    cfg, params = parakeet_tiny
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.n_mels, 200))
+    enc = parakeet.encode(params, cfg, mel)
+    assert enc.shape[1] == 200 // 8
+    assert enc.shape[2] == cfg.d_model
+
+
+def test_parakeet_tdt_decode_terminates(parakeet_tiny):
+    from s2s_tpu.models import parakeet
+
+    cfg, params = parakeet_tiny
+    mel = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.n_mels, 160))
+    tokens = parakeet.transcribe_tokens(params, cfg, mel)
+    assert isinstance(tokens, list)
+    assert all(0 < t < cfg.vocab_size for t in tokens)  # blank never emitted
+    assert len(tokens) <= parakeet.MAX_SYMBOLS
+
+
+def test_parakeet_tdt_decode_deterministic(parakeet_tiny):
+    from s2s_tpu.models import parakeet
+
+    cfg, params = parakeet_tiny
+    mel = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.n_mels, 160))
+    assert parakeet.transcribe_tokens(params, cfg, mel) == parakeet.transcribe_tokens(params, cfg, mel)
+
+
+def test_parakeet_handler_with_fake_fn():
+    from queue import Queue
+
+    from s2s_tpu.pipeline.messages import Transcription, VADAudio
+    from s2s_tpu.stt.parakeet_handler import ParakeetSTTHandler
+    from s2s_tpu.stt.progressive import DecodeResult
+
+    handler = ParakeetSTTHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(transcribe_fn=lambda a: DecodeResult("hallo", language_code="de")),
+    )
+    out = list(
+        handler.process(
+            VADAudio(audio=np.zeros(16000, np.float32), mode="final", turn_id="t", turn_revision=0)
+        )
+    )
+    assert isinstance(out[0], Transcription) and out[0].text == "hallo"
+
+
+def test_parakeet_language_coverage():
+    """Every language Parakeet reports must have an LLM prompt name
+    (reference CI-enforces this, ``LLM/utils.py``)."""
+    from s2s_tpu.llm.utils import STT_LANGUAGE_NAMES
+    from s2s_tpu.stt.parakeet_handler import SUPPORTED_LANGUAGES
+
+    missing = [lang for lang in SUPPORTED_LANGUAGES if lang not in STT_LANGUAGE_NAMES]
+    assert not missing, f"languages missing LLM prompt names: {missing}"
+
+
+# ── full pipeline build ──────────────────────────────────────────────
+
+
+def test_build_pipeline_unit_wires_chain(monkeypatch):
+    """Construct a full unit with the cheapest real backends and verify the
+    handler chain + queue topology."""
+    from s2s_tpu.arguments import parse_arguments
+    from s2s_tpu.builder import build_pipeline_unit
+
+    args = parse_arguments(
+        [
+            "--stt", "none",
+            "--llm_backend", "chat-completions",
+            "--llm_base_url", "http://127.0.0.1:9/v1",  # never contacted
+            "--tts", "kokoro",
+        ]
+    )
+    # swap the kokoro factory for a stub model to keep the test fast
+    import s2s_tpu.registry as registry
+
+    class _StubModel:
+        def stream(self, text, voice_id=0, speed=1.0):
+            yield np.zeros(1024, np.float32), 24000
+
+    monkeypatch.setattr(
+        registry.GLOBAL_MODEL_CACHE, "get", lambda key, factory: _StubModel()
+    )
+    stop = threading.Event()
+    unit = build_pipeline_unit(0, args, stop)
+    names = [type(h).__name__ for h in unit.handlers]
+    assert names == ["VADHandler", "AudioInputNotifier", "ChatCompletionsHandler", "LMOutputProcessor", "KokoroTTSHandler"]
+    # direct-audio: no TranscriptionNotifier in the chain
+    assert unit.service.text_prompt_queue is unit.text_prompt_queue
+    assert unit.handlers[0].queue_out is unit.handlers[1].queue_in
