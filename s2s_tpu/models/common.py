@@ -56,8 +56,8 @@ def apply_rope(x, cos, sin):
     sin = sin[None, None, :, :]
     r1 = x1 * cos - x2 * sin
     r2 = x2 * cos + x1 * sin
-    # interleave back
-    return jnp.stack([r1, r2], axis=-1).reshape(x.shape)
+    # interleave back; rotation computed in f32, output keeps x's dtype
+    return jnp.stack([r1, r2], axis=-1).reshape(x.shape).astype(x.dtype)
 
 
 class KVCache(NamedTuple):

@@ -14,9 +14,12 @@ embeddings — covering SmolLM2/Llama/Qwen checkpoints via the converter in
 :func:`convert_hf_state_dict`.
 
 TPU design: prefill is one jitted call over a bucketed-length batch; decode
-is one jitted step with a donated (KVCache, pos) carry; sharding follows
-the megatron layout (attention heads / MLP hidden column-split, row-merged)
-expressed as `jax.sharding` PartitionSpecs over a ("data", "model") mesh.
+is one jitted step with a donated (KVCache, pos) carry.  Layer weights are
+STACKED with a leading layer axis and the depth loop is a ``lax.scan`` —
+XLA compiles ONE layer body instead of an n_layers-times unrolled graph
+(compile time through a remote-compile tunnel dropped ~20x).  Sharding
+follows the megatron layout expressed as PartitionSpecs over a
+("data", "model") mesh.
 """
 
 from __future__ import annotations
@@ -78,55 +81,65 @@ class DecoderLMConfig:
         )
 
 
-def init_params(key, cfg: DecoderLMConfig) -> Params:
-    keys = jax.random.split(key, cfg.n_layers + 2)
+def _init_layer(key, cfg: DecoderLMConfig) -> Params:
+    lk = jax.random.split(key, 7)
     dt = cfg.dtype
 
     def lin(k, di, do):
         return (jax.random.normal(k, (di, do), jnp.float32) * (di ** -0.5)).astype(dt)
 
-    layers = []
-    for i in range(cfg.n_layers):
-        lk = jax.random.split(keys[i], 7)
-        layers.append(
-            {
-                "attn_norm": jnp.ones((cfg.d_model,), dt),
-                "wq": lin(lk[0], cfg.d_model, cfg.n_heads * cfg.head_dim),
-                "wk": lin(lk[1], cfg.d_model, cfg.n_kv_heads * cfg.head_dim),
-                "wv": lin(lk[2], cfg.d_model, cfg.n_kv_heads * cfg.head_dim),
-                "wo": lin(lk[3], cfg.n_heads * cfg.head_dim, cfg.d_model),
-                "mlp_norm": jnp.ones((cfg.d_model,), dt),
-                "w_gate": lin(lk[4], cfg.d_model, cfg.d_ff),
-                "w_up": lin(lk[5], cfg.d_model, cfg.d_ff),
-                "w_down": lin(lk[6], cfg.d_ff, cfg.d_model),
-            }
-        )
+    return {
+        "attn_norm": jnp.ones((cfg.d_model,), dt),
+        "wq": lin(lk[0], cfg.d_model, cfg.n_heads * cfg.head_dim),
+        "wk": lin(lk[1], cfg.d_model, cfg.n_kv_heads * cfg.head_dim),
+        "wv": lin(lk[2], cfg.d_model, cfg.n_kv_heads * cfg.head_dim),
+        "wo": lin(lk[3], cfg.n_heads * cfg.head_dim, cfg.d_model),
+        "mlp_norm": jnp.ones((cfg.d_model,), dt),
+        "w_gate": lin(lk[4], cfg.d_model, cfg.d_ff),
+        "w_up": lin(lk[5], cfg.d_model, cfg.d_ff),
+        "w_down": lin(lk[6], cfg.d_ff, cfg.d_model),
+    }
+
+
+def stack_layers(layers: list[Params]) -> Params:
+    """List of per-layer pytrees -> one pytree with a leading layer axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
+def init_params(key, cfg: DecoderLMConfig) -> Params:
+    keys = jax.random.split(key, cfg.n_layers + 2)
+    dt = cfg.dtype
+    layers = stack_layers([_init_layer(keys[i], cfg) for i in range(cfg.n_layers)])
     params: Params = {
         "embed": (jax.random.normal(keys[-2], (cfg.vocab_size, cfg.d_model), jnp.float32) * 0.02).astype(dt),
         "layers": layers,
         "final_norm": jnp.ones((cfg.d_model,), dt),
     }
     if not cfg.tie_embeddings:
-        params["lm_head"] = lin(keys[-1], cfg.d_model, cfg.vocab_size)
+        params["lm_head"] = (
+            jax.random.normal(keys[-1], (cfg.d_model, cfg.vocab_size), jnp.float32)
+            * cfg.d_model ** -0.5
+        ).astype(dt)
     return params
 
 
 def param_shardings(cfg: DecoderLMConfig) -> Params:
-    """Megatron-style PartitionSpecs over a ("data", "model") mesh."""
-    layer = {
-        "attn_norm": P(),
-        "wq": P(None, "model"),
-        "wk": P(None, "model"),
-        "wv": P(None, "model"),
-        "wo": P("model", None),
-        "mlp_norm": P(),
-        "w_gate": P(None, "model"),
-        "w_up": P(None, "model"),
-        "w_down": P("model", None),
+    """Megatron-style PartitionSpecs over a ("data", "model") mesh (stacked
+    layers get a leading replicated layer axis)."""
+    layers = {
+        "attn_norm": P(None, None),
+        "wq": P(None, None, "model"),
+        "wk": P(None, None, "model"),
+        "wv": P(None, None, "model"),
+        "wo": P(None, "model", None),
+        "mlp_norm": P(None, None),
+        "w_gate": P(None, None, "model"),
+        "w_up": P(None, None, "model"),
+        "w_down": P(None, "model", None),
     }
     specs: Params = {
         "embed": P("model", None),
-        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "layers": layers,
         "final_norm": P(),
     }
     if not cfg.tie_embeddings:
@@ -135,23 +148,22 @@ def param_shardings(cfg: DecoderLMConfig) -> Params:
 
 
 class DecodeState(NamedTuple):
-    """Donated decode carry: per-layer caches + current position (scalar)."""
+    """Donated decode carry: stacked per-layer caches + position (scalar).
+    Cache arrays are (L, B, n_kv, max_t, head_dim)."""
 
-    caches: tuple[KVCache, ...]
-    pos: jax.Array  # int32 scalar: number of tokens already in cache
+    caches: KVCache
+    pos: jax.Array
 
 
 def init_decode_state(cfg: DecoderLMConfig, batch: int, max_t: int | None = None) -> DecodeState:
     max_t = max_t or cfg.max_seq_len
-    caches = tuple(
-        KVCache.create(batch, cfg.n_kv_heads, max_t, cfg.head_dim, cfg.dtype)
-        for _ in range(cfg.n_layers)
-    )
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_t, cfg.head_dim)
+    caches = KVCache(jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
     return DecodeState(caches, jnp.zeros((), jnp.int32))
 
 
 def _block(x, lp, cfg: DecoderLMConfig, cache: KVCache | None, pos, cos, sin, mask):
-    """One transformer block; returns (x, updated_cache)."""
+    """One transformer block over UNSTACKED layer params; returns (x, (k,v))."""
     b, t, _ = x.shape
     h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
     q = linear(h, lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -172,6 +184,26 @@ def _block(x, lp, cfg: DecoderLMConfig, cache: KVCache | None, pos, cos, sin, ma
     return x, cache
 
 
+def _scan_blocks(x, params, cfg: DecoderLMConfig, caches: KVCache | None, pos, cos, sin, mask):
+    """lax.scan over the stacked layer axis; returns (x, new caches)."""
+    if caches is None:
+
+        def body(carry, lp):
+            out, _ = _block(carry, lp, cfg, None, None, cos, sin, mask)
+            return out, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        return x, None
+
+    def body(carry, xs):
+        lp, cache_k, cache_v = xs
+        out, cache = _block(carry, lp, cfg, KVCache(cache_k, cache_v), pos, cos, sin, mask)
+        return out, (cache.k, cache.v)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], caches.k, caches.v))
+    return x, KVCache(new_k, new_v)
+
+
 def _logits(x, params, cfg: DecoderLMConfig):
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
@@ -186,95 +218,78 @@ def forward(params, cfg: DecoderLMConfig, tokens, positions=None):
     cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
     cos, sin = cos_full[:t], sin_full[:t]
     mask = causal_mask(t, t, 0)
-    for lp in params["layers"]:
-        x, _ = _block(x, lp, cfg, None, None, cos, sin, mask)
+    x, _ = _scan_blocks(x, params, cfg, None, None, cos, sin, mask)
     return _logits(x, params, cfg)
 
 
-def prefill(params, cfg: DecoderLMConfig, tokens, state: DecodeState, prompt_len):
-    """Consume a (B, T_bucket) right-padded prompt; fill caches; return
-    (last-position logits (B, V), new state).  *prompt_len* (B,) or scalar
-    gives true lengths inside the bucket."""
-    b, t = tokens.shape
-    x = params["embed"][tokens].astype(cfg.dtype)
+def _hidden_prefill(params, cfg: DecoderLMConfig, x, state: DecodeState, prompt_len):
+    b, t, _ = x.shape
     cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
     cos, sin = cos_full[:t], sin_full[:t]
-    max_t = state.caches[0].k.shape[2]
+    max_t = state.caches.k.shape[3]
     mask = causal_mask(t, max_t, 0) & length_mask(max_t, t)
-    new_caches = []
-    for lp, cache in zip(params["layers"], state.caches):
-        x, cache = _block(x, lp, cfg, cache, 0, cos, sin, mask)
-        new_caches.append(cache)
-    logits = _logits(x, params, cfg)  # (B, T, V)
-    prompt_len = jnp.asarray(prompt_len)
-    if prompt_len.ndim == 0:
-        prompt_len = jnp.full((b,), prompt_len)
-    last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
-    return last, DecodeState(tuple(new_caches), jnp.max(prompt_len).astype(jnp.int32))
-
-
-def prefill_embeds(params, cfg: DecoderLMConfig, embeds, state: DecodeState, prompt_len):
-    """Like :func:`prefill` but over precomputed input embeddings (B, T, D) —
-    used by multimodal heads (e.g. the TTS talker mixing text + codec
-    embeddings).  Returns (last hidden states (B, D), new state)."""
-    b, t, _ = embeds.shape
-    x = embeds.astype(cfg.dtype)
-    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
-    cos, sin = cos_full[:t], sin_full[:t]
-    max_t = state.caches[0].k.shape[2]
-    mask = causal_mask(t, max_t, 0) & length_mask(max_t, t)
-    new_caches = []
-    for lp, cache in zip(params["layers"], state.caches):
-        x, cache = _block(x, lp, cfg, cache, 0, cos, sin, mask)
-        new_caches.append(cache)
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x, caches = _scan_blocks(x, params, cfg, state.caches, 0, cos, sin, mask)
     prompt_len = jnp.asarray(prompt_len)
     if prompt_len.ndim == 0:
         prompt_len = jnp.full((b,), prompt_len)
     last = jnp.take_along_axis(x, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
-    return last, DecodeState(tuple(new_caches), jnp.max(prompt_len).astype(jnp.int32))
+    return last, DecodeState(caches, jnp.max(prompt_len).astype(jnp.int32))
 
 
-def decode_step_embeds(params, cfg: DecoderLMConfig, embed, state: DecodeState):
-    """One step over a precomputed embedding (B, D). Returns final hidden
-    states (B, D) + new state (caller applies its own output head)."""
-    x = embed[:, None, :].astype(cfg.dtype)
+def prefill(params, cfg: DecoderLMConfig, tokens, state: DecodeState, prompt_len):
+    """Consume a (B, T_bucket) right-padded prompt; fill caches; return
+    (last-position logits (B, V), new state)."""
+    x = params["embed"][tokens].astype(cfg.dtype)
+    last, state = _hidden_prefill(params, cfg, x, state, prompt_len)
+    logits = _logits(last[:, None, :], params, cfg)[:, 0]
+    return logits, state
+
+
+def prefill_embeds(params, cfg: DecoderLMConfig, embeds, state: DecodeState, prompt_len):
+    """Like :func:`prefill` over precomputed embeddings; returns the last
+    hidden state (B, D) after final_norm (caller applies its own head)."""
+    last, state = _hidden_prefill(params, cfg, embeds.astype(cfg.dtype), state, prompt_len)
+    return rms_norm(last, params["final_norm"], cfg.rms_eps), state
+
+
+def _hidden_step(params, cfg: DecoderLMConfig, x, state: DecodeState):
     cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
     cos = jax.lax.dynamic_slice_in_dim(cos_full, state.pos, 1)
     sin = jax.lax.dynamic_slice_in_dim(sin_full, state.pos, 1)
-    max_t = state.caches[0].k.shape[2]
+    max_t = state.caches.k.shape[3]
     mask = length_mask(max_t, state.pos + 1)
-    new_caches = []
-    for lp, cache in zip(params["layers"], state.caches):
-        x, cache = _block(x, lp, cfg, cache, state.pos, cos, sin, mask)
-        new_caches.append(cache)
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)[:, 0]
-    return x, DecodeState(tuple(new_caches), state.pos + 1)
+    x, caches = _scan_blocks(x, params, cfg, state.caches, state.pos, cos, sin, mask)
+    return x, DecodeState(caches, state.pos + 1)
 
 
 def decode_step(params, cfg: DecoderLMConfig, token, state: DecodeState):
     """One token step. token: (B,) int32. Returns (logits (B, V), new state)."""
-    b = token.shape[0]
     x = params["embed"][token][:, None, :].astype(cfg.dtype)
-    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
-    cos = jax.lax.dynamic_slice_in_dim(cos_full, state.pos, 1)
-    sin = jax.lax.dynamic_slice_in_dim(sin_full, state.pos, 1)
-    max_t = state.caches[0].k.shape[2]
-    mask = length_mask(max_t, state.pos + 1)
-    new_caches = []
-    for lp, cache in zip(params["layers"], state.caches):
-        x, cache = _block(x, lp, cfg, cache, state.pos, cos, sin, mask)
-        new_caches.append(cache)
-    logits = _logits(x, params, cfg)[:, 0]
-    return logits, DecodeState(tuple(new_caches), state.pos + 1)
+    x, state = _hidden_step(params, cfg, x, state)
+    return _logits(x, params, cfg)[:, 0], state
+
+
+def decode_step_embeds(params, cfg: DecoderLMConfig, embed, state: DecodeState):
+    """One step over a precomputed embedding (B, D); returns normalized final
+    hidden states (B, D) + new state."""
+    x, state = _hidden_step(params, cfg, embed[:, None, :].astype(cfg.dtype), state)
+    return rms_norm(x[:, 0], params["final_norm"], cfg.rms_eps), state
+
+
+#: Jitted entry points with EXPLICIT params arguments. Never close a jit over
+#: the weights: captured constants are serialized into the compile payload,
+#: which is catastrophic under remote compilation (observed 380 s vs 1.6 s
+#: for the same graph).
+jit_decode_step = partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))(decode_step)
+jit_prefill = partial(jax.jit, static_argnums=(1,))(prefill)
+jit_forward = partial(jax.jit, static_argnums=(1,))(forward)
 
 
 def make_jit_decode_step(params, cfg: DecoderLMConfig):
-    """Jitted decode step with donated carry (state buffers reused in place)."""
+    """Bound decode step: params passed per call (explicitly, not captured)."""
 
-    @partial(jax.jit, donate_argnums=(1,))
     def step(token, state):
-        return decode_step(params, cfg, token, state)
+        return jit_decode_step(params, cfg, token, state)
 
     return step
 
@@ -307,8 +322,7 @@ def sgd_train_step(params, cfg: DecoderLMConfig, tokens, targets, mask, lr=1e-4)
 
 def convert_hf_state_dict(state_dict: dict[str, Any], cfg: DecoderLMConfig) -> Params:
     """Map a HF Llama/SmolLM2-style ``state_dict`` (numpy arrays) onto our
-    pytree.  Weight names follow ``model.layers.N.self_attn.q_proj.weight``
-    etc.; HF stores (out, in) so projections transpose."""
+    pytree.  HF stores (out, in) so projections transpose; layers stack."""
     import numpy as np
 
     dt = cfg.dtype
@@ -334,7 +348,7 @@ def convert_hf_state_dict(state_dict: dict[str, Any], cfg: DecoderLMConfig) -> P
         )
     params: Params = {
         "embed": jnp.asarray(state_dict["model.embed_tokens.weight"], dt),
-        "layers": layers,
+        "layers": stack_layers(layers),
         "final_norm": jnp.asarray(state_dict["model.norm.weight"], dt),
     }
     if not cfg.tie_embeddings and "lm_head.weight" in state_dict:

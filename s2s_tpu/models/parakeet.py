@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from s2s_tpu.models.decoder_lm import stack_layers
 from s2s_tpu.models.common import (
     Params,
     apply_rope,
@@ -109,7 +110,7 @@ def init_params(key, cfg: ParakeetConfig) -> Params:
         "sub2": (jax.random.normal(ks[1], (3, sub_ch, sub_ch), jnp.float32) * 0.05).astype(dt),
         "sub3": (jax.random.normal(ks[2], (3, sub_ch, sub_ch), jnp.float32) * 0.05).astype(dt),
         "sub_proj": _lin(ks[3], sub_ch, d, dt),
-        "blocks": [_init_conformer_block(ks[4 + i], cfg) for i in range(cfg.n_layers)],
+        "blocks": stack_layers([_init_conformer_block(ks[4 + i], cfg) for i in range(cfg.n_layers)]),
         # prediction network: single-layer LSTM over emitted tokens
         "pred_embed": (jax.random.normal(ks[-5], (cfg.vocab_size, cfg.pred_hidden), jnp.float32) * 0.02).astype(dt),
         "pred_wi": _lin(ks[-4], cfg.pred_hidden, 4 * cfg.pred_hidden, dt),
@@ -173,8 +174,10 @@ def encode(params, cfg: ParakeetConfig, mel):
     t = x.shape[1]
     cos_full, sin_full = rope_frequencies(cfg.head_dim, max(t, cfg.max_enc_frames))
     cos, sin = cos_full[:t], sin_full[:t]
-    for block in params["blocks"]:
-        x = _conformer_block(x, block, cfg, cos, sin)
+    def body(carry, block):
+        return _conformer_block(carry, block, cfg, cos, sin), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
     return x
 
 
@@ -250,9 +253,13 @@ def tdt_greedy_decode(params, cfg: ParakeetConfig, encoded, enc_len):
     return buf, n
 
 
+# Explicit-params jit (see whisper note: never capture weights in a jit).
+jit_encode = partial(jax.jit, static_argnums=(1,))(encode)
+
+
 def transcribe_tokens(params, cfg: ParakeetConfig, mel, enc_len=None) -> list[int]:
     """Encode + decode; returns emitted token ids (host list)."""
-    encoded = encode(params, cfg, mel)
+    encoded = jit_encode(params, cfg, mel)
     if enc_len is None:
         enc_len = encoded.shape[1]
     buf, n = tdt_greedy_decode(params, cfg, encoded, jnp.asarray(enc_len, jnp.int32))

@@ -43,6 +43,8 @@ UPSAMPLE = 1280  # samples per codec frame at 16 kHz
 DEFAULT_CHUNK_FRAMES = 8  # 640 ms per vocoder call
 VOCODER_CONTEXT_FRAMES = 2
 
+UP_STRIDES = (8, 8, 5, 4)  # vocoder upsampling schedule (x1280 total)
+
 BOS_FRAME = 0  # codec id reserved per codebook
 EOS_LOGIT_INDEX = 1  # codec id meaning end-of-speech (per codebook 0)
 
@@ -76,17 +78,15 @@ def init_params(key, cfg: Qwen3TTSConfig = Qwen3TTSConfig()) -> Params:
     d, dt = cfg.lm.d_model, cfg.dtype
     lm_params = decoder_lm.init_params(ks[0], cfg.lm)
     lm_params.pop("lm_head", None)  # talker uses per-codebook heads
-    up_strides = (8, 8, 5, 4)
     voc_layers = []
     ch = cfg.vocoder_dim
-    for i, s in enumerate(up_strides):
+    for i, s in enumerate(UP_STRIDES):
         out_ch = max(8, ch // 2)
         voc_layers.append(
             {
                 "w": (jax.random.normal(ks[4 + i], (2 * s, ch, out_ch), jnp.float32)
                       * (2 * s * ch) ** -0.5).astype(dt),
                 "b": jnp.zeros((out_ch,), dt),
-                "stride": s,
             }
         )
         ch = out_ch
@@ -136,21 +136,12 @@ def talker_step(params, cfg: Qwen3TTSConfig, codes, state: TalkerState):
     return logits, TalkerState(lm_state, codes)
 
 
-def make_jit_talker_step(params, cfg: Qwen3TTSConfig):
-    @partial(jax.jit, donate_argnums=(1,))
-    def step(codes, state):
-        return talker_step(params, cfg, codes, state)
-
-    return step
-
-
 def vocode(params, cfg: Qwen3TTSConfig, codes):
     """codes: (T, n_q) codec frames -> (T*1280,) float32 waveform @ 16 kHz."""
     frame_emb = _frame_embedding(params, codes)  # (T, D)
     # -> (1, T, vocoder_dim)
     x = (frame_emb @ params["voc_in"]).astype(cfg.dtype)[None]
-    for layer in params["voc_layers"]:
-        s = layer["stride"]
+    for layer, s in zip(params["voc_layers"], UP_STRIDES):
         x = jax.lax.conv_transpose(
             x, layer["w"], strides=(s,), padding="SAME",
             dimension_numbers=("NTC", "TIO", "NTC"),
@@ -161,6 +152,84 @@ def vocode(params, cfg: Qwen3TTSConfig, codes):
         dimension_numbers=("NTC", "TIO", "NTC"), preferred_element_type=jnp.float32,
     )
     return jnp.tanh(x[0, :, 0].astype(jnp.float32))
+
+
+def talker_decode_chunk(params, cfg: Qwen3TTSConfig, codes, state: TalkerState, n_frames: int):
+    """Greedily decode *n_frames* codec frames in ONE device program
+    (``lax.scan`` of talker steps) — a single dispatch + a single host sync
+    per audio chunk instead of one per 80 ms frame (which costs ~100 ms of
+    round-trip each on a remote-attached chip).
+
+    Returns (frames (n_frames, B, n_q), eos_flags (n_frames,), next codes,
+    new state)."""
+
+    def body(carry, _):
+        codes, state = carry
+        logits, state = talker_step(params, cfg, codes, state)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, n_q)
+        eos = nxt[0, 0] == EOS_LOGIT_INDEX
+        return (nxt, state), (codes, eos)
+
+    (next_codes, state), (frames, eos_flags) = jax.lax.scan(
+        body, (codes, state), None, length=n_frames
+    )
+    return frames, eos_flags, next_codes, state
+
+
+def talker_decode_chunk_audio(
+    params, cfg: Qwen3TTSConfig, codes, state: TalkerState, context, n_frames: int
+):
+    """Fused chunk decode + vocode: ONE device program and ONE host fetch per
+    audio chunk.  *context*: (VOCODER_CONTEXT_FRAMES, n_q) trailing frames of
+    the previous chunk (BOS frames for the first chunk) vocoded again for
+    continuity and trimmed from the returned audio.
+
+    Returns (audio (n_frames*UPSAMPLE,), eos_flags (n_frames,), next codes,
+    new state, next context)."""
+    frames, eos_flags, next_codes, state = talker_decode_chunk(params, cfg, codes, state, n_frames)
+    chunk_frames = frames[:, 0, :]  # (n_frames, n_q)
+    full = jnp.concatenate([context, chunk_frames], axis=0)
+    audio = vocode(params, cfg, full)[context.shape[0] * UPSAMPLE :]
+    next_context = full[-VOCODER_CONTEXT_FRAMES:]
+    return audio, eos_flags, next_codes, state, next_context
+
+
+def synthesize_utterance(params, cfg: Qwen3TTSConfig, text_tokens, speaker_vec, max_frames: int):
+    """Whole utterance in ONE device program: prefill + fixed-length frame scan
+    + vocode — a single dispatch and a single host fetch (the throughput path;
+    streaming uses the chunked program).  Frames after EOS are vocoded but
+    masked out via the returned ``n_valid``.
+
+    Returns (audio (max_frames*UPSAMPLE,), n_valid_frames scalar)."""
+    state = decoder_lm.init_decode_state(cfg.lm, 1, max_t=cfg.lm.max_seq_len)
+    logits, tstate = talker_prefill(params, cfg, text_tokens, speaker_vec, state)
+    codes = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    frames, eos_flags, _, _ = talker_decode_chunk(params, cfg, codes, tstate, max_frames)
+    audio = vocode(params, cfg, frames[:, 0, :])
+    any_eos = jnp.any(eos_flags)
+    first_eos = jnp.argmax(eos_flags)  # 0 when no EOS: guarded by any_eos
+    n_valid = jnp.where(any_eos, first_eos + 1, max_frames)
+    return audio, n_valid
+
+
+# Explicit-params jits (see decoder_lm note: never capture weights in a jit).
+jit_talker_step = partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))(talker_step)
+jit_talker_prefill = partial(jax.jit, static_argnums=(1,))(talker_prefill)
+jit_vocode = partial(jax.jit, static_argnums=(1,))(vocode)
+jit_talker_decode_chunk = partial(jax.jit, static_argnums=(1, 4), donate_argnums=(3,))(
+    talker_decode_chunk
+)
+jit_talker_decode_chunk_audio = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
+    talker_decode_chunk_audio
+)
+jit_synthesize_utterance = partial(jax.jit, static_argnums=(1, 4))(synthesize_utterance)
+
+
+def make_jit_talker_step(params, cfg: Qwen3TTSConfig):
+    def step(codes, state):
+        return jit_talker_step(params, cfg, codes, state)
+
+    return step
 
 
 def speaker_from_reference(params, ref_audio: np.ndarray, sample_rate: int = SAMPLE_RATE):
@@ -187,7 +256,7 @@ class Qwen3TTS:
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), self.cfg)
         self.chunk_frames = chunk_frames
         self._jit_step = make_jit_talker_step(self.params, self.cfg)
-        self._jit_vocode = jax.jit(lambda codes: vocode(self.params, self.cfg, codes))
+        self._jit_vocode = lambda codes: jit_vocode(self.params, self.cfg, codes)
 
     def _encode_text(self, text: str, bucket: int | None = None) -> tuple[jnp.ndarray, int]:
         # prompt (speaker + text bucket) must leave room for codec frames
@@ -196,6 +265,14 @@ class Qwen3TTS:
         arr = np.zeros((1, bucket), np.int32)
         arr[0, : len(ids)] = ids
         return jnp.asarray(arr), len(ids)
+
+    def synthesize(self, text: str, max_frames: int = 64, speaker_id: int = 0) -> np.ndarray:
+        """One-shot synthesis (single dispatch + single fetch)."""
+        tokens, _ = self._encode_text(text)
+        speaker_vec = self.params["speakers"][jnp.asarray([speaker_id])]
+        audio, n_valid = jit_synthesize_utterance(self.params, self.cfg, tokens, speaker_vec, max_frames)
+        out = np.asarray(audio)
+        return out[: int(n_valid) * UPSAMPLE]
 
     def stream(
         self,
@@ -206,36 +283,47 @@ class Qwen3TTS:
         cancel_check=None,
         sample_fn=None,
     ) -> Iterator[tuple[np.ndarray, int]]:
-        """Yield (float32 audio chunk, sample_rate) per ``chunk_frames``
-        codec frames.  ``cancel_check()`` polls between frames."""
+        """Yield (float32 audio chunk, sample_rate) per ``chunk_frames`` codec
+        frames.  The talker decodes a whole chunk in ONE device program
+        (:func:`talker_decode_chunk`), so each 640 ms of audio costs one
+        dispatch + one host sync.  ``cancel_check()`` polls between chunks —
+        the abort granularity the generation-discard window already models
+        (SURVEY §7 watch-list)."""
         cfg = self.cfg
         tokens, _ = self._encode_text(text)
         if speaker_vec is None:
             speaker_vec = self.params["speakers"][jnp.asarray([speaker_id])]
         state = decoder_lm.init_decode_state(cfg.lm, 1, max_t=cfg.lm.max_seq_len)
-        logits, tstate = talker_prefill(self.params, cfg, tokens, speaker_vec, state)
+        logits, tstate = jit_talker_prefill(self.params, cfg, tokens, speaker_vec, state)
 
-        pending: list[np.ndarray] = []
-        context = np.zeros((0, cfg.n_q), np.int32)
+        if sample_fn is not None:
+            codes = sample_fn(logits)
+        else:
+            codes = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1, n_q)
+        # BOS context for the first chunk (vocoded + trimmed for continuity)
+        context = jnp.full((VOCODER_CONTEXT_FRAMES, cfg.n_q), BOS_FRAME, jnp.int32)
         emitted = 0
         while emitted < max_new_tokens:
-            if sample_fn is not None:
-                codes = sample_fn(logits)
-            else:
-                codes = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1, n_q)
-            if int(codes[0, 0]) == EOS_LOGIT_INDEX and emitted > 0:
-                break
-            pending.append(np.asarray(codes[0]))
-            emitted += 1
-            if len(pending) >= self.chunk_frames:
-                yield self._vocode_pending(pending, context), SAMPLE_RATE
-                context = np.asarray(pending[-VOCODER_CONTEXT_FRAMES:], np.int32)
-                pending = []
+            n = min(self.chunk_frames, max_new_tokens - emitted)
+            audio_dev, eos_flags, codes, tstate, context = jit_talker_decode_chunk_audio(
+                self.params, cfg, codes, tstate, context, n
+            )
+            # one host fetch per chunk: audio + flags arrive together
+            audio = np.asarray(audio_dev)
+            eos = np.asarray(eos_flags)
+            valid = n
+            hit_eos = False
+            nz = np.nonzero(eos)[0]
+            if len(nz):
+                valid = int(nz[0]) + 1  # frame at the EOS position is the last real one
+                hit_eos = True
+            if valid > 0:
+                yield audio[: valid * UPSAMPLE], SAMPLE_RATE
+            emitted += valid
+            if hit_eos:
+                return
             if cancel_check is not None and cancel_check():
                 return
-            logits, tstate = self._jit_step(codes, tstate)
-        if pending:
-            yield self._vocode_pending(pending, context), SAMPLE_RATE
 
     def _vocode_pending(self, pending: list[np.ndarray], context: np.ndarray) -> np.ndarray:
         frames = np.asarray(pending, np.int32)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from s2s_tpu.models.common import KVCache, Params, attention, layer_norm, length_mask, linear
+from s2s_tpu.models.decoder_lm import stack_layers
 
 # Whisper special tokens (multilingual vocab, v2/v3 layout).
 SOT = 50258
@@ -137,13 +138,15 @@ def init_params(key, cfg: WhisperConfig) -> Params:
         "conv2_w": (jax.random.normal(ks[1], (3, d, d), jnp.float32) * (3 * d) ** -0.5).astype(dtype),
         "conv2_b": jnp.zeros((d,), dtype),
         "enc_pos": jnp.asarray(_sinusoids(cfg.n_audio_ctx, d), dtype),
-        "enc_blocks": [_init_block(ks[2 + i], cfg, cross=False) for i in range(cfg.n_enc_layers)],
+        "enc_blocks": stack_layers(
+            [_init_block(ks[2 + i], cfg, cross=False) for i in range(cfg.n_enc_layers)]
+        ),
         "enc_ln_w": jnp.ones((d,), dtype), "enc_ln_b": jnp.zeros((d,), dtype),
         "tok_emb": (jax.random.normal(ks[-2], (cfg.vocab_size, d), jnp.float32) * 0.02).astype(dtype),
         "dec_pos": (jax.random.normal(ks[-1], (cfg.n_text_ctx, d), jnp.float32) * 0.01).astype(dtype),
-        "dec_blocks": [
-            _init_block(ks[2 + cfg.n_enc_layers + i], cfg, cross=True) for i in range(cfg.n_dec_layers)
-        ],
+        "dec_blocks": stack_layers(
+            [_init_block(ks[2 + cfg.n_enc_layers + i], cfg, cross=True) for i in range(cfg.n_dec_layers)]
+        ),
         "dec_ln_w": jnp.ones((d,), dtype), "dec_ln_b": jnp.zeros((d,), dtype),
     }
 
@@ -189,32 +192,38 @@ def encode(params, cfg: WhisperConfig, mel):
     x = jax.nn.gelu(_conv1d(x, params["conv2_w"], params["conv2_b"], 2), approximate=False)
     t = x.shape[1]
     x = x + params["enc_pos"][:t]
-    for blk in params["enc_blocks"]:
-        h_in = layer_norm(x, blk["ln1_w"], blk["ln1_b"])
+    def enc_body(carry, blk):
+        h_in = layer_norm(carry, blk["ln1_w"], blk["ln1_b"])
         h, _ = _mha(blk["attn"], h_in, h_in, cfg)
-        x = x + h
-        x = x + _mlp(blk, layer_norm(x, blk["ln2_w"], blk["ln2_b"]))
+        carry = carry + h
+        carry = carry + _mlp(blk, layer_norm(carry, blk["ln2_w"], blk["ln2_b"]))
+        return carry, None
+
+    x, _ = jax.lax.scan(enc_body, x, params["enc_blocks"])
     return layer_norm(x, params["enc_ln_w"], params["enc_ln_b"])
 
 
 class WhisperDecodeState(NamedTuple):
-    self_caches: tuple[KVCache, ...]
-    cross_caches: tuple[KVCache, ...]
+    """Stacked caches: arrays are (L, B, H, T, head_dim)."""
+
+    self_caches: KVCache
+    cross_caches: KVCache
     pos: jax.Array
 
 
 def init_decode_state(params, cfg: WhisperConfig, encoded) -> WhisperDecodeState:
     """Precompute cross-attention K/V from encoder output; empty self caches."""
     b, t_enc, d = encoded.shape
-    self_caches = []
-    cross_caches = []
-    for blk in params["dec_blocks"]:
-        self_caches.append(KVCache.create(b, cfg.n_heads, cfg.n_text_ctx, cfg.head_dim, cfg.dtype))
-        xp = blk["xattn"]
+    shape = (cfg.n_dec_layers, b, cfg.n_heads, cfg.n_text_ctx, cfg.head_dim)
+    self_caches = KVCache(jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
+
+    def cross_kv(xp):
         k = linear(encoded, xp["wk"]).reshape(b, t_enc, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         v = (linear(encoded, xp["wv"]) + xp["bv"]).reshape(b, t_enc, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        cross_caches.append(KVCache(k.astype(cfg.dtype), v.astype(cfg.dtype)))
-    return WhisperDecodeState(tuple(self_caches), tuple(cross_caches), jnp.zeros((), jnp.int32))
+        return k.astype(cfg.dtype), v.astype(cfg.dtype)
+
+    ck, cv = jax.vmap(cross_kv)(params["dec_blocks"]["xattn"])
+    return WhisperDecodeState(self_caches, KVCache(ck, cv), jnp.zeros((), jnp.int32))
 
 
 def decode_tokens(params, cfg: WhisperConfig, tokens, state: WhisperDecodeState):
@@ -227,21 +236,24 @@ def decode_tokens(params, cfg: WhisperConfig, tokens, state: WhisperDecodeState)
     max_t = cfg.n_text_ctx
     qpos = jnp.arange(t) + state.pos
     causal = (jnp.arange(max_t)[None, :] <= qpos[:, None])[None, None]
-    new_self = []
-    for blk, sc, cc in zip(params["dec_blocks"], state.self_caches, state.cross_caches):
-        h, sc = _mha(
-            blk["attn"], layer_norm(x, blk["ln1_w"], blk["ln1_b"]),
-            layer_norm(x, blk["ln1_w"], blk["ln1_b"]), cfg,
-            mask=causal, cache=sc, pos=state.pos,
-        )
-        x = x + h
-        h, _ = _mha(blk["xattn"], layer_norm(x, blk["lnx_w"], blk["lnx_b"]), None, cfg, cache=cc)
-        x = x + h
-        x = x + _mlp(blk, layer_norm(x, blk["ln2_w"], blk["ln2_b"]))
-        new_self.append(sc)
+    def dec_body(carry, xs):
+        blk, sk, sv, ck, cv = xs
+        h_in = layer_norm(carry, blk["ln1_w"], blk["ln1_b"])
+        h, sc = _mha(blk["attn"], h_in, h_in, cfg, mask=causal, cache=KVCache(sk, sv), pos=state.pos)
+        carry = carry + h
+        h, _ = _mha(blk["xattn"], layer_norm(carry, blk["lnx_w"], blk["lnx_b"]), None, cfg, cache=KVCache(ck, cv))
+        carry = carry + h
+        carry = carry + _mlp(blk, layer_norm(carry, blk["ln2_w"], blk["ln2_b"]))
+        return carry, (sc.k, sc.v)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        dec_body, x,
+        (params["dec_blocks"], state.self_caches.k, state.self_caches.v,
+         state.cross_caches.k, state.cross_caches.v),
+    )
     x = layer_norm(x, params["dec_ln_w"], params["dec_ln_b"])
     logits = jnp.einsum("btd,vd->btv", x, params["tok_emb"], preferred_element_type=jnp.float32)
-    return logits, WhisperDecodeState(tuple(new_self), state.cross_caches, state.pos + t)
+    return logits, WhisperDecodeState(KVCache(new_k, new_v), state.cross_caches, state.pos + t)
 
 
 @partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))
@@ -249,6 +261,13 @@ def jit_decode_step(params, cfg: WhisperConfig, token, state: WhisperDecodeState
     """One-token decode step (B,) -> ((B, V), state)."""
     logits, state = decode_tokens(params, cfg, token[:, None], state)
     return logits[:, 0], state
+
+
+# Explicit-params jits — weights must be ARGUMENTS, never jit-captured
+# constants (remote compilation serializes captured weights into the payload:
+# 380 s vs 1.6 s compile observed for the tiny encoder).
+jit_encode = partial(jax.jit, static_argnums=(1,))(encode)
+jit_decode_tokens = partial(jax.jit, static_argnums=(1,))(decode_tokens)
 
 
 def greedy_decode(
@@ -267,7 +286,7 @@ def greedy_decode(
     assert b == 1, "greedy_decode is per-utterance; batch via vmapped scan path"
     state = init_decode_state(params, cfg, encoded)
     prompt = jnp.asarray([prompt_tokens], jnp.int32)
-    logits, state = decode_tokens(params, cfg, prompt, state)
+    logits, state = jit_decode_tokens(params, cfg, prompt, state)
     token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
     out: list[int] = []
     for _ in range(max_new):
@@ -285,7 +304,7 @@ def greedy_decode(
 def detect_language_logits(params, cfg: WhisperConfig, encoded):
     """Logits over the first decoded token after SOT (language tokens)."""
     state = init_decode_state(params, cfg, encoded)
-    logits, _ = decode_tokens(params, cfg, jnp.asarray([[SOT]], jnp.int32), state)
+    logits, _ = jit_decode_tokens(params, cfg, jnp.asarray([[SOT]], jnp.int32), state)
     return logits[:, -1]
 
 
@@ -333,12 +352,12 @@ def convert_hf_state_dict(sd: dict[str, Any], cfg: WhisperConfig) -> Params:
         "conv2_w": jnp.asarray(np.asarray(sd["model.encoder.conv2.weight"]).transpose(2, 1, 0), dt),
         "conv2_b": arr("model.encoder.conv2.bias"),
         "enc_pos": arr("model.encoder.embed_positions.weight"),
-        "enc_blocks": [block(f"model.encoder.layers.{i}.", False) for i in range(cfg.n_enc_layers)],
+        "enc_blocks": stack_layers([block(f"model.encoder.layers.{i}.", False) for i in range(cfg.n_enc_layers)]),
         "enc_ln_w": arr("model.encoder.layer_norm.weight"),
         "enc_ln_b": arr("model.encoder.layer_norm.bias"),
         "tok_emb": arr("model.decoder.embed_tokens.weight"),
         "dec_pos": arr("model.decoder.embed_positions.weight"),
-        "dec_blocks": [block(f"model.decoder.layers.{i}.", True) for i in range(cfg.n_dec_layers)],
+        "dec_blocks": stack_layers([block(f"model.decoder.layers.{i}.", True) for i in range(cfg.n_dec_layers)]),
         "dec_ln_w": arr("model.decoder.layer_norm.weight"),
         "dec_ln_b": arr("model.decoder.layer_norm.bias"),
     }

@@ -136,7 +136,7 @@ class WhisperSTTHandler(BaseSTTHandler):
             padded = np.zeros(target, np.float32)
             padded[: min(len(audio), target)] = audio[:target]
             mel = log_mel_spectrogram(padded, cfg.n_mels)[None]
-            encoded = whisper.encode(params, cfg, mel)
+            encoded = whisper.jit_encode(params, cfg, mel)
 
             lang = self.language or self._detected_language
             if lang is None:

@@ -67,15 +67,19 @@ class SmartTurnAnalyzer:
         head_w = (jax.random.normal(jax.random.PRNGKey(seed + 1), (cfg.d_model, 1), jnp.float32)
                   * cfg.d_model ** -0.5)
 
-        @jax.jit
-        def run(mel):
-            enc = whisper.encode(params, cfg, mel)  # (1, T, d)
+        from functools import partial as _partial
+
+        # params passed explicitly — never captured in the jit (remote-compile
+        # payload would embed the weights as constants)
+        @_partial(jax.jit, static_argnums=(1,))
+        def run(p, c, head, mel):
+            enc = whisper.encode(p, c, mel)  # (1, T, d)
             pooled = jnp.mean(enc.astype(jnp.float32), axis=1)
-            return jax.nn.sigmoid(pooled @ head_w)[0, 0]
+            return jax.nn.sigmoid(pooled @ head)[0, 0]
 
         def predict(audio: np.ndarray) -> float:
             mel = log_mel_spectrogram(audio, cfg.n_mels)[None]  # (1, n_mels, T)
-            return float(run(mel))
+            return float(run(params, cfg, head_w, mel))
 
         self._predict = predict
 

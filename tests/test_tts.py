@@ -194,7 +194,7 @@ def test_qwen3_cancel_between_frames():
         return len(calls) >= 3
 
     chunks = list(tts.stream("Hi.", max_new_tokens=32, cancel_check=cancel))
-    assert len(chunks) <= 2  # aborted early
+    assert len(chunks) <= 3  # aborted early (cancel polls per chunk)
 
 
 def test_qwen3_handler_end_to_end_jax():
