@@ -82,7 +82,12 @@ class KVCache(NamedTuple):
 
 def attention(q, k, v, mask=None, scale: float | None = None):
     """Masked SDPA with f32 logits. q: (B,H,Tq,D); k,v: (B,Hkv,Tk,D) (GQA
-    repeats kv heads as needed). mask: broadcastable to (B,1,Tq,Tk), True=keep."""
+    repeats kv heads as needed). mask: broadcastable to (B,1,Tq,Tk), True=keep.
+
+    Unmasked tile-aligned encoder shapes route to the fused Pallas flash
+    kernel on TPU (the (Tq x Tk) score matrix never touches HBM); everything
+    else takes the XLA path.
+    """
     b, h, tq, d = q.shape
     hkv = k.shape[1]
     if hkv != h:
@@ -90,6 +95,11 @@ def attention(q, k, v, mask=None, scale: float | None = None):
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
     scale = scale if scale is not None else (d ** -0.5)
+    if mask is None:
+        from s2s_tpu.ops.pallas_attention import flash_attention, use_flash_for
+
+        if use_flash_for(tq, k.shape[2], d):
+            return flash_attention(q, k, v, scale=scale)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
