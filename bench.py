@@ -72,24 +72,16 @@ def bench_stt(seconds: float, n_decode_tokens: int = 32) -> float:
     mel = log_mel_spectrogram(audio, cfg.n_mels)[None]
     enc = jit_encode(params, cfg, mel)
     enc.block_until_ready()
-    state = whisper.init_decode_state(params, cfg, enc)
     prompt = jnp.asarray([[whisper.SOT, whisper.LANG_BASE, whisper.TRANSCRIBE]], jnp.int32)
-    jit_prefill = partial(jax.jit, static_argnums=(1,))(whisper.decode_tokens)
-    logits, state0 = jit_prefill(params, cfg, prompt, state)
-    token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-    logits_step, state1 = whisper.jit_decode_step(params, cfg, token, state0)  # warm decode
-    logits_step.block_until_ready()
+    # warm the fused device decode (prefill + while_loop of steps, one fetch)
+    buf, n = whisper.jit_greedy_decode_device(params, cfg, enc, prompt, n_decode_tokens)
+    buf.block_until_ready()
 
     t0 = time.perf_counter()
     mel = log_mel_spectrogram(audio, cfg.n_mels)[None]
     enc = jit_encode(params, cfg, mel)
-    state = whisper.init_decode_state(params, cfg, enc)
-    logits, state = jit_prefill(params, cfg, prompt, state)
-    token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-    for _ in range(n_decode_tokens):
-        logits, state = whisper.jit_decode_step(params, cfg, token, state)
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    token.block_until_ready()
+    buf, n = whisper.jit_greedy_decode_device(params, cfg, enc, prompt, n_decode_tokens)
+    buf.block_until_ready()
     return time.perf_counter() - t0
 
 

@@ -194,14 +194,16 @@ def talker_decode_chunk_audio(
     return audio, eos_flags, next_codes, state, next_context
 
 
-def synthesize_utterance(params, cfg: Qwen3TTSConfig, text_tokens, speaker_vec, max_frames: int):
+def synthesize_utterance(
+    params, cfg: Qwen3TTSConfig, text_tokens, speaker_vec, max_frames: int, cache_len: int | None = None
+):
     """Whole utterance in ONE device program: prefill + fixed-length frame scan
     + vocode — a single dispatch and a single host fetch (the throughput path;
     streaming uses the chunked program).  Frames after EOS are vocoded but
     masked out via the returned ``n_valid``.
 
     Returns (audio (max_frames*UPSAMPLE,), n_valid_frames scalar)."""
-    state = decoder_lm.init_decode_state(cfg.lm, 1, max_t=cfg.lm.max_seq_len)
+    state = decoder_lm.init_decode_state(cfg.lm, 1, max_t=cache_len or cfg.lm.max_seq_len)
     logits, tstate = talker_prefill(params, cfg, text_tokens, speaker_vec, state)
     codes = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     frames, eos_flags, _, _ = talker_decode_chunk(params, cfg, codes, tstate, max_frames)
@@ -222,7 +224,7 @@ jit_talker_decode_chunk = partial(jax.jit, static_argnums=(1, 4), donate_argnums
 jit_talker_decode_chunk_audio = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
     talker_decode_chunk_audio
 )
-jit_synthesize_utterance = partial(jax.jit, static_argnums=(1, 4))(synthesize_utterance)
+jit_synthesize_utterance = partial(jax.jit, static_argnums=(1, 4, 5))(synthesize_utterance)
 
 
 def make_jit_talker_step(params, cfg: Qwen3TTSConfig):
@@ -266,11 +268,25 @@ class Qwen3TTS:
         arr[0, : len(ids)] = ids
         return jnp.asarray(arr), len(ids)
 
+    #: KV-cache length buckets: decode-step cost scales with cache reads, so
+    #: short utterances must not pay for the 2048-slot worst case.
+    CACHE_BUCKETS = (512, 768, 1024, 1536, 2048)
+
+    def _cache_len(self, prompt_bucket: int, max_new: int) -> int:
+        need = prompt_bucket + 1 + max_new
+        for b in self.CACHE_BUCKETS:
+            if need <= b <= self.cfg.lm.max_seq_len:
+                return b
+        return self.cfg.lm.max_seq_len
+
     def synthesize(self, text: str, max_frames: int = 64, speaker_id: int = 0) -> np.ndarray:
         """One-shot synthesis (single dispatch + single fetch)."""
         tokens, _ = self._encode_text(text)
         speaker_vec = self.params["speakers"][jnp.asarray([speaker_id])]
-        audio, n_valid = jit_synthesize_utterance(self.params, self.cfg, tokens, speaker_vec, max_frames)
+        audio, n_valid = jit_synthesize_utterance(
+            self.params, self.cfg, tokens, speaker_vec, max_frames,
+            self._cache_len(tokens.shape[1], max_frames),
+        )
         out = np.asarray(audio)
         return out[: int(n_valid) * UPSAMPLE]
 
@@ -293,7 +309,9 @@ class Qwen3TTS:
         tokens, _ = self._encode_text(text)
         if speaker_vec is None:
             speaker_vec = self.params["speakers"][jnp.asarray([speaker_id])]
-        state = decoder_lm.init_decode_state(cfg.lm, 1, max_t=cfg.lm.max_seq_len)
+        state = decoder_lm.init_decode_state(
+            cfg.lm, 1, max_t=self._cache_len(tokens.shape[1], max_new_tokens)
+        )
         logits, tstate = jit_talker_prefill(self.params, cfg, tokens, speaker_vec, state)
 
         if sample_fn is not None:

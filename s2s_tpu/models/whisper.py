@@ -270,7 +270,40 @@ jit_encode = partial(jax.jit, static_argnums=(1,))(encode)
 jit_decode_tokens = partial(jax.jit, static_argnums=(1,))(decode_tokens)
 
 
+def greedy_decode_device(params, cfg: WhisperConfig, encoded, prompt, max_new: int, eot: int = EOT):
+    """Greedy transcription entirely ON DEVICE: prefill + a ``lax.while_loop``
+    of decode steps with EOT early exit — one dispatch, one host fetch for
+    the whole utterance (the final-STT latency path; the host-loop variant
+    below remains for per-token cancellation of long decodes).
+
+    prompt: (1, P) int32. Returns (tokens (max_new,) int32 padded with *eot*,
+    n_tokens scalar).
+    """
+    state = init_decode_state(params, cfg, encoded)
+    logits, state = decode_tokens(params, cfg, prompt, state)
+    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    def cond(carry):
+        token, _state, _buf, n = carry
+        return (token[0] != eot) & (n < max_new)
+
+    def body(carry):
+        token, state, buf, n = carry
+        buf = jax.lax.dynamic_update_index_in_dim(buf, token[0], n, axis=0)
+        logits, state = decode_tokens(params, cfg, token[:, None], state)
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        return nxt, state, buf, n + 1
+
+    buf = jnp.full((max_new,), eot, jnp.int32)
+    _, _, buf, n = jax.lax.while_loop(cond, body, (first, state, buf, jnp.zeros((), jnp.int32)))
+    return buf, n
+
+
+jit_greedy_decode_device = partial(jax.jit, static_argnums=(1, 4, 5))(greedy_decode_device)
+
+
 def greedy_decode(
+
     params,
     cfg: WhisperConfig,
     encoded,

@@ -146,13 +146,13 @@ class WhisperSTTHandler(BaseSTTHandler):
                 self._detected_language = lang
             lang_token = whisper_language_token(lang) or whisper.LANG_BASE
             prompt = [whisper.SOT, lang_token, whisper.TRANSCRIBE, whisper.NO_TIMESTAMPS]
-            cancel = None
-            if self.cancel_scope is not None:
-                gen = self.cancel_scope.generation
-                cancel = lambda: self.cancel_scope.is_stale(gen)  # noqa: E731
-            tokens = whisper.greedy_decode(
-                params, cfg, encoded, prompt, max_new=max_new_tokens, cancel_check=cancel
+            # whole decode on device: one dispatch + one fetch per final
+            import jax.numpy as jnp
+
+            buf, n = whisper.jit_greedy_decode_device(
+                params, cfg, encoded, jnp.asarray([prompt], jnp.int32), max_new_tokens
             )
+            tokens = [int(t) for t in np.asarray(buf[: int(n)])]
             if self._tokenizer is not None:
                 text, spans = parse_timestamped_tokens(
                     tokens, lambda ids: self._tokenizer.decode(ids), whisper.NO_TIMESTAMPS
