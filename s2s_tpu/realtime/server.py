@@ -98,9 +98,11 @@ class RealtimeServer:
             logger.info("Realtime server on ws://%s:%d/v1/realtime", self.host, self.bound_port)
             while not self.stop_event.is_set():
                 await asyncio.sleep(0.1)
-        for task in send_tasks:
+        from s2s_tpu.realtime.router import _release_tasks
+
+        for task in (*send_tasks, *_release_tasks):
             task.cancel()
-        for task in send_tasks:
+        for task in (*send_tasks, *list(_release_tasks)):
             try:
                 await task
             except asyncio.CancelledError:
