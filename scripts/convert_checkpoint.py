@@ -1,0 +1,91 @@
+"""Convert HF/torch checkpoints into the framework's .npz format.
+
+Usage (requires the source checkpoint locally — this image is offline):
+
+    python scripts/convert_checkpoint.py --family smollm2-1.7b \
+        --src /path/to/model.safetensors --out smollm2.npz
+    python scripts/convert_checkpoint.py --family whisper-tiny \
+        --src /path/to/pytorch_model.bin --out whisper_tiny.npz
+    python scripts/convert_checkpoint.py --family silero-vad \
+        --src /path/to/silero_vad_state_dict.pt --out silero.npz
+
+The npz stores the param pytree flattened with '/'-joined paths (lists as
+integer segments); ``s2s_tpu.registry._load_checkpoint`` reads it back and
+every handler accepts ``--*_checkpoint path.npz``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def load_state_dict(path: str) -> dict:
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def flatten(tree, prefix="") -> dict[str, np.ndarray]:
+    flat: dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            flat.update(flatten(v, f"{prefix}{i}/"))
+    else:
+        flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--family", required=True,
+                        choices=["smollm2-1.7b", "smollm2-360m", "whisper-tiny", "whisper-base",
+                                 "whisper-small", "whisper-large-v3", "distil-large-v3", "silero-vad"])
+    parser.add_argument("--src", required=True)
+    parser.add_argument("--out", required=True)
+    args = parser.parse_args()
+
+    sd = load_state_dict(args.src)
+    if args.family.startswith("smollm2"):
+        from s2s_tpu.models import decoder_lm
+
+        cfg = {
+            "smollm2-1.7b": decoder_lm.DecoderLMConfig.smollm2_1_7b,
+            "smollm2-360m": decoder_lm.DecoderLMConfig.smollm2_360m,
+        }[args.family]()
+        params = decoder_lm.convert_hf_state_dict(sd, cfg)
+    elif args.family == "silero-vad":
+        from s2s_tpu.models.silero_vad import convert_silero_state_dict
+
+        params = convert_silero_state_dict(sd)
+    else:
+        from s2s_tpu.models import whisper
+
+        cfg = {
+            "whisper-tiny": whisper.WhisperConfig.tiny,
+            "whisper-base": whisper.WhisperConfig.base,
+            "whisper-small": whisper.WhisperConfig.small,
+            "whisper-large-v3": whisper.WhisperConfig.large_v3,
+            "distil-large-v3": whisper.WhisperConfig.distil_large_v3,
+        }[args.family]()
+        params = whisper.convert_hf_state_dict(sd, cfg)
+
+    flat = flatten(params)
+    np.savez_compressed(args.out, **{k: np.asarray(v) for k, v in flat.items()})
+    print(f"wrote {args.out}: {len(flat)} arrays, "
+          f"{sum(v.size for v in flat.values())/1e6:.1f}M params")
+
+
+if __name__ == "__main__":
+    main()

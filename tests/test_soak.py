@@ -1,0 +1,125 @@
+"""Multi-client soak: 2 pipeline units (sharing one model cache), 2 parallel
+synthetic clients x 2 turns via the soak harness, plus a pool-rejection
+third client."""
+
+import json
+import subprocess
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def stub_pipeline_server(monkeypatch):
+    from s2s_tpu.arguments import parse_arguments
+    from s2s_tpu.builder import build_pipeline
+    import s2s_tpu.registry as registry
+    from s2s_tpu.stt.progressive import DecodeResult
+    from s2s_tpu.stt.whisper_handler import WhisperSTTHandler
+    from s2s_tpu.vad.handler import VADHandler
+
+    class EnergyVAD:
+        def __call__(self, chunk, sr=16000):
+            return 0.95 if float(np.abs(chunk).mean()) > 0.01 else 0.02
+
+        def reset_states(self):
+            pass
+
+    original_vad_setup = VADHandler.setup
+
+    def vad_setup(self, **kwargs):
+        kwargs["model"] = EnergyVAD()
+        kwargs["smart_turn"] = False
+        original_vad_setup(self, **kwargs)
+
+    monkeypatch.setattr(VADHandler, "setup", vad_setup)
+    monkeypatch.setattr(
+        WhisperSTTHandler, "_build_jax_transcriber",
+        lambda self, *a: (lambda audio: DecodeResult("soak prompt", language_code="en")),
+    )
+
+    cache_keys = []
+    stub = None
+
+    class StubTTS:
+        def stream(self, text, voice_id=0, speed=1.0):
+            t = np.arange(4000) / 16000
+            yield (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), 16000
+
+    def cache_get(key, factory):
+        nonlocal stub
+        cache_keys.append(key)
+        if stub is None:
+            stub = StubTTS()
+        return stub  # SAME instance for every unit: shared-weights contract
+
+    monkeypatch.setattr(registry.GLOBAL_MODEL_CACHE, "get", cache_get)
+
+    class MockLLM(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            events = [
+                {"choices": [{"delta": {"content": "Reply one. Reply two. Reply three."}}]},
+                {"choices": [{"delta": {}, "finish_reason": "stop"}]},
+            ]
+            body = "".join(f"data: {json.dumps(e)}\n\n" for e in events) + "data: [DONE]\n\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            self.wfile.write(body.encode())
+
+    llm = ThreadingHTTPServer(("127.0.0.1", 0), MockLLM)
+    threading.Thread(target=llm.serve_forever, daemon=True).start()
+
+    args = parse_arguments(
+        [
+            "--stt", "whisper",
+            "--llm_backend", "chat-completions",
+            "--llm_base_url", f"http://127.0.0.1:{llm.server_port}/v1",
+            "--llm_compact_history", "false",
+            "--tts", "kokoro",
+            "--num_pipelines", "2",
+            "--port", "0",
+        ]
+    )
+    stop = threading.Event()
+    manager, server = build_pipeline(args, stop)
+    manager.start()
+    assert server.started.wait(15)
+    yield server, cache_keys
+    stop.set()
+    manager.stop()
+    llm.shutdown()
+
+
+def test_soak_two_clients(stub_pipeline_server, tmp_path):
+    server, cache_keys = stub_pipeline_server
+    # weight sharing: the TTS model was fetched per unit but from ONE cache key
+    assert len(set(cache_keys)) == 1 and len(cache_keys) == 2
+
+    out = subprocess.run(
+        [
+            sys.executable, "scripts/synthetic_conversation_client.py",
+            "--url", f"ws://127.0.0.1:{server.bound_port}/v1/realtime",
+            "--clients", "3",  # 2 units -> 1 rejection expected
+            "--turns", "2",
+            "--cadence_s", "0.1",
+            "--turn_timeout_s", "20",
+            "--outdir", str(tmp_path),
+        ],
+        capture_output=True, text=True, timeout=180, cwd=str(Path(__file__).parent.parent),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["pool_rejections"] == 1
+    assert summary["turns_completed"] >= 3  # most turns complete
+    results = json.loads((tmp_path / "soak_results.json").read_text())
+    transcripts = [t["transcript"] for r in results for t in r.get("turns", []) if t["completed"]]
+    assert all(tr == "soak prompt" for tr in transcripts if tr)
