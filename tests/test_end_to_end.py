@@ -141,3 +141,89 @@ def test_full_voice_turn(tmp_path, monkeypatch, mock_llm_server):
     finally:
         stop_event.set()
         manager.stop()
+
+
+def test_live_transcription_voice_turn(tmp_path, monkeypatch, mock_llm_server):
+    """Progressive mode: partial transcription deltas reach the client before
+    the final, and the turn still completes."""
+    from s2s_tpu.arguments import parse_arguments
+    from s2s_tpu.builder import build_pipeline
+    import s2s_tpu.registry as registry
+    from s2s_tpu.client import run_wav_client
+    from s2s_tpu.stt.progressive import DecodeResult
+    from s2s_tpu.stt.whisper_handler import WhisperSTTHandler
+    from s2s_tpu.vad.handler import VADHandler
+
+    class EnergyVAD:
+        def __call__(self, chunk, sr=16000):
+            return 0.95 if float(np.abs(chunk).mean()) > 0.01 else 0.02
+
+        def reset_states(self):
+            pass
+
+    original_vad_setup = VADHandler.setup
+
+    def vad_setup(self, **kwargs):
+        kwargs["model"] = EnergyVAD()
+        kwargs["smart_turn"] = False
+        original_vad_setup(self, **kwargs)
+
+    monkeypatch.setattr(VADHandler, "setup", vad_setup)
+
+    def scripted_transcriber(self, *a):
+        def transcribe(audio):
+            # transcript grows with the audio seen (progressive semantics)
+            words = ["hello", "there", "general", "assistant"]
+            n = max(1, min(len(words), int(len(audio) / 8000)))
+            return DecodeResult(" ".join(words[:n]), language_code="en")
+
+        return transcribe
+
+    monkeypatch.setattr(WhisperSTTHandler, "_build_jax_transcriber", scripted_transcriber)
+
+    class StubTTS:
+        def stream(self, text, voice_id=0, speed=1.0):
+            t = np.arange(4000) / 16000
+            yield (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), 16000
+
+    monkeypatch.setattr(registry.GLOBAL_MODEL_CACHE, "get", lambda key, factory: StubTTS())
+
+    args = parse_arguments(
+        [
+            "--stt", "whisper",
+            "--llm_backend", "chat-completions",
+            "--llm_base_url", mock_llm_server,
+            "--llm_compact_history", "false",
+            "--tts", "kokoro",
+            "--port", "0",
+            "--enable_live_transcription", "true",
+            "--vad_realtime_processing_pause", "0.3",
+        ]
+    )
+    stop_event = threading.Event()
+    manager, server = build_pipeline(args, stop_event)
+    manager.start()
+    try:
+        assert server.started.wait(15)
+        in_wav = tmp_path / "user.wav"
+        write_tone_wav(in_wav, seconds=2.5)  # long enough for progressive ticks
+
+        import asyncio
+
+        renderer = asyncio.run(
+            run_wav_client(
+                f"ws://127.0.0.1:{server.bound_port}/v1/realtime",
+                str(in_wav),
+                None,
+                sample_rate=16000,
+                realtime_pace=True,  # progressive release is wall-clock paced
+                max_duration_s=30.0,
+            )
+        )
+        finals = [l for l in renderer.lines if l.startswith("USER:")]
+        assert finals and "hello" in finals[-1]
+        # at least one partial delta arrived before the final
+        assert renderer._partial == "" and len(renderer.lines) >= 2
+    finally:
+        stop_event.set()
+        manager.stop()
