@@ -90,6 +90,16 @@ class ParakeetSTTArgs:
 
 
 @dataclass
+class ParaformerArgs:
+    prefix = "stt"
+
+    model_size: str = "default"
+    language: Optional[str] = "zh"
+    checkpoint: Optional[str] = None
+    tokenizer: Optional[str] = None
+
+
+@dataclass
 class RemoteLLMArgs:
     prefix = "llm"
 
@@ -138,6 +148,16 @@ class KokoroTTSArgs:
     prefix = "tts"
 
     voice: Optional[str] = None
+    speed: float = 1.0
+    checkpoint: Optional[str] = None
+    blocksize: int = 512
+
+
+@dataclass
+class MMSTTSArgs:
+    prefix = "tts"
+
+    language: Optional[str] = None
     speed: float = 1.0
     checkpoint: Optional[str] = None
     blocksize: int = 512
@@ -210,6 +230,7 @@ def _extract(cls: Type, ns: argparse.Namespace, prefix: str | None = None, extra
 STT_CONFIGS: dict[str, Type] = {
     "whisper": WhisperSTTArgs,
     "parakeet-tdt": ParakeetSTTArgs,
+    "paraformer": ParaformerArgs,
     "none": WhisperSTTArgs,  # unused fields; direct-audio path
 }
 LLM_CONFIGS: dict[str, Type] = {
@@ -220,6 +241,7 @@ LLM_CONFIGS: dict[str, Type] = {
 TTS_CONFIGS: dict[str, Type] = {
     "qwen3": Qwen3TTSArgs,
     "kokoro": KokoroTTSArgs,
+    "facebookMMS": MMSTTSArgs,
 }
 
 

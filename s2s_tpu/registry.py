@@ -107,6 +107,22 @@ def _make_parakeet_stt(config, ctx: HandlerContext):
     )
 
 
+def _make_paraformer_stt(config, ctx: HandlerContext):
+    from s2s_tpu.stt.paraformer_handler import ParaformerSTTHandler
+
+    return ParaformerSTTHandler(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            speculative_turns=ctx.speculative_turns,
+            device_scheduler=ctx.device_scheduler,
+            cancel_scope=ctx.cancel_scope,
+            model_size=config.model_size,
+            language=config.language,
+            params=_load_checkpoint(config.checkpoint),
+        ),
+    )
+
+
 def _make_none_stt(config, ctx: HandlerContext):
     from s2s_tpu.llm.audio_input_notifier import AudioInputNotifier
 
@@ -226,6 +242,28 @@ def _make_kokoro_tts(config, ctx: HandlerContext):
     )
 
 
+def _make_mms_tts(config, ctx: HandlerContext):
+    from s2s_tpu.models.vits import VitsTTS
+    from s2s_tpu.tts.mms_handler import MMSTTSHandler
+
+    model = ctx.model_cache.get(
+        ("mms_vits", config.checkpoint), lambda: VitsTTS(params=_load_checkpoint(config.checkpoint))
+    )
+    return MMSTTSHandler(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            cancel_scope=ctx.cancel_scope,
+            speculative_turns=ctx.speculative_turns,
+            device_scheduler=ctx.device_scheduler,
+            should_listen=ctx.should_listen,
+            model=model,
+            language=config.language,
+            speed=config.speed,
+            blocksize=config.blocksize,
+        ),
+    )
+
+
 def _load_checkpoint(path: str | None):
     """Load converted weights from an .npz/.msgpack file (None -> random init)."""
     if not path:
@@ -272,6 +310,8 @@ def unflatten_params(flat: dict) -> dict:
 from s2s_tpu.arguments import (  # noqa: E402
     KokoroTTSArgs,
     LocalLLMArgs,
+    MMSTTSArgs,
+    ParaformerArgs,
     ParakeetSTTArgs,
     Qwen3TTSArgs,
     RemoteLLMArgs,
@@ -281,6 +321,7 @@ from s2s_tpu.arguments import (  # noqa: E402
 STT_BACKENDS: dict[str, BackendSpec] = {
     "whisper": BackendSpec("whisper", "stt", WhisperSTTArgs, _make_whisper_stt),
     "parakeet-tdt": BackendSpec("parakeet-tdt", "stt", ParakeetSTTArgs, _make_parakeet_stt),
+    "paraformer": BackendSpec("paraformer", "stt", ParaformerArgs, _make_paraformer_stt),
     "none": BackendSpec(
         "none", "stt", WhisperSTTArgs, _make_none_stt,
         BackendCapabilities(bypasses_transcription_notifier=True),
@@ -302,6 +343,7 @@ LLM_BACKENDS: dict[str, BackendSpec] = {
 TTS_BACKENDS: dict[str, BackendSpec] = {
     "qwen3": BackendSpec("qwen3", "tts", Qwen3TTSArgs, _make_qwen3_tts),
     "kokoro": BackendSpec("kokoro", "tts", KokoroTTSArgs, _make_kokoro_tts),
+    "facebookMMS": BackendSpec("facebookMMS", "tts", MMSTTSArgs, _make_mms_tts),
 }
 
 

@@ -194,3 +194,42 @@ def test_build_pipeline_unit_wires_chain(monkeypatch):
     # direct-audio: no TranscriptionNotifier in the chain
     assert unit.service.text_prompt_queue is unit.text_prompt_queue
     assert unit.handlers[0].queue_out is unit.handlers[1].queue_in
+
+
+# ── alternate backends ───────────────────────────────────────────────
+
+
+def test_paraformer_model_nar_forward():
+    import jax
+    import numpy as np
+
+    from s2s_tpu.models import paraformer
+
+    cfg = paraformer.ParaformerConfig.test_tiny()
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.n_mels, 64))
+    tokens = paraformer.transcribe_tokens(params, cfg, mel, n_frames=64)
+    assert isinstance(tokens, list) and len(tokens) <= cfg.max_tokens
+
+
+def test_vits_model_synthesizes():
+    import numpy as np
+
+    from s2s_tpu.models.vits import VitsConfig, VitsTTS
+
+    tts = VitsTTS(cfg=VitsConfig.test_tiny())
+    audio_en = tts.synthesize("Hello there.", language="en")
+    audio_fr = tts.synthesize("Hello there.", language="fr")
+    assert len(audio_en) > 0 and np.all(np.isfinite(audio_en))
+    assert not np.array_equal(audio_en, audio_fr)  # language conditioning
+
+
+def test_alternate_backends_registered():
+    from s2s_tpu.arguments import parse_arguments
+    from s2s_tpu.registry import get_backend
+
+    assert get_backend("stt", "paraformer").name == "paraformer"
+    assert get_backend("tts", "facebookMMS").name == "facebookMMS"
+    args = parse_arguments(["--stt", "paraformer", "--tts", "facebookMMS", "--tts_language", "fr"])
+    assert args.stt_config.language == "zh"  # paraformer default
+    assert args.tts_config.language == "fr"
