@@ -245,12 +245,27 @@ TTS_CONFIGS: dict[str, Type] = {
 }
 
 
+#: Preset applied as parser DEFAULTS only, so explicit flags always win
+#: (the reference's --mac-optimal-settings semantics).
+TPU_OPTIMAL_DEFAULTS = {
+    "stt": "whisper",
+    "llm_backend": "responses-api",
+    "tts": "qwen3",
+    "tts_streaming_chunk_size": 8,
+    "vad_realtime_processing_pause": 0.5,
+}
+
+
 def parse_arguments(argv: list[str] | None = None) -> ParsedArguments:
     argv = list(sys.argv[1:] if argv is None else argv)
 
     # single-JSON-file alternative
     if len(argv) == 1 and argv[0].endswith(".json"):
         return _parse_config_file(Path(argv[0]))
+
+    use_preset = "--tpu-optimal-settings" in argv
+    if use_preset:
+        argv = [a for a in argv if a != "--tpu-optimal-settings"]
 
     # phase 1: selector pre-parse
     pre = argparse.ArgumentParser(add_help=False)
@@ -274,6 +289,9 @@ def parse_arguments(argv: list[str] | None = None) -> ParsedArguments:
     _add_dataclass_args(parser, stt_cls, prefix="stt")
     _add_dataclass_args(parser, llm_cls, prefix="llm")
     _add_dataclass_args(parser, tts_cls, prefix="tts")
+    if use_preset:
+        known = {a.dest for a in parser._actions}
+        parser.set_defaults(**{k: v for k, v in TPU_OPTIMAL_DEFAULTS.items() if k in known})
     ns, leftovers = parser.parse_known_args(argv)
 
     # gen_* folding: --llm_gen_temperature 0.7 -> gen_kwargs["temperature"]

@@ -65,6 +65,18 @@ class RealtimeServer:
             return connection.respond(http.HTTPStatus.OK, body + "\n")
         if path == "/v1/pool":
             return connection.respond(http.HTTPStatus.OK, json.dumps(pool_payload(self.pool)) + "\n")
+        if path == "/v1/realtime/calls":
+            from s2s_tpu.realtime.webrtc import WEBRTC_AVAILABLE
+
+            if not WEBRTC_AVAILABLE:
+                return connection.respond(
+                    http.HTTPStatus.NOT_IMPLEMENTED,
+                    "WebRTC transport requires the aiortc extra; use the WebSocket "
+                    "transport at /v1/realtime.\n",
+                )
+            return connection.respond(
+                http.HTTPStatus.NOT_IMPLEMENTED, "WebRTC SDP negotiation not wired in this build\n"
+            )
         return connection.respond(http.HTTPStatus.NOT_FOUND, "Not found\n")
 
     async def _ws_handler(self, ws) -> None:

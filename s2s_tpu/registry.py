@@ -93,6 +93,7 @@ def _make_whisper_stt(config, ctx: HandlerContext):
 
 
 def _make_parakeet_stt(config, ctx: HandlerContext):
+    from s2s_tpu.stt.language_id import detect_language
     from s2s_tpu.stt.parakeet_handler import ParakeetSTTHandler
 
     return ParakeetSTTHandler(
@@ -103,6 +104,7 @@ def _make_parakeet_stt(config, ctx: HandlerContext):
             cancel_scope=ctx.cancel_scope,
             language=config.language,
             params=_load_checkpoint(config.checkpoint),
+            language_detector=detect_language,
         ),
     )
 

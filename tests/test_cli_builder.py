@@ -233,3 +233,22 @@ def test_alternate_backends_registered():
     args = parse_arguments(["--stt", "paraformer", "--tts", "facebookMMS", "--tts_language", "fr"])
     assert args.stt_config.language == "zh"  # paraformer default
     assert args.tts_config.language == "fr"
+
+
+def test_tpu_optimal_preset_defaults_only():
+    args = parse_arguments(["--tpu-optimal-settings"])
+    assert args.tts_config.streaming_chunk_size == 8
+    # explicit flag beats the preset
+    args = parse_arguments(["--tpu-optimal-settings", "--tts_streaming_chunk_size", "4"])
+    assert args.tts_config.streaming_chunk_size == 4
+
+
+def test_language_id_heuristics():
+    from s2s_tpu.stt.language_id import detect_language
+
+    assert detect_language("what is the weather like today") == "en"
+    assert detect_language("je ne sais pas ce que vous voulez") == "fr"
+    assert detect_language("ich bin nicht sicher was das ist") == "de"
+    assert detect_language("今天天气怎么样") == "zh"
+    assert detect_language("Сегодня хорошая погода") == "ru"
+    assert detect_language("") is None
