@@ -237,6 +237,7 @@ LLM_CONFIGS: dict[str, Type] = {
     "responses-api": RemoteLLMArgs,
     "chat-completions": RemoteLLMArgs,
     "local-jax": LocalLLMArgs,
+    "local-vlm": LocalLLMArgs,
 }
 TTS_CONFIGS: dict[str, Type] = {
     "qwen3": Qwen3TTSArgs,

@@ -184,6 +184,26 @@ def _make_local_llm(config, ctx: HandlerContext):
     )
 
 
+def _make_local_vlm(config, ctx: HandlerContext):
+    from s2s_tpu.llm.vlm_backend import VisionLocalJAXLLMHandler
+
+    return VisionLocalJAXLLMHandler(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            cancel_scope=ctx.cancel_scope,
+            speculative_turns=ctx.speculative_turns,
+            device_scheduler=ctx.device_scheduler,
+            model_size=config.model_size,
+            params=_load_checkpoint(config.checkpoint),
+            max_new_tokens=config.max_new_tokens,
+            stream_batch_sentences=config.stream_batch_sentences,
+            compact_history=config.compact_history,
+            enable_lang_prompt=config.enable_lang_prompt,
+            gen_kwargs=config.gen_kwargs,
+        ),
+    )
+
+
 def _make_qwen3_tts(config, ctx: HandlerContext):
     from s2s_tpu.models.qwen3_tts import Qwen3TTS
     from s2s_tpu.tts.qwen3_handler import Qwen3TTSHandler
@@ -340,6 +360,7 @@ LLM_BACKENDS: dict[str, BackendSpec] = {
         BackendCapabilities(supports_audio_input=True, supports_llm_proxy=True),
     ),
     "local-jax": BackendSpec("local-jax", "llm", LocalLLMArgs, _make_local_llm),
+    "local-vlm": BackendSpec("local-vlm", "llm", LocalLLMArgs, _make_local_vlm),
 }
 
 TTS_BACKENDS: dict[str, BackendSpec] = {
