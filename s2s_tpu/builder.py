@@ -29,7 +29,9 @@ from s2s_tpu.vad.handler import VADHandler
 logger = logging.getLogger(__name__)
 
 
-def build_pipeline_unit(index: int, args: ParsedArguments, stop_event: threading.Event) -> PipelineUnit:
+def build_pipeline_unit(
+    index: int, args: ParsedArguments, stop_event: threading.Event, vad_model=None
+) -> PipelineUnit:
     """One unit: 8 queues, 2 events, control plane, service, handler chain."""
     input_queue: Queue = Queue()
     spoken_prompt_queue: Queue = Queue()
@@ -66,6 +68,7 @@ def build_pipeline_unit(index: int, args: ParsedArguments, stop_event: threading
     vad = VADHandler(
         stop_event, input_queue, spoken_prompt_queue,
         setup_kwargs=dict(
+            model=vad_model,
             should_listen=should_listen,
             speculative_turns=tracker,
             thresh=args.vad.thresh,
@@ -136,7 +139,16 @@ def build_pipeline_unit(index: int, args: ParsedArguments, stop_event: threading
 
 def build_pipeline(args: ParsedArguments, stop_event: threading.Event) -> tuple[ThreadManager, RealtimeServer]:
     install_pipeline_log_filter()
-    pool = [build_pipeline_unit(i, args, stop_event) for i in range(args.module.num_pipelines)]
+    n = args.module.num_pipelines
+    vad_models = [None] * n
+    if n > 1:
+        # N sessions, ONE Silero: all units' 32 ms ticks batch into a single
+        # device dispatch (vs the reference's N model copies).
+        from s2s_tpu.runtime.batcher import BatchedSileroVAD
+
+        service = GLOBAL_MODEL_CACHE.get(("silero_batched", n), lambda: BatchedSileroVAD(max_slots=n))
+        vad_models = [service.view(i) for i in range(n)]
+    pool = [build_pipeline_unit(i, args, stop_event, vad_model=vad_models[i]) for i in range(n)]
     server = RealtimeServer(
         stop_event, pool, host=args.server.host, port=args.server.port,
         llm_proxy=_build_llm_proxy(args),
