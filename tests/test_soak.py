@@ -44,6 +44,7 @@ def stub_pipeline_server(monkeypatch):
 
     cache_keys = []
     stub = None
+    real_get = registry.ModelCache.get
 
     class StubTTS:
         def stream(self, text, voice_id=0, speed=1.0):
@@ -52,6 +53,8 @@ def stub_pipeline_server(monkeypatch):
 
     def cache_get(key, factory):
         nonlocal stub
+        if key[0] != "kokoro":  # e.g. the shared batched-VAD service
+            return real_get(registry.GLOBAL_MODEL_CACHE, key, factory)
         cache_keys.append(key)
         if stub is None:
             stub = StubTTS()
