@@ -48,11 +48,17 @@ def bench_vad(seconds: float) -> float:
     prob, state = silero_vad.jit_step(params, state, chunk)
     prob.block_until_ready()
     n_chunks = int(seconds * 16000) // silero_vad.CHUNK
-    t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        prob, state = silero_vad.jit_step(params, state, chunk)
-    prob.block_until_ready()
-    return time.perf_counter() - t0
+
+    def run():
+        nonlocal state
+        t0 = time.perf_counter()
+        prob = None
+        for _ in range(n_chunks):
+            prob, state = silero_vad.jit_step(params, state, chunk)
+        prob.block_until_ready()
+        return time.perf_counter() - t0
+
+    return min(run() for _ in range(3))
 
 
 def bench_stt(seconds: float, n_decode_tokens: int = 32) -> float:
@@ -77,12 +83,15 @@ def bench_stt(seconds: float, n_decode_tokens: int = 32) -> float:
     buf, n = whisper.jit_greedy_decode_device(params, cfg, enc, prompt, n_decode_tokens)
     buf.block_until_ready()
 
-    t0 = time.perf_counter()
-    mel = log_mel_spectrogram(audio, cfg.n_mels)[None]
-    enc = jit_encode(params, cfg, mel)
-    buf, n = whisper.jit_greedy_decode_device(params, cfg, enc, prompt, n_decode_tokens)
-    buf.block_until_ready()
-    return time.perf_counter() - t0
+    def run():
+        t0 = time.perf_counter()
+        mel = log_mel_spectrogram(audio, cfg.n_mels)[None]
+        enc = jit_encode(params, cfg, mel)
+        buf, n = whisper.jit_greedy_decode_device(params, cfg, enc, prompt, n_decode_tokens)
+        buf.block_until_ready()
+        return time.perf_counter() - t0
+
+    return min(run() for _ in range(3))
 
 
 def bench_tts(out_seconds: float) -> float:
@@ -92,9 +101,51 @@ def bench_tts(out_seconds: float) -> float:
     n_tokens = int(out_seconds * FRAMES_PER_SECOND)
     text = "This is a representative assistant reply used to benchmark synthesis."
     tts.synthesize(text, max_frames=n_tokens)  # warmup compiles the program
-    t0 = time.perf_counter()
-    tts.synthesize(text, max_frames=n_tokens)
-    return time.perf_counter() - t0
+
+    def run():
+        t0 = time.perf_counter()
+        tts.synthesize(text, max_frames=n_tokens)
+        return time.perf_counter() - t0
+
+    return min(run() for _ in range(3))
+
+
+def bench_voice_latency(runs: int = 5) -> float:
+    """p50 of the on-chip latency chain speech-stop -> first audible chunk:
+    final STT decode (2 s utterance bucket) + TTS first streamed chunk
+    (matches the reference's "Last speech detected to first speech out"
+    metric minus endpointing grace, which is policy, not compute)."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+
+    from s2s_tpu.models import whisper
+    from s2s_tpu.models.qwen3_tts import Qwen3TTS
+    from s2s_tpu.ops.mel import log_mel_spectrogram
+
+    cfg = whisper.WhisperConfig.tiny()
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    tts = Qwen3TTS(seed=0, chunk_frames=8)
+    audio = np.zeros(2 * 16000, np.float32)
+    prompt = jnp.asarray([[whisper.SOT, whisper.LANG_BASE, whisper.TRANSCRIBE]], jnp.int32)
+    from functools import partial
+
+    jit_encode = partial(jax.jit, static_argnums=(1,))(whisper.encode)
+
+    def one_turn() -> float:
+        t0 = time.perf_counter()
+        mel = log_mel_spectrogram(audio, cfg.n_mels)[None]
+        enc = jit_encode(params, cfg, mel)
+        buf, n = whisper.jit_greedy_decode_device(params, cfg, enc, prompt, 24)
+        _ = np.asarray(buf[: max(1, int(n))])  # transcript fetched
+        for chunk, sr in tts.stream("Sure, here is a reply.", max_new_tokens=8):
+            break  # first audible chunk
+        return time.perf_counter() - t0
+
+    one_turn()  # warm
+    times = sorted(one_turn() for _ in range(runs))
+    return statistics.median(times)
 
 
 def main() -> None:
@@ -103,6 +154,7 @@ def main() -> None:
     t_vad = bench_vad(in_seconds)
     t_stt = bench_stt(in_seconds)
     t_tts = bench_tts(out_seconds)
+    v2v_p50 = bench_voice_latency()
     total = t_vad + t_stt + t_tts
     rtfx = (in_seconds + out_seconds) / total
     result = {
@@ -115,6 +167,8 @@ def main() -> None:
             "stt_s": round(t_stt, 4),
             "tts_s": round(t_tts, 4),
             "audio_s": in_seconds + out_seconds,
+            "voice_to_voice_p50_s": round(v2v_p50, 4),
+            "voice_to_voice_target_s": 0.3,
         },
     }
     print(json.dumps(result))
