@@ -403,7 +403,7 @@ class RemoteLLMHandler(BaseLLMHandler):
         """Audio turns serialize the WAV into an ``input_audio`` content part
         (Chat Completions shape on either backend) with a transactional user
         message: rolled back if the request fails."""
-        from s2s_tpu.pipeline.messages import EndOfResponse, LLMResponseChunk, TokenUsage
+        from s2s_tpu.pipeline.messages import EndOfResponse, TokenUsage
 
         runtime_config = request.runtime_config
         chat = runtime_config.chat

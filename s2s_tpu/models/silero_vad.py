@@ -20,7 +20,6 @@ silero jit checkpoint: :func:`convert_silero_state_dict`.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from s2s_tpu.models.common import KVCache, Params, attention, layer_norm, length_mask, linear
+from s2s_tpu.models.common import KVCache, Params, attention, layer_norm, linear
 from s2s_tpu.models.decoder_lm import stack_layers
 
 # Whisper special tokens (multilingual vocab, v2/v3 layout).

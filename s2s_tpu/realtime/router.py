@@ -33,7 +33,6 @@ from s2s_tpu.pipeline.events import (
 from s2s_tpu.pipeline.log_context import pipeline_log_ctx
 from s2s_tpu.pipeline.messages import AUDIO_RESPONSE_DONE, PIPELINE_END, AudioOutput
 from s2s_tpu.realtime.pipeline_unit import PipelineUnit, SessionState
-from s2s_tpu.realtime.service import build_error_event
 from s2s_tpu.realtime.transports import SessionTransport, WebSocketTransport, send_ws_event
 
 logger = logging.getLogger(__name__)

@@ -16,7 +16,6 @@ import threading
 import time
 from collections import deque
 from math import gcd
-from typing import Optional
 
 import numpy as np
 
@@ -157,10 +156,10 @@ class PacedAudioBuffer:
 if WEBRTC_AVAILABLE:  # pragma: no cover - requires aiortc
     import asyncio
 
-    from aiortc import MediaStreamTrack, RTCPeerConnection, RTCSessionDescription
+    from aiortc import MediaStreamTrack, RTCPeerConnection
     from av import AudioFrame
 
-    from s2s_tpu.realtime.transports import SessionTransport, send_ws_event  # noqa: F401
+    from s2s_tpu.realtime.transports import SessionTransport
 
     class PipelineAudioTrack(MediaStreamTrack):
         """RTP track fed by a PacedAudioBuffer at 48 kHz."""

@@ -4,7 +4,7 @@ FunASR backend — Chinese default) over the JAX NAR model."""
 from __future__ import annotations
 
 import logging
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 

@@ -5,8 +5,6 @@ from __future__ import annotations
 import logging
 from typing import Iterator, Optional
 
-import numpy as np
-
 from s2s_tpu.tts.base import BaseTTSHandler
 
 logger = logging.getLogger(__name__)
