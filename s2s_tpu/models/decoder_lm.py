@@ -330,14 +330,27 @@ def convert_hf_state_dict(state_dict: dict[str, Any], cfg: DecoderLMConfig) -> P
     def t(name):
         return jnp.asarray(np.asarray(state_dict[name]).T, dtype=dt)
 
+    def rope_permuted(name, n_heads):
+        """HF Llama lays q/k out for half-split rope (rotate_half); our
+        apply_rope is interleaved (even/odd pairs).  Permute each head's
+        rows so pair i = (half row i, half row i + d/2)."""
+        w = np.asarray(state_dict[name])  # (n_heads*hd, d_in)
+        hd = w.shape[0] // n_heads
+        w = w.reshape(n_heads, hd, -1)
+        perm = np.empty(hd, np.int64)
+        perm[0::2] = np.arange(hd // 2)
+        perm[1::2] = np.arange(hd // 2) + hd // 2
+        w = w[:, perm, :].reshape(n_heads * hd, -1)
+        return jnp.asarray(w.T, dtype=dt)
+
     layers = []
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
         layers.append(
             {
                 "attn_norm": jnp.asarray(state_dict[p + "input_layernorm.weight"], dt),
-                "wq": t(p + "self_attn.q_proj.weight"),
-                "wk": t(p + "self_attn.k_proj.weight"),
+                "wq": rope_permuted(p + "self_attn.q_proj.weight", cfg.n_heads),
+                "wk": rope_permuted(p + "self_attn.k_proj.weight", cfg.n_kv_heads),
                 "wv": t(p + "self_attn.v_proj.weight"),
                 "wo": t(p + "self_attn.o_proj.weight"),
                 "mlp_norm": jnp.asarray(state_dict[p + "post_attention_layernorm.weight"], dt),
