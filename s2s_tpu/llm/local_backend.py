@@ -123,36 +123,70 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         padded[: len(ids)] = ids
         temperature = float(self.gen_kwargs.get("temperature", 0.0))
 
+        chunk = max(1, int(self.gen_kwargs.get("decode_chunk_tokens", 8)))
         with self.scheduler.slot(lane):
             state = decoder_lm.init_decode_state(self.cfg, 1, max_t=min(bucket + max_new, self.cfg.max_seq_len))
             logits, state = decoder_lm.prefill(
                 self.params, self.cfg, jnp.asarray(padded[None]), state, len(ids)
             )
+            if temperature > 0:
+                # sampling keeps the per-token host loop (PRNG per step)
+                yield from self._sampled_decode(logits, state, max_new, temperature, cancel_check)
+                return
+            # greedy: decode in on-device chunks — one dispatch + one fetch
+            # per `chunk` tokens (cancellation polls between chunks)
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             emitted = 0
             pending: list[int] = []
-            token = int(jnp.argmax(logits[0]))
             while emitted < max_new:
-                if token == self.tokenizer.eos_id:
+                n = min(chunk, max_new - emitted)
+                toks_dev, eos_flags, token, state = decoder_lm.jit_decode_chunk(
+                    self.params, self.cfg, token, state, n, self.tokenizer.eos_id
+                )
+                toks = np.asarray(toks_dev)[:, 0]
+                eos = np.asarray(eos_flags)
+                valid = n
+                hit_eos = False
+                nz = np.nonzero(toks == self.tokenizer.eos_id)[0]
+                if len(nz):
+                    valid, hit_eos = int(nz[0]), True
+                for t in toks[:valid]:
+                    pending.append(int(t))
+                    piece = self.tokenizer.decode(pending)
+                    if not piece.endswith("�"):  # only emit at UTF-8 boundaries
+                        yield piece
+                        pending = []
+                emitted += valid
+                if hit_eos:
                     break
                 if cancel_check is not None and cancel_check():
                     break
-                pending.append(token)
-                # Decode pieces at UTF-8 boundaries so multi-byte chars survive.
-                piece = self.tokenizer.decode(pending)
-                if not piece.endswith("�"):
-                    yield piece
-                    pending = []
-                emitted += 1
-                step_logits, state = self._decode_step(jnp.asarray([token], jnp.int32), state)
-                if temperature > 0:
-                    import jax
-
-                    key = jax.random.PRNGKey(emitted)
-                    token = int(jax.random.categorical(key, step_logits[0] / temperature))
-                else:
-                    token = int(jnp.argmax(step_logits[0]))
             if pending:
                 yield self.tokenizer.decode(pending)
+
+    def _sampled_decode(self, logits, state, max_new, temperature, cancel_check) -> Iterator[str]:
+        import jax
+        import jax.numpy as jnp
+
+        emitted = 0
+        pending: list[int] = []
+        token = int(jnp.argmax(logits[0]))
+        while emitted < max_new:
+            if token == self.tokenizer.eos_id:
+                break
+            if cancel_check is not None and cancel_check():
+                break
+            pending.append(token)
+            piece = self.tokenizer.decode(pending)
+            if not piece.endswith("�"):
+                yield piece
+                pending = []
+            emitted += 1
+            step_logits, state = self._decode_step(jnp.asarray([token], jnp.int32), state)
+            key = jax.random.PRNGKey(emitted)
+            token = int(jax.random.categorical(key, step_logits[0] / temperature))
+        if pending:
+            yield self.tokenizer.decode(pending)
 
     # ── BaseLLMHandler hooks ─────────────────────────────────────────
 

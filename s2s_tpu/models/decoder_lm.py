@@ -285,6 +285,28 @@ jit_prefill = partial(jax.jit, static_argnums=(1,))(prefill)
 jit_forward = partial(jax.jit, static_argnums=(1,))(forward)
 
 
+def decode_chunk(params, cfg: DecoderLMConfig, token, state: DecodeState, n_tokens: int, eos_id: int):
+    """Greedily decode *n_tokens* in ONE device program (``lax.scan`` of
+    decode steps) — one dispatch + one host fetch per chunk instead of one
+    per token.  Emits the input token first, then successors; past-EOS steps
+    still run (bounded) but the caller truncates via the flags.
+
+    Returns (tokens (n_tokens, B), eos_flags (n_tokens,), next token, state).
+    """
+
+    def body(carry, _):
+        tok, st = carry
+        logits, st = decode_step(params, cfg, tok, st)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, st), (tok, nxt[0] == eos_id)
+
+    (next_tok, state), (tokens, eos_flags) = jax.lax.scan(body, (token, state), None, length=n_tokens)
+    return tokens, eos_flags, next_tok, state
+
+
+jit_decode_chunk = partial(jax.jit, static_argnums=(1, 4, 5), donate_argnums=(3,))(decode_chunk)
+
+
 def make_jit_decode_step(params, cfg: DecoderLMConfig):
     """Bound decode step: params passed per call (explicitly, not captured)."""
 
