@@ -336,8 +336,16 @@ async def send_loop_for(unit: PipelineUnit, stop_event) -> None:
                 ):
                     pass
                 elif transport is not None and isinstance(text_msg, PipelineEvent) and session_id:
-                    events = unit.service.dispatch_pipeline_event(session_id, text_msg)
-                    if events:
+                    # Non-blocking dispatch: a reopen-grace gate must not stall
+                    # the shared event loop (all units' send loops live on it).
+                    # None => the event is deferred; requeue at the FRONT and
+                    # retry next iteration.
+                    events = unit.service.try_dispatch_pipeline_event(session_id, text_msg)
+                    if events is None:
+                        with unit.text_output_queue.mutex:
+                            unit.text_output_queue.queue.appendleft(text_msg)
+                            unit.text_output_queue.not_empty.notify()
+                    elif events:
                         await transport.send_events(events)
 
                 if is_speech_start and session_id:

@@ -336,3 +336,30 @@ def test_ws_pool_rejection(server_env):
             rejection = json.loads(ws2.recv(timeout=5))
             assert rejection["type"] == "error"
             assert rejection["error"]["type"] == "session_limit_reached"
+
+
+def test_send_loop_defers_assistant_text_during_reopen_grace():
+    """A grace-gated assistant event must not block the loop; it is requeued
+    and delivered once the grace expires."""
+
+    async def main():
+        unit = make_unit()
+        transport, sid = attach(unit)
+        tracker = unit.service.speculative_turns
+        tracker.observe("t1", 0)
+        tracker.start_reopen_grace("t1", 0, 0.25)
+        unit.text_output_queue.put(AssistantTextEvent(text="Held.", turn_id="t1", turn_revision=0))
+        stop = threading.Event()
+        task = asyncio.create_task(send_loop_for(unit, stop))
+        await asyncio.sleep(0.1)
+        # still inside the grace: nothing on the wire yet, loop not blocked
+        assert not [e for e in transport.events if e["type"].startswith("response.")]
+        await asyncio.sleep(0.4)
+        stop.set()
+        await asyncio.wait_for(task, timeout=2)
+        deltas = [e for e in transport.events if e["type"] == "response.output_audio_transcript.delta"]
+        assert deltas and deltas[0]["delta"].strip() == "Held."
+        # delivery after the grace committed the turn
+        assert tracker.is_committed("t1", 0)
+
+    asyncio.run(main())
