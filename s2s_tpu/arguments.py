@@ -164,6 +164,26 @@ class MMSTTSArgs:
 
 
 @dataclass
+class PocketTTSArgs:
+    prefix = "tts"
+
+    ref_audio: Optional[str] = None
+    speed: float = 1.0
+    checkpoint: Optional[str] = None
+    blocksize: int = 512
+
+
+@dataclass
+class ChatTTSArgs:
+    prefix = "tts"
+
+    stream: bool = True
+    seed: Optional[int] = None
+    checkpoint: Optional[str] = None
+    blocksize: int = 512
+
+
+@dataclass
 class ClientArgs:
     """``talk`` client options."""
 
@@ -243,6 +263,8 @@ TTS_CONFIGS: dict[str, Type] = {
     "qwen3": Qwen3TTSArgs,
     "kokoro": KokoroTTSArgs,
     "facebookMMS": MMSTTSArgs,
+    "pocket": PocketTTSArgs,
+    "chatTTS": ChatTTSArgs,
 }
 
 

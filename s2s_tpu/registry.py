@@ -286,6 +286,58 @@ def _make_mms_tts(config, ctx: HandlerContext):
     )
 
 
+def _make_pocket_tts(config, ctx: HandlerContext):
+    from s2s_tpu.models.kokoro import KokoroTTS
+    from s2s_tpu.tts.pocket_handler import PocketTTSHandler
+
+    model = ctx.model_cache.get(
+        ("kokoro", config.checkpoint), lambda: KokoroTTS(params=_load_checkpoint(config.checkpoint))
+    )
+    ref = None
+    if config.ref_audio:
+        import wave
+
+        import numpy as np
+
+        with wave.open(config.ref_audio) as w:
+            ref = np.frombuffer(w.readframes(w.getnframes()), np.int16).astype(np.float32) / 32768.0
+    return PocketTTSHandler(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            cancel_scope=ctx.cancel_scope,
+            speculative_turns=ctx.speculative_turns,
+            device_scheduler=ctx.device_scheduler,
+            should_listen=ctx.should_listen,
+            model=model,
+            voice_ref_audio=ref,
+            speed=config.speed,
+            blocksize=config.blocksize,
+        ),
+    )
+
+
+def _make_chattts(config, ctx: HandlerContext):
+    from s2s_tpu.models.vits import VitsTTS
+    from s2s_tpu.tts.chattts_handler import ChatTTSHandler
+
+    model = ctx.model_cache.get(
+        ("mms_vits", config.checkpoint), lambda: VitsTTS(params=_load_checkpoint(config.checkpoint))
+    )
+    return ChatTTSHandler(
+        ctx.stop_event, ctx.queue_in, ctx.queue_out,
+        setup_kwargs=dict(
+            cancel_scope=ctx.cancel_scope,
+            speculative_turns=ctx.speculative_turns,
+            device_scheduler=ctx.device_scheduler,
+            should_listen=ctx.should_listen,
+            model=model,
+            stream=config.stream,
+            seed=config.seed,
+            blocksize=config.blocksize,
+        ),
+    )
+
+
 def _load_checkpoint(path: str | None):
     """Load converted weights from an .npz/.msgpack file (None -> random init)."""
     if not path:
@@ -330,10 +382,12 @@ def unflatten_params(flat: dict) -> dict:
 # ── registries ───────────────────────────────────────────────────────
 
 from s2s_tpu.arguments import (  # noqa: E402
+    ChatTTSArgs,
     KokoroTTSArgs,
     LocalLLMArgs,
     MMSTTSArgs,
     ParaformerArgs,
+    PocketTTSArgs,
     ParakeetSTTArgs,
     Qwen3TTSArgs,
     RemoteLLMArgs,
@@ -367,6 +421,8 @@ TTS_BACKENDS: dict[str, BackendSpec] = {
     "qwen3": BackendSpec("qwen3", "tts", Qwen3TTSArgs, _make_qwen3_tts),
     "kokoro": BackendSpec("kokoro", "tts", KokoroTTSArgs, _make_kokoro_tts),
     "facebookMMS": BackendSpec("facebookMMS", "tts", MMSTTSArgs, _make_mms_tts),
+    "pocket": BackendSpec("pocket", "tts", PocketTTSArgs, _make_pocket_tts),
+    "chatTTS": BackendSpec("chatTTS", "tts", ChatTTSArgs, _make_chattts),
 }
 
 

@@ -127,3 +127,28 @@ def test_sharded_matches_single_device_loss():
     sharded = shard_params(params, decoder_lm.param_shardings(cfg), mesh)
     got = float(decoder_lm.loss_fn(sharded, cfg, tokens, targets, mask))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_sharded_inference_decode_on_virtual_mesh():
+    """Tensor-parallel inference: model-sharded params, prefill + decode steps
+    produce the same logits as the unsharded path (XLA inserts the ICI
+    collectives)."""
+    from s2s_tpu.parallel.mesh import make_mesh, shard_params
+
+    cfg = DecoderLMConfig.tiny()
+    params = decoder_lm.init_params(jax.random.PRNGKey(11), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(12), (1, 6), 0, cfg.vocab_size)
+    padded = jnp.pad(tokens, ((0, 0), (0, 2)))
+
+    state = decoder_lm.init_decode_state(cfg, 1, max_t=32)
+    ref_last, ref_state = decoder_lm.prefill(params, cfg, padded, state, 6)
+    ref_step, _ = decoder_lm.decode_step(params, cfg, tokens[:, -1], ref_state)
+
+    mesh = make_mesh(jax.devices()[:4], data=1, model=4)
+    sharded = shard_params(params, decoder_lm.param_shardings(cfg), mesh)
+    state2 = decoder_lm.init_decode_state(cfg, 1, max_t=32)
+    got_last, got_state = decoder_lm.prefill(sharded, cfg, padded, state2, 6)
+    got_step, _ = decoder_lm.decode_step(sharded, cfg, tokens[:, -1], got_state)
+
+    np.testing.assert_allclose(np.asarray(got_last), np.asarray(ref_last), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_step), np.asarray(ref_step), atol=2e-4)

@@ -231,3 +231,37 @@ def test_istft_reconstructs_sine():
     # ignore edges
     err = np.abs(rec[hop : n - hop] - x[hop : n - hop])
     assert err.max() < 5e-2 and err.mean() < 1e-2
+
+
+def test_pocket_handler_streams_per_sentence():
+    from s2s_tpu.models.kokoro import KokoroConfig, KokoroTTS
+    from s2s_tpu.tts.pocket_handler import PocketTTSHandler
+
+    model = KokoroTTS(cfg=KokoroConfig.tiny())
+    model.params["mag_w"] = model.params["mag_w"] * 3.0  # audible random output
+    handler = PocketTTSHandler(
+        threading.Event(), Queue(), Queue(), setup_kwargs=dict(model=model)
+    )
+    chunks = list(handler.process(tts_input("One. Two.")))
+    assert chunks and all(len(c) == 512 for c in chunks)
+
+
+def test_chattts_handler_random_speaker():
+    from s2s_tpu.models.vits import VitsConfig, VitsTTS
+    from s2s_tpu.tts.chattts_handler import ChatTTSHandler
+
+    model = VitsTTS(cfg=VitsConfig.test_tiny())
+    # random weights synthesize near-silence (legitimately trimmed by the
+    # handler); scale the output layer so the wiring is observable
+    model.params["voc_out"] = model.params["voc_out"] * 200.0
+    handler = ChatTTSHandler(
+        threading.Event(), Queue(), Queue(), setup_kwargs=dict(model=model, seed=3)
+    )
+    chunks = list(handler.process(tts_input("Hi there.")))
+    assert chunks
+
+
+def test_all_tts_backends_registered():
+    from s2s_tpu.registry import TTS_BACKENDS
+
+    assert set(TTS_BACKENDS) == {"qwen3", "kokoro", "facebookMMS", "pocket", "chatTTS"}
