@@ -382,3 +382,68 @@ def test_reopen_reuses_input_item(svc):
         conn, SpeechStartedEvent(turn_id="t1", turn_revision=1, reopened=True)
     )
     assert e2[-1]["item_id"] == item1  # same protocol item across the reopen
+
+
+def test_empty_transcript_no_llm_trigger(svc):
+    service, conn = svc
+    events = service.dispatch_pipeline_event(
+        conn, TranscriptionCompletedEvent(transcript="", turn_id="t9", turn_revision=0)
+    )
+    assert "conversation.item.input_audio_transcription.completed" in types(events)
+    assert service.text_prompt_queue.empty()  # empty finals never trigger the LLM
+    assert service._state(conn).runtime_config.chat.user_turn_count == 0
+
+
+def test_response_done_output_ordering_with_tools_and_text(svc):
+    service, conn = svc
+    service.dispatch_pipeline_event(
+        conn,
+        AssistantTextEvent(
+            tools=[FunctionToolCall(call_id="call_a", name="f1", arguments="{}")], text=""
+        ),
+    )
+    service.dispatch_pipeline_event(conn, AssistantTextEvent(text="Spoken words."))
+    service.dispatch_pipeline_event(
+        conn,
+        AssistantTextEvent(
+            tools=[FunctionToolCall(call_id="call_b", name="f2", arguments="{}")], text=""
+        ),
+    )
+    done = [e for e in service.finish_response(conn) if e["type"] == "response.done"][0]
+    output = done["response"]["output"]
+    kinds = [(o["type"], o.get("name") or o.get("role")) for o in output]
+    # streaming order preserved: f1, assistant message, f2
+    assert kinds == [("function_call", "f1"), ("message", "assistant"), ("function_call", "f2")]
+
+
+def test_response_create_with_inband_input_items(svc):
+    service, conn = svc
+    evt = service.handle_response_create(
+        conn,
+        {
+            "input": [
+                {"type": "message", "role": "user",
+                 "content": [{"type": "input_text", "text": "from input"}]}
+            ]
+        },
+    )
+    assert evt["type"] == "response.created"
+    chat = service._state(conn).runtime_config.chat
+    assert chat.user_turn_count == 1  # in-band input lands in history
+    assert chat.buffer[0].content[0].text == "from input"
+
+
+def test_interrupts_disabled_keeps_response(svc):
+    service, conn = svc
+    service.handle_session_update(
+        conn,
+        {"audio": {"input": {"turn_detection": {"type": "server_vad", "interrupt_response": False}}}},
+    )
+    assert not service._state(conn).runtime_config.interrupt_response_enabled
+    service.handle_response_create(conn, None)
+    events = service.dispatch_pipeline_event(
+        conn, SpeechStartedEvent(turn_id="t2", turn_revision=0, interrupt_response=True)
+    )
+    # no cancellation: the active response survives the speech start
+    assert "response.done" not in types(events)
+    assert service._state(conn).in_response

@@ -363,3 +363,37 @@ def test_send_loop_defers_assistant_text_during_reopen_grace():
         assert tracker.is_committed("t1", 0)
 
     asyncio.run(main())
+
+
+def test_output_audio_buffer_clear_rejected_on_websocket():
+    async def main():
+        from s2s_tpu.realtime.router import dispatch_client_event
+
+        unit = make_unit()
+        transport, sid = attach(unit)
+        await dispatch_client_event(
+            unit, sid, {"type": "output_audio_buffer.clear"}, transport, transport_kind="websocket"
+        )
+        assert transport.events and transport.events[0]["type"] == "error"
+        assert transport.events[0]["error"]["type"] == "invalid_event_for_transport"
+
+    asyncio.run(main())
+
+
+def test_response_cancel_via_client_event_flushes():
+    async def main():
+        from s2s_tpu.realtime.router import dispatch_client_event
+
+        unit = make_unit()
+        transport, sid = attach(unit)
+        unit.service.handle_response_create(sid, None)
+        gen = unit.cancel_scope.generation
+        unit.output_queue.put(AudioOutput(audio=np.zeros(512, np.int16), cancel_generation=gen))
+        await dispatch_client_event(unit, sid, {"type": "response.cancel"}, transport)
+        done = [e for e in transport.events if e["type"] == "response.done"]
+        assert done and done[0]["response"]["status"] == "cancelled"
+        assert done[0]["response"]["status_details"]["reason"] == "client_cancelled"
+        assert unit.cancel_scope.generation != gen
+        assert unit.should_listen.is_set()
+
+    asyncio.run(main())
