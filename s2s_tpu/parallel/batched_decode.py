@@ -1,0 +1,109 @@
+"""Cross-session batched decoding with per-slot positions.
+
+The serving-throughput lever: N concurrent sessions decode through ONE
+device program even though each sits at a different position in its own
+conversation.  Extends the decoder LM's single-position decode with:
+
+- ``pos`` as a (B,) vector — each batch row writes its KV at its own
+  offset (vmapped ``dynamic_update_slice``) and masks keys to its own
+  length;
+- per-row rope tables gathered at each row's position;
+- an ``active`` mask so idle slots (no pending token) don't advance.
+
+Used standalone by a session scheduler (round-2 wiring); equivalence with
+independent single-session decodes is pinned by
+``tests/test_batched_decode.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from s2s_tpu.models.common import KVCache, attention, linear, rms_norm, rope_frequencies, swiglu
+from s2s_tpu.models.decoder_lm import DecoderLMConfig, _logits
+from s2s_tpu.models.common import apply_rope
+
+
+class MultiDecodeState(NamedTuple):
+    """Batched decode carry: stacked caches (L, B, kv, T, hd) + per-slot pos (B,)."""
+
+    caches: KVCache
+    pos: jax.Array  # (B,) int32
+
+
+def init_multi_state(cfg: DecoderLMConfig, batch: int, max_t: int | None = None) -> MultiDecodeState:
+    max_t = max_t or cfg.max_seq_len
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_t, cfg.head_dim)
+    return MultiDecodeState(
+        KVCache(jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)),
+        jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _row_update(cache_bhtd, new_bh1d, pos_b):
+    """Per-row cache write at each row's own position.
+    cache: (B, H, T, D); new: (B, H, 1, D); pos: (B,)."""
+
+    def one(cache_htd, new_h1d, p):
+        return jax.lax.dynamic_update_slice(cache_htd, new_h1d, (0, p, 0))
+
+    return jax.vmap(one)(cache_bhtd, new_bh1d, pos_b)
+
+
+def _block_multi(x, lp, cfg: DecoderLMConfig, cache_k, cache_v, pos, cos_b, sin_b, mask):
+    """One block for a (B, 1, D) step with per-row positions."""
+    b = x.shape[0]
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+    q = linear(h, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = linear(h, lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = linear(h, lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    # per-row rope: cos_b/sin_b are (B, 1, hd/2)
+    q = jax.vmap(lambda qq, c, s: apply_rope(qq[None], c, s)[0])(q, cos_b, sin_b)
+    k = jax.vmap(lambda kk, c, s: apply_rope(kk[None], c, s)[0])(k, cos_b, sin_b)
+    cache_k = _row_update(cache_k, k, pos)
+    cache_v = _row_update(cache_v, v, pos)
+    attn = attention(q, cache_k, cache_v, mask)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.n_heads * cfg.head_dim)
+    x = x + linear(attn, lp["wo"])
+    h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+    x = x + swiglu(h, lp["w_gate"], lp["w_up"], lp["w_down"])
+    return x, cache_k, cache_v
+
+
+def decode_step_multi(params, cfg: DecoderLMConfig, tokens, state: MultiDecodeState, active=None):
+    """One batched step. tokens: (B,) int32; active: (B,) bool (idle rows keep
+    their state and produce garbage logits the scheduler ignores).
+    Returns (logits (B, V) float32, new state)."""
+    b = tokens.shape[0]
+    if active is None:
+        active = jnp.ones((b,), bool)
+    x = params["embed"][tokens][:, None, :].astype(cfg.dtype)
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    cos_b = cos_full[state.pos][:, None, :]  # (B, 1, hd/2)
+    sin_b = sin_full[state.pos][:, None, :]
+    max_t = state.caches.k.shape[3]
+    # per-row key mask: keys <= own position
+    mask = (jnp.arange(max_t)[None, :] <= state.pos[:, None])[:, None, None, :]
+
+    def body(carry, xs):
+        h = carry
+        lp, ck, cv = xs
+        h, ck, cv = _block_multi(h, lp, cfg, ck, cv, state.pos, cos_b, sin_b, mask)
+        return h, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], state.caches.k, state.caches.v))
+    logits = _logits(x, params, cfg)[:, 0]
+    keep = active[None, :, None, None, None]  # (1, B, 1, 1, 1) over (L, B, H, T, D)
+    new_caches = KVCache(
+        jnp.where(keep, new_k, state.caches.k),
+        jnp.where(keep, new_v, state.caches.v),
+    )
+    new_pos = jnp.where(active, state.pos + 1, state.pos)
+    return logits, MultiDecodeState(new_caches, new_pos)
+
+
+jit_decode_step_multi = partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))(decode_step_multi)
