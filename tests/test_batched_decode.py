@@ -65,3 +65,17 @@ def test_batched_with_staggered_positions_and_idle_slots():
             np.testing.assert_allclose(np.asarray(logits[1]), ref_b[b_step], atol=3e-4)
             b_step += 1
     assert state.pos.tolist() == [8, 4]
+
+
+def test_jit_decode_step_multi_with_donation():
+    from s2s_tpu.parallel.batched_decode import jit_decode_step_multi
+
+    cfg = DecoderLMConfig.tiny()
+    params = decoder_lm.init_params(jax.random.PRNGKey(6), cfg)
+    state = init_multi_state(cfg, 3, max_t=32)
+    tokens = jnp.zeros((3,), jnp.int32)
+    active = jnp.asarray([True, False, True])
+    for _ in range(3):
+        logits, state = jit_decode_step_multi(params, cfg, tokens, state, active)
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    assert state.pos.tolist() == [3, 0, 3]  # idle slot never advanced
