@@ -26,9 +26,74 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from s2s_tpu.models.common import Params, linear, rope_frequencies
+from s2s_tpu.models.common import Params, apply_rope, attention, layer_norm, linear, rope_frequencies
 from s2s_tpu.models.decoder_lm import stack_layers
-from s2s_tpu.models.parakeet import _conformer_block, _conv_stride2, _init_conformer_block
+
+
+def _lin(key, di, do, dtype):
+    return (jax.random.normal(key, (di, do), jnp.float32) * di ** -0.5).astype(dtype)
+
+
+def _init_conformer_block(key, cfg) -> Params:
+    """Rope-MHSA macaron conformer block (paraformer-local; Parakeet moved
+    to checkpoint-faithful rel-pos blocks)."""
+    ks = jax.random.split(key, 10)
+    d, dt = cfg.d_model, cfg.dtype
+    return {
+        "ff1_norm_w": jnp.ones((d,), dt), "ff1_norm_b": jnp.zeros((d,), dt),
+        "ff1_w1": _lin(ks[0], d, cfg.d_ff, dt), "ff1_b1": jnp.zeros((cfg.d_ff,), dt),
+        "ff1_w2": _lin(ks[1], cfg.d_ff, d, dt), "ff1_b2": jnp.zeros((d,), dt),
+        "attn_norm_w": jnp.ones((d,), dt), "attn_norm_b": jnp.zeros((d,), dt),
+        "wq": _lin(ks[2], d, d, dt), "wk": _lin(ks[3], d, d, dt),
+        "wv": _lin(ks[4], d, d, dt), "wo": _lin(ks[5], d, d, dt),
+        "conv_norm_w": jnp.ones((d,), dt), "conv_norm_b": jnp.zeros((d,), dt),
+        "conv_pw1": _lin(ks[6], d, 2 * d, dt),
+        "conv_dw": (jax.random.normal(ks[7], (cfg.conv_kernel, 1, d), jnp.float32)
+                    * cfg.conv_kernel ** -0.5).astype(dt),
+        "conv_pw2": _lin(ks[8], d, d, dt),
+        "ff2_norm_w": jnp.ones((d,), dt), "ff2_norm_b": jnp.zeros((d,), dt),
+        "ff2_w1": _lin(ks[9], d, cfg.d_ff, dt), "ff2_b1": jnp.zeros((cfg.d_ff,), dt),
+        "ff2_w2": _lin(jax.random.split(ks[9])[0], cfg.d_ff, d, dt), "ff2_b2": jnp.zeros((d,), dt),
+        "final_norm_w": jnp.ones((d,), dt), "final_norm_b": jnp.zeros((d,), dt),
+    }
+
+
+def _conv_stride2(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(2,), padding=((1, 1),),
+        dimension_numbers=("NTC", "TIO", "NTC"), preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _conformer_block(x, p, cfg, cos, sin):
+    head_dim = cfg.d_model // cfg.n_heads
+    h = layer_norm(x, p["ff1_norm_w"], p["ff1_norm_b"])
+    h = linear(jax.nn.silu(linear(h, p["ff1_w1"]) + p["ff1_b1"]), p["ff1_w2"]) + p["ff1_b2"]
+    x = x + 0.5 * h
+    b, t, d = x.shape
+    h = layer_norm(x, p["attn_norm_w"], p["attn_norm_b"])
+    q = linear(h, p["wq"]).reshape(b, t, cfg.n_heads, head_dim).transpose(0, 2, 1, 3)
+    k = linear(h, p["wk"]).reshape(b, t, cfg.n_heads, head_dim).transpose(0, 2, 1, 3)
+    v = linear(h, p["wv"]).reshape(b, t, cfg.n_heads, head_dim).transpose(0, 2, 1, 3)
+    q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+    a = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, t, d)
+    x = x + linear(a, p["wo"])
+    h = layer_norm(x, p["conv_norm_w"], p["conv_norm_b"])
+    h = linear(h, p["conv_pw1"])
+    a_half, b_half = jnp.split(h, 2, axis=-1)
+    h = a_half * jax.nn.sigmoid(b_half)
+    pad = cfg.conv_kernel // 2
+    h = jax.lax.conv_general_dilated(
+        h, p["conv_dw"], window_strides=(1,), padding=((pad, pad),),
+        dimension_numbers=("NTC", "TIO", "NTC"), feature_group_count=cfg.d_model,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    h = linear(jax.nn.silu(h), p["conv_pw2"])
+    x = x + h
+    h = layer_norm(x, p["ff2_norm_w"], p["ff2_norm_b"])
+    h = linear(jax.nn.silu(linear(h, p["ff2_w1"]) + p["ff2_b1"]), p["ff2_w2"]) + p["ff2_b2"]
+    x = x + 0.5 * h
+    return layer_norm(x, p["final_norm_w"], p["final_norm_b"])
 
 
 @dataclass(frozen=True)
@@ -57,12 +122,7 @@ class ParaformerConfig:
 
 
 def init_params(key, cfg: ParaformerConfig) -> Params:
-    from s2s_tpu.models.parakeet import ParakeetConfig
-
-    blk_cfg = ParakeetConfig(
-        d_model=cfg.d_model, n_heads=cfg.n_heads, d_ff=cfg.d_ff, conv_kernel=cfg.conv_kernel,
-        dtype=cfg.dtype,
-    )
+    blk_cfg = cfg
     ks = jax.random.split(key, cfg.n_enc_layers + cfg.n_dec_layers + 8)
     d, dt = cfg.d_model, cfg.dtype
     sub = 192
@@ -101,12 +161,7 @@ def _cif_assign(alpha, max_tokens: int):
 def forward(params, cfg: ParaformerConfig, mel, n_frames):
     """mel: (1, n_mels, T_mel); n_frames: valid mel frames.
     Returns (token logits (1, max_tokens, V), n_tokens)."""
-    from s2s_tpu.models.parakeet import ParakeetConfig
-
-    blk_cfg = ParakeetConfig(
-        d_model=cfg.d_model, n_heads=cfg.n_heads, d_ff=cfg.d_ff, conv_kernel=cfg.conv_kernel,
-        dtype=cfg.dtype,
-    )
+    blk_cfg = cfg
     x = mel.transpose(0, 2, 1).astype(cfg.dtype)
     x = jax.nn.relu(_conv_stride2(x, params["sub1"]))
     x = jax.nn.relu(_conv_stride2(x, params["sub2"]))

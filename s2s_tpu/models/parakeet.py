@@ -1,28 +1,36 @@
-"""Parakeet-TDT-class ASR in pure JAX: conformer encoder + token-and-duration
-transducer (TDT) greedy decode.
+"""Parakeet-TDT ASR in pure JAX: FastConformer encoder + token-and-duration
+transducer (TDT) greedy decode, checkpoint-faithful to NVIDIA's release.
 
 Replaces the reference's default STT runtime (``nano-parakeet`` PyTorch /
 mlx-audio — reference ``STT/parakeet_tdt_handler.py:180-211``, SURVEY §2.9).
+Architecture matches the real checkpoints (``nvidia/parakeet-tdt-0.6b-v3``):
 
-TPU design:
+- log-mel frontend: preemphasis 0.97, hann(400) in a 512-pt FFT, hop 160,
+  slaney mel, ``log(x + 2^-24)``, then per-feature mean/std normalization
+  over the valid frames (NeMo ``AudioToMelSpectrogramPreprocessor``
+  semantics, matched against transformers' ``ParakeetFeatureExtractor``);
+- dw-striding 2-D conv subsampling x8 (conv -> [dw conv, pw conv] x2, ReLU),
+  flatten channels x mel, linear to d_model, input scaled by sqrt(d_model);
+- conformer blocks with **relative-position (Transformer-XL) attention**:
+  scores = scale*(q+u)k^T + scale*rel_shift((q+v)p^T), softmax in f32 —
+  verified against transformers' ``ParakeetEncoder`` (fixture in
+  ``tests/data/parakeet_parity.npz``);
+- conv module with GLU, depthwise conv, **BatchNorm (eval stats)**, SiLU;
+- LSTM prediction network + additive ReLU joint with a duration head;
+- the TDT greedy decode runs as ONE ``lax.while_loop`` on device: each
+  iteration evaluates the joint at (enc[t], pred_out); blank advances
+  ``max(duration, 1)`` frames, an emission advances ``duration`` and is
+  bounded **per frame** by ``max_symbols_per_frame`` (NeMo
+  ``GreedyTDTInfer`` semantics) — no host round-trips per token.
 
-- log-mel frontend shared with Whisper (:mod:`s2s_tpu.ops.mel`);
-- conv subsampling x8 then conformer blocks (macaron FFN, rope MHSA,
-  depthwise conv module) — one jitted encoder call over a bucketed window;
-- the TDT greedy decode — the hard part flagged in SURVEY §7 — is a single
-  ``lax.while_loop`` *entirely on device*: carry = (frame index, prediction-
-  network state, emitted-token buffer, counts).  Each iteration evaluates
-  the joint at (enc[t], pred_state); a non-blank emission appends the token
-  and advances the prediction LSTM; the duration head then advances the
-  frame index by the predicted duration (blank always moves >= 1).  Bounded
-  by ``max_symbols`` so the loop is shape-static — no host round trips per
-  token (the reference's GPU decode steps tokens through Python).
+Everything threads a valid-length mask (attention, conv, normalization) so
+bucket-padded windows produce bit-identical transcripts to unpadded audio.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, NamedTuple
 
 import jax
@@ -30,31 +38,37 @@ import jax.numpy as jnp
 import numpy as np
 
 from s2s_tpu.models.decoder_lm import stack_layers
-from s2s_tpu.models.common import (
-    Params,
-    apply_rope,
-    attention,
-    layer_norm,
-    linear,
-    rope_frequencies,
-)
+from s2s_tpu.models.common import Params, layer_norm, linear
 
-BLANK = 0  # token id 0 reserved for blank
-MAX_SYMBOLS = 512
+LOG_ZERO_GUARD = 2.0 ** -24
+NORM_EPS = 1e-5
+MAX_TOKENS = 512
 
 
 @dataclass(frozen=True)
 class ParakeetConfig:
-    n_mels: int = 80
+    # frontend
+    sample_rate: int = 16_000
+    n_mels: int = 128
+    n_fft: int = 512
+    win_length: int = 400
+    hop_length: int = 160
+    preemphasis: float = 0.97
+    # encoder
     d_model: int = 1024
     n_layers: int = 24
     n_heads: int = 8
     d_ff: int = 4096
     conv_kernel: int = 9
-    vocab_size: int = 8193  # 8192 BPE + blank(0)
+    sub_channels: int = 256
+    sub_layers: int = 3  # log2(subsampling factor 8)
+    # decoder / joint (blank id == vocab_size, NeMo layout)
+    vocab_size: int = 8192
     pred_hidden: int = 640
+    pred_layers: int = 1
     joint_hidden: int = 640
-    n_durations: int = 5  # TDT durations 0..4 frames
+    n_durations: int = 5  # durations 0..4
+    max_symbols_per_frame: int = 10
     max_enc_frames: int = 1500 // 8 + 8  # 15 s window at 80 ms/frame
     dtype: Any = jnp.bfloat16
 
@@ -62,206 +76,569 @@ class ParakeetConfig:
     def head_dim(self) -> int:
         return self.d_model // self.n_heads
 
+    @property
+    def blank_id(self) -> int:
+        return self.vocab_size
+
+    @property
+    def sub_factor(self) -> int:
+        return 2 ** self.sub_layers
+
     @staticmethod
-    def tdt_0_6b() -> "ParakeetConfig":
+    def tdt_0_6b_v3() -> "ParakeetConfig":
+        """nvidia/parakeet-tdt-0.6b-v3 (25-language, the reference default)."""
         return ParakeetConfig()
+
+    @staticmethod
+    def tdt_0_6b_v2() -> "ParakeetConfig":
+        """nvidia/parakeet-tdt-0.6b-v2 (English, 1024-token vocab)."""
+        return ParakeetConfig(vocab_size=1024)
 
     @staticmethod
     def test_tiny() -> "ParakeetConfig":
         return ParakeetConfig(
-            d_model=64, n_layers=2, n_heads=4, d_ff=128, vocab_size=64, pred_hidden=32,
-            joint_hidden=32, max_enc_frames=64, dtype=jnp.float32,
+            n_mels=32, d_model=64, n_layers=2, n_heads=4, d_ff=128, sub_channels=32,
+            vocab_size=64, pred_hidden=32, pred_layers=1, joint_hidden=32,
+            max_enc_frames=64, dtype=jnp.float32,
         )
+
+
+# ---------------------------------------------------------------------------
+# log-mel frontend (NeMo preprocessing semantics)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=4)
+def _stft_basis(n_fft: int, win_length: int) -> tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT bases (n_fft, n_fft//2+1): symmetric hann window
+    zero-padded to n_fft centered (torch.stft win_length < n_fft behavior)."""
+    window = np.zeros(n_fft, np.float64)
+    off = (n_fft - win_length) // 2
+    window[off : off + win_length] = np.hanning(win_length)  # periodic=False
+    n = np.arange(n_fft)
+    k = np.arange(n_fft // 2 + 1)
+    angle = -2.0 * np.pi * np.outer(n, k) / n_fft
+    return (
+        (np.cos(angle) * window[:, None]).astype(np.float32),
+        (np.sin(angle) * window[:, None]).astype(np.float32),
+    )
+
+
+@lru_cache(maxsize=4)
+def _mel_weights(n_mels: int, n_fft: int, sample_rate: int) -> np.ndarray:
+    from s2s_tpu.ops.mel import mel_filter_bank
+
+    return mel_filter_bank(n_mels, n_fft // 2 + 1, sample_rate)  # (n_freqs, n_mels)
+
+
+def log_mel_frontend(audio, n_valid, cfg: ParakeetConfig):
+    """audio: (N,) f32 (zero-padded past n_valid) -> (T, n_mels) normalized
+    log-mel and the valid frame count.  T = 1 + N // hop.
+
+    Matches transformers ``ParakeetFeatureExtractor`` / NeMo per-feature
+    normalization: preemphasis over valid samples, centered 512-pt STFT with
+    constant padding, power, slaney mel, log(x + 2^-24), then per-feature
+    mean/std over the ``n_valid // hop`` valid frames (std divisor N-1).
+    """
+    n = audio.shape[0]
+    sample_mask = jnp.arange(n) < n_valid
+    x = jnp.concatenate([audio[:1], audio[1:] - cfg.preemphasis * audio[:-1]])
+    x = jnp.where(sample_mask, x, 0.0).astype(jnp.float32)
+    pad = cfg.n_fft // 2
+    x = jnp.pad(x, (pad, pad))
+    n_frames = 1 + n // cfg.hop_length
+    idx = jnp.arange(n_frames)[:, None] * cfg.hop_length + jnp.arange(cfg.n_fft)[None, :]
+    frames = x[idx]  # (T, n_fft)
+    cos_b, sin_b = _stft_basis(cfg.n_fft, cfg.win_length)
+    re = frames @ jnp.asarray(cos_b)
+    im = frames @ jnp.asarray(sin_b)
+    power = re * re + im * im
+    mel = power @ jnp.asarray(_mel_weights(cfg.n_mels, cfg.n_fft, cfg.sample_rate))
+    logmel = jnp.log(mel + LOG_ZERO_GUARD)
+    n_valid_frames = n_valid // cfg.hop_length
+    frame_mask = (jnp.arange(n_frames) < n_valid_frames)[:, None]
+    masked = jnp.where(frame_mask, logmel, 0.0)
+    denom = jnp.maximum(n_valid_frames, 1).astype(jnp.float32)
+    mean = jnp.sum(masked, axis=0, keepdims=True) / denom
+    var = jnp.sum(jnp.where(frame_mask, (logmel - mean) ** 2, 0.0), axis=0, keepdims=True)
+    std = jnp.sqrt(var / jnp.maximum(denom - 1.0, 1.0))
+    out = (logmel - mean) / (std + NORM_EPS)
+    return jnp.where(frame_mask, out, 0.0), n_valid_frames
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
 
 
 def _lin(key, di, do, dtype):
     return (jax.random.normal(key, (di, do), jnp.float32) * di ** -0.5).astype(dtype)
 
 
-def _init_conformer_block(key, cfg: ParakeetConfig) -> Params:
-    ks = jax.random.split(key, 10)
-    d, dt = cfg.d_model, cfg.dtype
+def _init_block(key, cfg: ParakeetConfig) -> Params:
+    ks = jax.random.split(key, 14)
+    d, dt, h = cfg.d_model, cfg.dtype, cfg.head_dim
+    def norm():
+        return {"w": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)}
+    def ff(k1, k2):
+        return {"w1": _lin(k1, d, cfg.d_ff, dt), "b1": jnp.zeros((cfg.d_ff,), dt),
+                "w2": _lin(k2, cfg.d_ff, d, dt), "b2": jnp.zeros((d,), dt)}
     return {
-        "ff1_norm_w": jnp.ones((d,), dt), "ff1_norm_b": jnp.zeros((d,), dt),
-        "ff1_w1": _lin(ks[0], d, cfg.d_ff, dt), "ff1_b1": jnp.zeros((cfg.d_ff,), dt),
-        "ff1_w2": _lin(ks[1], cfg.d_ff, d, dt), "ff1_b2": jnp.zeros((d,), dt),
-        "attn_norm_w": jnp.ones((d,), dt), "attn_norm_b": jnp.zeros((d,), dt),
-        "wq": _lin(ks[2], d, d, dt), "wk": _lin(ks[3], d, d, dt),
-        "wv": _lin(ks[4], d, d, dt), "wo": _lin(ks[5], d, d, dt),
-        "conv_norm_w": jnp.ones((d,), dt), "conv_norm_b": jnp.zeros((d,), dt),
-        "conv_pw1": _lin(ks[6], d, 2 * d, dt),
-        "conv_dw": (jax.random.normal(ks[7], (cfg.conv_kernel, 1, d), jnp.float32)
-                    * cfg.conv_kernel ** -0.5).astype(dt),
-        "conv_pw2": _lin(ks[8], d, d, dt),
-        "ff2_norm_w": jnp.ones((d,), dt), "ff2_norm_b": jnp.zeros((d,), dt),
-        "ff2_w1": _lin(ks[9], d, cfg.d_ff, dt), "ff2_b1": jnp.zeros((cfg.d_ff,), dt),
-        "ff2_w2": _lin(jax.random.split(ks[9])[0], cfg.d_ff, d, dt), "ff2_b2": jnp.zeros((d,), dt),
-        "final_norm_w": jnp.ones((d,), dt), "final_norm_b": jnp.zeros((d,), dt),
+        "ff1_norm": norm(), "ff1": ff(ks[0], ks[1]),
+        "attn_norm": norm(),
+        "attn": {
+            "wq": _lin(ks[2], d, d, dt), "bq": jnp.zeros((d,), dt),
+            "wk": _lin(ks[3], d, d, dt), "bk": jnp.zeros((d,), dt),
+            "wv": _lin(ks[4], d, d, dt), "bv": jnp.zeros((d,), dt),
+            "wo": _lin(ks[5], d, d, dt), "bo": jnp.zeros((d,), dt),
+            "wpos": _lin(ks[6], d, d, dt),
+            "u": (jax.random.normal(ks[7], (cfg.n_heads, h), jnp.float32) * 0.02).astype(dt),
+            "v": (jax.random.normal(ks[8], (cfg.n_heads, h), jnp.float32) * 0.02).astype(dt),
+        },
+        "conv_norm": norm(),
+        "conv": {
+            "pw1_w": _lin(ks[9], d, 2 * d, dt), "pw1_b": jnp.zeros((2 * d,), dt),
+            "dw_w": (jax.random.normal(ks[10], (cfg.conv_kernel, 1, d), jnp.float32)
+                     * cfg.conv_kernel ** -0.5).astype(dt),
+            "dw_b": jnp.zeros((d,), dt),
+            "bn_w": jnp.ones((d,), jnp.float32), "bn_b": jnp.zeros((d,), jnp.float32),
+            "bn_mean": jnp.zeros((d,), jnp.float32), "bn_var": jnp.ones((d,), jnp.float32),
+            "pw2_w": _lin(ks[11], d, d, dt), "pw2_b": jnp.zeros((d,), dt),
+        },
+        "ff2_norm": norm(), "ff2": ff(ks[12], ks[13]),
+        "out_norm": norm(),
     }
 
 
 def init_params(key, cfg: ParakeetConfig) -> Params:
-    ks = jax.random.split(key, cfg.n_layers + 10)
-    d, dt = cfg.d_model, cfg.dtype
-    sub_ch = 256
+    ks = jax.random.split(key, cfg.n_layers + 12)
+    dt, ch = cfg.dtype, cfg.sub_channels
+    k3 = 3
+    f_out = cfg.n_mels // cfg.sub_factor
+
+    def conv2d(key, cin, cout, groups=1):
+        fan = cin // groups * k3 * k3
+        w = jax.random.normal(key, (cout, cin // groups, k3, k3), jnp.float32) * fan ** -0.5
+        return {"w": w.astype(dt), "b": jnp.zeros((cout,), dt)}
+
+    sub: Params = {"conv0": conv2d(ks[0], 1, ch)}
+    for i in range(1, cfg.sub_layers):
+        sub[f"dw{i}"] = conv2d(ks[2 * i - 1], ch, ch, groups=ch)
+        sub[f"pw{i}"] = {
+            "w": (jax.random.normal(ks[2 * i], (ch, ch, 1, 1), jnp.float32) * ch ** -0.5).astype(dt),
+            "b": jnp.zeros((ch,), dt),
+        }
+    sub["out"] = {"w": _lin(ks[5], ch * f_out, cfg.d_model, dt), "b": jnp.zeros((cfg.d_model,), dt)}
+
+    pred_layers = []
+    for i in range(cfg.pred_layers):
+        kin = cfg.pred_hidden
+        pred_layers.append({
+            "wi": _lin(ks[6 + i], kin, 4 * cfg.pred_hidden, dt),
+            "wh": _lin(jax.random.split(ks[6 + i])[0], cfg.pred_hidden, 4 * cfg.pred_hidden, dt),
+            "bi": jnp.zeros((4 * cfg.pred_hidden,), dt),
+            "bh": jnp.zeros((4 * cfg.pred_hidden,), dt),
+        })
     return {
-        # subsampling: 3 stride-2 convs over (T, mel) -> T/8
-        "sub1": (jax.random.normal(ks[0], (3, cfg.n_mels, sub_ch), jnp.float32) * 0.05).astype(dt),
-        "sub2": (jax.random.normal(ks[1], (3, sub_ch, sub_ch), jnp.float32) * 0.05).astype(dt),
-        "sub3": (jax.random.normal(ks[2], (3, sub_ch, sub_ch), jnp.float32) * 0.05).astype(dt),
-        "sub_proj": _lin(ks[3], sub_ch, d, dt),
-        "blocks": stack_layers([_init_conformer_block(ks[4 + i], cfg) for i in range(cfg.n_layers)]),
-        # prediction network: single-layer LSTM over emitted tokens
-        "pred_embed": (jax.random.normal(ks[-5], (cfg.vocab_size, cfg.pred_hidden), jnp.float32) * 0.02).astype(dt),
-        "pred_wi": _lin(ks[-4], cfg.pred_hidden, 4 * cfg.pred_hidden, dt),
-        "pred_wh": _lin(ks[-3], cfg.pred_hidden, 4 * cfg.pred_hidden, dt),
-        "pred_b": jnp.zeros((4 * cfg.pred_hidden,), dt),
-        # joint
-        "joint_enc": _lin(ks[-2], d, cfg.joint_hidden, dt),
-        "joint_pred": _lin(ks[-1], cfg.pred_hidden, cfg.joint_hidden, dt),
-        "joint_out": _lin(jax.random.split(ks[-1])[0], cfg.joint_hidden, cfg.vocab_size + cfg.n_durations, dt),
+        "sub": sub,
+        "blocks": stack_layers([_init_block(ks[10 + i], cfg) for i in range(cfg.n_layers)]),
+        "pred": {
+            "embed": (jax.random.normal(ks[8], (cfg.vocab_size + 1, cfg.pred_hidden), jnp.float32)
+                      * 0.02).astype(dt),
+            "layers": pred_layers,
+        },
+        "joint": {
+            "enc_w": _lin(ks[9], cfg.d_model, cfg.joint_hidden, dt),
+            "enc_b": jnp.zeros((cfg.joint_hidden,), dt),
+            "pred_w": _lin(jax.random.split(ks[9])[0], cfg.pred_hidden, cfg.joint_hidden, dt),
+            "pred_b": jnp.zeros((cfg.joint_hidden,), dt),
+            "out_w": _lin(jax.random.split(ks[9], 3)[2], cfg.joint_hidden,
+                          cfg.vocab_size + 1 + cfg.n_durations, dt),
+            "out_b": jnp.zeros((cfg.vocab_size + 1 + cfg.n_durations,), dt),
+        },
     }
 
 
-def _conv_stride2(x, w):
-    return jax.lax.conv_general_dilated(
-        x, w, window_strides=(2,), padding=((1, 1),),
-        dimension_numbers=("NTC", "TIO", "NTC"), preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
 
 
-def _conformer_block(x, p, cfg: ParakeetConfig, cos, sin):
-    # macaron FFN 1 (half-step)
-    h = layer_norm(x, p["ff1_norm_w"], p["ff1_norm_b"])
-    h = linear(jax.nn.silu(linear(h, p["ff1_w1"]) + p["ff1_b1"]), p["ff1_w2"]) + p["ff1_b2"]
-    x = x + 0.5 * h
-    # MHSA with rope
+def _conv2d(x, p, stride: int, groups: int = 1):
+    pad = (p["w"].shape[-1] - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    return (out + p["b"][None, :, None, None].astype(jnp.float32)).astype(x.dtype)
+
+
+def _sub_len(length):
+    return (length - 1) // 2 + 1
+
+
+def _subsample(params, cfg: ParakeetConfig, mel, n_frames):
+    """mel: (B, T, n_mels) -> (B, T//8, d_model), valid length after each
+    strided conv masked to zero (matches the torch reference exactly).
+    n_frames: (B,) valid mel frames."""
+    x = mel[:, None, :, :].astype(cfg.dtype)  # NCHW, H=time, W=mel
+
+    def mask_time(x, length):
+        t = x.shape[2]
+        m = jnp.arange(t)[None, None, :, None] < length[:, None, None, None]
+        return jnp.where(m, x, 0)
+
+    length = n_frames
+    x = jax.nn.relu(_conv2d(x, params["conv0"], 2))
+    length = _sub_len(length)
+    x = mask_time(x, length)
+    for i in range(1, cfg.sub_layers):
+        x = _conv2d(x, params[f"dw{i}"], 2, groups=cfg.sub_channels)
+        length = _sub_len(length)
+        x = mask_time(x, length)
+        x = jax.nn.relu(_conv2d(x, params[f"pw{i}"], 1))
+        x = mask_time(x, length)
+    b, c, t, f = x.shape
+    x = x.transpose(0, 2, 1, 3).reshape(b, t, c * f)
+    return linear(x, params["out"]["w"], params["out"]["b"]), length
+
+
+def _rel_pos_embed(t: int, d_model: int) -> jax.Array:
+    """(2t-1, d_model) interleaved sin/cos over positions t-1 .. -(t-1)."""
+    inv = 1.0 / (10000.0 ** (np.arange(0, d_model, 2, dtype=np.float64) / d_model))
+    pos = np.arange(t - 1, -t, -1, dtype=np.float64)
+    freqs = np.outer(pos, inv)  # (2t-1, d/2)
+    pe = np.stack([np.sin(freqs), np.cos(freqs)], axis=-1).reshape(2 * t - 1, d_model)
+    return jnp.asarray(pe, jnp.float32)
+
+
+def _rel_attention(x, p, cfg: ParakeetConfig, pos_emb, valid):
+    """Transformer-XL attention. x: (B,T,D); pos_emb: (2T-1,D);
+    valid: (B,T) bool."""
     b, t, d = x.shape
-    h = layer_norm(x, p["attn_norm_w"], p["attn_norm_b"])
-    q = linear(h, p["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = linear(h, p["wk"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = linear(h, p["wv"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
-    a = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, t, d)
-    x = x + linear(a, p["wo"])
-    # conv module: pointwise-GLU -> depthwise -> swish -> pointwise
-    h = layer_norm(x, p["conv_norm_w"], p["conv_norm_b"])
-    h = linear(h, p["conv_pw1"])
-    a_half, b_half = jnp.split(h, 2, axis=-1)
-    h = a_half * jax.nn.sigmoid(b_half)
-    pad = cfg.conv_kernel // 2
+    h, hd = cfg.n_heads, cfg.head_dim
+    scale = hd ** -0.5
+
+    def heads(y):
+        return y.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+
+    q = heads(linear(x, p["wq"], p["bq"]))
+    k = heads(linear(x, p["wk"], p["bk"]))
+    v = heads(linear(x, p["wv"], p["bv"]))
+    rel_k = linear(pos_emb.astype(x.dtype), p["wpos"]).reshape(2 * t - 1, h, hd)
+
+    qu = q + p["u"][None, :, None, :]
+    qv = q + p["v"][None, :, None, :]
+    ac = jnp.einsum("bhqd,bhkd->bhqk", qu, k, preferred_element_type=jnp.float32)
+    bd_raw = jnp.einsum("bhqd,phd->bhqp", qv, rel_k, preferred_element_type=jnp.float32)
+    # rel_shift: out[i, j] = raw[i, (T-1) - i + j]  (pad/reshape trick, see
+    # tests vs torch); gather formulation keeps it one XLA gather.
+    idx = (t - 1) - jnp.arange(t)[:, None] + jnp.arange(t)[None, :]  # (T, T)
+    bd = jnp.take_along_axis(bd_raw, idx[None, None], axis=-1)
+    scores = (ac + bd) * scale
+    mask = (valid[:, None, None, :] & valid[:, None, :, None])
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, d)
+    return linear(out, p["wo"], p["bo"])
+
+
+def _conv_module(x, p, cfg: ParakeetConfig, valid):
+    """GLU pointwise -> masked depthwise -> BatchNorm(eval) -> SiLU -> pointwise."""
+    h = linear(x, p["pw1_w"], p["pw1_b"])
+    a, gate = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(a.dtype)
+    h = jnp.where(valid[:, :, None], h, 0)
+    pad = (cfg.conv_kernel - 1) // 2
     h = jax.lax.conv_general_dilated(
-        h, p["conv_dw"], window_strides=(1,), padding=((pad, pad),),
+        h, p["dw_w"].astype(h.dtype), (1,), ((pad, pad),),
         dimension_numbers=("NTC", "TIO", "NTC"), feature_group_count=cfg.d_model,
         preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    h = linear(jax.nn.silu(h), p["conv_pw2"])
-    x = x + h
-    # macaron FFN 2 (half-step)
-    h = layer_norm(x, p["ff2_norm_w"], p["ff2_norm_b"])
-    h = linear(jax.nn.silu(linear(h, p["ff2_w1"]) + p["ff2_b1"]), p["ff2_w2"]) + p["ff2_b2"]
-    x = x + 0.5 * h
-    return layer_norm(x, p["final_norm_w"], p["final_norm_b"])
+    ) + p["dw_b"].astype(jnp.float32)
+    bn_scale = p["bn_w"] * jax.lax.rsqrt(p["bn_var"] + 1e-5)
+    h = (h - p["bn_mean"]) * bn_scale + p["bn_b"]
+    h = jax.nn.silu(h).astype(x.dtype)
+    return linear(h, p["pw2_w"], p["pw2_b"])
 
 
-def encode(params, cfg: ParakeetConfig, mel):
-    """mel: (B, n_mels, T_mel) -> (B, T_mel/8, d_model)."""
-    x = mel.transpose(0, 2, 1).astype(cfg.dtype)
-    x = jax.nn.relu(_conv_stride2(x, params["sub1"]))
-    x = jax.nn.relu(_conv_stride2(x, params["sub2"]))
-    x = jax.nn.relu(_conv_stride2(x, params["sub3"]))
-    x = linear(x, params["sub_proj"])
+def _ff(x, p):
+    h = jax.nn.silu(linear(x, p["w1"], p["b1"]).astype(jnp.float32)).astype(x.dtype)
+    return linear(h, p["w2"], p["b2"])
+
+
+def _block(x, p, cfg: ParakeetConfig, pos_emb, valid):
+    x = x + 0.5 * _ff(layer_norm(x, p["ff1_norm"]["w"], p["ff1_norm"]["b"]), p["ff1"])
+    x = x + _rel_attention(layer_norm(x, p["attn_norm"]["w"], p["attn_norm"]["b"]),
+                           p["attn"], cfg, pos_emb, valid)
+    x = x + _conv_module(layer_norm(x, p["conv_norm"]["w"], p["conv_norm"]["b"]),
+                         p["conv"], cfg, valid)
+    x = x + 0.5 * _ff(layer_norm(x, p["ff2_norm"]["w"], p["ff2_norm"]["b"]), p["ff2"])
+    return layer_norm(x, p["out_norm"]["w"], p["out_norm"]["b"])
+
+
+def encode(params, cfg: ParakeetConfig, mel, n_frames):
+    """mel: (B, T_mel, n_mels) normalized; n_frames: (B,) or scalar valid mel
+    frames.  Returns (enc (B, T', d_model), enc_len)."""
+    n_frames = jnp.asarray(n_frames)
+    if n_frames.ndim == 0:
+        n_frames = n_frames[None]
+    x, enc_len = _subsample(params["sub"], cfg, mel, n_frames)
+    x = x * jnp.asarray(np.sqrt(cfg.d_model), cfg.dtype)
     t = x.shape[1]
-    cos_full, sin_full = rope_frequencies(cfg.head_dim, max(t, cfg.max_enc_frames))
-    cos, sin = cos_full[:t], sin_full[:t]
+    pos_emb = _rel_pos_embed(t, cfg.d_model)
+    valid = jnp.arange(t)[None, :] < enc_len[:, None]
+
     def body(carry, block):
-        return _conformer_block(carry, block, cfg, cos, sin), None
+        return _block(carry, block, cfg, pos_emb, valid), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    return x
+    x = jnp.where(valid[:, :, None], x, 0)
+    return x, enc_len
+
+
+# ---------------------------------------------------------------------------
+# prediction network / joint / TDT greedy decode
+# ---------------------------------------------------------------------------
 
 
 class PredState(NamedTuple):
-    h: jax.Array
-    c: jax.Array
+    h: jax.Array  # (L, B, H)
+    c: jax.Array  # (L, B, H)
 
 
-def _pred_step(params, token, state: PredState) -> tuple[jax.Array, PredState]:
-    """Prediction-network LSTM step; returns (output (B, H), new state)."""
-    emb = params["pred_embed"][token]
-    gates = emb @ params["pred_wi"] + state.h @ params["pred_wh"] + params["pred_b"]
-    i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, axis=-1)
-    c = jax.nn.sigmoid(f) * state.c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h = jax.nn.sigmoid(o) * jnp.tanh(c)
-    return h.astype(emb.dtype), PredState(h.astype(emb.dtype), c.astype(emb.dtype))
+def init_pred_state(cfg: ParakeetConfig, batch: int = 1) -> PredState:
+    shape = (cfg.pred_layers, batch, cfg.pred_hidden)
+    return PredState(jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
 
 
-def _joint(params, cfg: ParakeetConfig, enc_t, pred_out):
-    """Joint network: (B, D), (B, H) -> (token logits (B, V), duration logits (B, n_dur))."""
-    j = jnp.tanh(enc_t @ params["joint_enc"] + pred_out @ params["joint_pred"])
-    logits = (j @ params["joint_out"]).astype(jnp.float32)
-    return logits[:, : cfg.vocab_size], logits[:, cfg.vocab_size :]
+def pred_step(params, cfg: ParakeetConfig, token, state: PredState):
+    """One prediction-network step.  token: (B,) int32 (blank == SOS).
+    Returns (output (B, H), new state).  Torch LSTM gate order i,f,g,o,
+    gates and activations in f32."""
+    x = params["pred"]["embed"][token]
+    hs, cs = [], []
+    for li, lp in enumerate(params["pred"]["layers"]):
+        gates = (x @ lp["wi"] + lp["bi"] + state.h[li] @ lp["wh"] + lp["bh"]).astype(jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * state.c[li].astype(jnp.float32) + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        x = h.astype(x.dtype)
+        hs.append(x)
+        cs.append(c.astype(x.dtype))
+    return x, PredState(jnp.stack(hs), jnp.stack(cs))
+
+
+def joint(params, cfg: ParakeetConfig, enc_t, pred_out):
+    """(B, D), (B, H) -> (token logits (B, V+1), duration logits (B, n_dur))."""
+    jp = params["joint"]
+    h = linear(enc_t, jp["enc_w"], jp["enc_b"]) + linear(pred_out, jp["pred_w"], jp["pred_b"])
+    logits = linear(jax.nn.relu(h), jp["out_w"], jp["out_b"]).astype(jnp.float32)
+    return logits[:, : cfg.vocab_size + 1], logits[:, cfg.vocab_size + 1 :]
 
 
 @partial(jax.jit, static_argnums=(1,))
 def tdt_greedy_decode(params, cfg: ParakeetConfig, encoded, enc_len):
-    """On-device TDT greedy decode via ``lax.while_loop``.
+    """On-device TDT greedy decode (NeMo ``GreedyTDTInfer`` semantics).
 
     encoded: (1, T, D); enc_len: scalar valid frames.
-    Returns (tokens (MAX_SYMBOLS,) int32 padded with -1, n_tokens).
+    Returns (tokens (MAX_TOKENS,) int32 padded with -1, n_tokens).
     """
     max_t = encoded.shape[1]
+    max_steps = max_t * (cfg.max_symbols_per_frame + 1) + MAX_TOKENS
+    blank = cfg.blank_id
+
+    init_out, init_state = pred_step(
+        params, cfg, jnp.full((1,), blank, jnp.int32), init_pred_state(cfg)
+    )
 
     def cond(carry):
-        t, _state, _buf, n, steps = carry
-        return (t < enc_len) & (n < MAX_SYMBOLS) & (steps < MAX_SYMBOLS + max_t)
+        t, _out, _state, _buf, n, syms, steps = carry
+        return (t < enc_len) & (n < MAX_TOKENS) & (steps < max_steps)
 
     def body(carry):
-        t, state, buf, n, steps = carry
-        enc_t = jax.lax.dynamic_slice_in_dim(encoded, t, 1, axis=1)[:, 0]  # (1, D)
-        # joint evaluates against the CURRENT prediction-network output
-        token_logits, dur_logits = _joint(params, cfg, enc_t, state.h)
+        t, pred_out, state, buf, n, syms, steps = carry
+        enc_t = jax.lax.dynamic_slice_in_dim(encoded, t, 1, axis=1)[:, 0]
+        token_logits, dur_logits = joint(params, cfg, enc_t, pred_out)
         token = jnp.argmax(token_logits, axis=-1)[0].astype(jnp.int32)
-        duration = jnp.argmax(dur_logits, axis=-1)[0].astype(jnp.int32)
-        is_blank = token == BLANK
-        # non-blank: emit + advance prediction LSTM
-        new_out, new_state = _pred_step(params, token[None], state)
+        dur = jnp.argmax(dur_logits, axis=-1)[0].astype(jnp.int32)
+        is_blank = token == blank
+        # emission: append token, step the prediction LSTM
+        new_out, new_state = pred_step(params, cfg, token[None], state)
+        pred_out = jnp.where(is_blank, pred_out, new_out)
         state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(is_blank, old, new), new_state, state
         )
         buf = jax.lax.cond(
-            is_blank,
-            lambda b: b,
-            lambda b: jax.lax.dynamic_update_index_in_dim(b, token, n, axis=0),
-            buf,
+            is_blank, lambda b: b,
+            lambda b: jax.lax.dynamic_update_index_in_dim(b, token, n, axis=0), buf,
         )
         n = jnp.where(is_blank, n, n + 1)
-        # TDT frame advance: duration 0 only allowed on emission; blank moves >= 1
-        advance = jnp.where(is_blank, jnp.maximum(duration, 1), duration)
-        # guard against stalling: an emission with duration 0 can repeat at the
-        # same frame, bounded by the steps counter
-        t = t + advance
-        return (t, state, buf, n, steps + 1)
+        # frame advance: blank with duration 0 forces 1; an emission may stay
+        # on the frame (duration 0) at most max_symbols_per_frame times
+        syms = jnp.where(is_blank, syms, syms + 1)
+        advance = jnp.where(is_blank, jnp.maximum(dur, 1), dur)
+        advance = jnp.where(
+            (~is_blank) & (syms >= cfg.max_symbols_per_frame), jnp.maximum(advance, 1), advance
+        )
+        syms = jnp.where(advance > 0, 0, syms)
+        return (t + advance, pred_out, state, buf, n, syms, steps + 1)
 
-    init_state = PredState(
-        jnp.zeros((1, cfg.pred_hidden), cfg.dtype), jnp.zeros((1, cfg.pred_hidden), cfg.dtype)
-    )
-    buf = jnp.full((MAX_SYMBOLS,), -1, jnp.int32)
-    t, state, buf, n, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), init_state, buf, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    buf = jnp.full((MAX_TOKENS,), -1, jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    _t, _o, _s, buf, n, _sy, _st = jax.lax.while_loop(
+        cond, body, (zero, init_out, init_state, buf, zero, zero, zero)
     )
     return buf, n
 
 
-# Explicit-params jit (see whisper note: never capture weights in a jit).
+# Explicit-params jits (never capture weights in a jit — see repo memory).
 jit_encode = partial(jax.jit, static_argnums=(1,))(encode)
 
 
-def transcribe_tokens(params, cfg: ParakeetConfig, mel, enc_len=None) -> list[int]:
-    """Encode + decode; returns emitted token ids (host list)."""
-    encoded = jit_encode(params, cfg, mel)
-    if enc_len is None:
-        enc_len = encoded.shape[1]
-    buf, n = tdt_greedy_decode(params, cfg, encoded, jnp.asarray(enc_len, jnp.int32))
+@partial(jax.jit, static_argnums=(1,))
+def transcribe_step(params, cfg: ParakeetConfig, audio, n_valid):
+    """Fused mel -> encoder -> TDT decode, ONE dispatch per utterance.
+
+    audio: (N,) f32 zero-padded to a bucket; n_valid: scalar valid samples.
+    Returns (tokens buffer, n_tokens).
+    """
+    mel, n_frames = log_mel_frontend(audio, n_valid, cfg)
+    encoded, enc_len = encode(params, cfg, mel[None], n_frames)
+    return tdt_greedy_decode(params, cfg, encoded, enc_len[0])
+
+
+def transcribe_tokens(params, cfg: ParakeetConfig, audio, n_valid=None) -> list[int]:
+    """Host convenience: returns emitted token ids for one utterance."""
+    audio = jnp.asarray(audio, jnp.float32)
+    if n_valid is None:
+        n_valid = audio.shape[0]
+    buf, n = transcribe_step(params, cfg, audio, jnp.asarray(n_valid, jnp.int32))
     n = int(n)
     return [int(x) for x in np.asarray(buf[:n])]
+
+
+# ---------------------------------------------------------------------------
+# checkpoint conversion (HF transformers ParakeetEncoder naming; NeMo-export
+# names are translated first)
+# ---------------------------------------------------------------------------
+
+_NEMO_TO_HF = {
+    "pre_encode.conv.": "subsampling.layers.",
+    "pre_encode.out.": "subsampling.linear.",
+    ".self_attn.linear_q.": ".self_attn.q_proj.",
+    ".self_attn.linear_k.": ".self_attn.k_proj.",
+    ".self_attn.linear_v.": ".self_attn.v_proj.",
+    ".self_attn.linear_out.": ".self_attn.o_proj.",
+    ".self_attn.linear_pos.": ".self_attn.relative_k_proj.",
+    ".self_attn.pos_bias_u": ".self_attn.bias_u",
+    ".self_attn.pos_bias_v": ".self_attn.bias_v",
+    ".conv.batch_norm.": ".conv.norm.",
+}
+
+
+def _normalize_keys(sd: dict) -> dict:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("model."):
+            k = k[len("model."):]
+        # both NeMo and HF ParakeetForCTC nest the encoder under "encoder.";
+        # decoder./joint. (NeMo) stay as-is
+        if k.startswith("encoder."):
+            k = k[len("encoder."):]
+        for old, new in _NEMO_TO_HF.items():
+            k = k.replace(old, new)
+        out[k] = np.asarray(v)
+    return out
+
+
+def convert_state_dict(sd: dict, cfg: ParakeetConfig) -> Params:
+    """HF ``ParakeetEncoder``-naming (or NeMo-export naming) -> param pytree.
+
+    Encoder keys follow transformers ``modeling_parakeet.py``; prediction
+    network and joint follow NeMo (``decoder.prediction.*``, ``joint.*``)
+    since HF ships only the CTC variant.
+    """
+    sd = _normalize_keys(sd)
+    dt = cfg.dtype
+
+    def t(name):  # torch Linear weight (out, in) -> (in, out)
+        return jnp.asarray(sd[name].T, dt)
+
+    def a(name, dtype=None):
+        return jnp.asarray(sd[name], dtype or dt)
+
+    sub: Params = {"conv0": {"w": a("subsampling.layers.0.weight"),
+                             "b": a("subsampling.layers.0.bias")}}
+    for i in range(1, cfg.sub_layers):
+        base = 3 * i - 1  # ModuleList indices: 2,3 then 5,6 (ReLU at 1,4,7)
+        sub[f"dw{i}"] = {"w": a(f"subsampling.layers.{base}.weight"),
+                         "b": a(f"subsampling.layers.{base}.bias")}
+        sub[f"pw{i}"] = {"w": a(f"subsampling.layers.{base + 1}.weight"),
+                         "b": a(f"subsampling.layers.{base + 1}.bias")}
+    sub["out"] = {"w": t("subsampling.linear.weight"), "b": a("subsampling.linear.bias")}
+
+    blocks = []
+    for i in range(cfg.n_layers):
+        p = f"layers.{i}."
+        blocks.append({
+            "ff1_norm": {"w": a(p + "norm_feed_forward1.weight"), "b": a(p + "norm_feed_forward1.bias")},
+            "ff1": {"w1": t(p + "feed_forward1.linear1.weight"), "b1": a(p + "feed_forward1.linear1.bias"),
+                    "w2": t(p + "feed_forward1.linear2.weight"), "b2": a(p + "feed_forward1.linear2.bias")},
+            "attn_norm": {"w": a(p + "norm_self_att.weight"), "b": a(p + "norm_self_att.bias")},
+            "attn": {
+                "wq": t(p + "self_attn.q_proj.weight"), "bq": a(p + "self_attn.q_proj.bias"),
+                "wk": t(p + "self_attn.k_proj.weight"), "bk": a(p + "self_attn.k_proj.bias"),
+                "wv": t(p + "self_attn.v_proj.weight"), "bv": a(p + "self_attn.v_proj.bias"),
+                "wo": t(p + "self_attn.o_proj.weight"), "bo": a(p + "self_attn.o_proj.bias"),
+                "wpos": t(p + "self_attn.relative_k_proj.weight"),
+                "u": a(p + "self_attn.bias_u"), "v": a(p + "self_attn.bias_v"),
+            },
+            "conv_norm": {"w": a(p + "norm_conv.weight"), "b": a(p + "norm_conv.bias")},
+            "conv": {
+                "pw1_w": jnp.asarray(sd[p + "conv.pointwise_conv1.weight"][:, :, 0].T, dt),
+                "pw1_b": a(p + "conv.pointwise_conv1.bias"),
+                # torch depthwise Conv1d (C, 1, k) -> NTC/TIO (k, 1, C)
+                "dw_w": jnp.asarray(sd[p + "conv.depthwise_conv.weight"].transpose(2, 1, 0), dt),
+                "dw_b": a(p + "conv.depthwise_conv.bias"),
+                "bn_w": a(p + "conv.norm.weight", jnp.float32),
+                "bn_b": a(p + "conv.norm.bias", jnp.float32),
+                "bn_mean": a(p + "conv.norm.running_mean", jnp.float32),
+                "bn_var": a(p + "conv.norm.running_var", jnp.float32),
+                "pw2_w": jnp.asarray(sd[p + "conv.pointwise_conv2.weight"][:, :, 0].T, dt),
+                "pw2_b": a(p + "conv.pointwise_conv2.bias"),
+            },
+            "ff2_norm": {"w": a(p + "norm_feed_forward2.weight"), "b": a(p + "norm_feed_forward2.bias")},
+            "ff2": {"w1": t(p + "feed_forward2.linear1.weight"), "b1": a(p + "feed_forward2.linear1.bias"),
+                    "w2": t(p + "feed_forward2.linear2.weight"), "b2": a(p + "feed_forward2.linear2.bias")},
+            "out_norm": {"w": a(p + "norm_out.weight"), "b": a(p + "norm_out.bias")},
+        })
+
+    params: Params = {"sub": sub, "blocks": stack_layers(blocks)}
+
+    if "decoder.prediction.embed.weight" in sd:
+        n_lstm = sum(1 for k in sd if k.startswith("decoder.prediction.dec_rnn.lstm.weight_ih_l"))
+        if n_lstm != cfg.pred_layers:
+            raise ValueError(
+                f"checkpoint has {n_lstm} prediction LSTM layers; config says "
+                f"{cfg.pred_layers} — set ParakeetConfig(pred_layers={n_lstm})"
+            )
+        layers = []
+        for i in range(n_lstm):
+            base = f"decoder.prediction.dec_rnn.lstm."
+            layers.append({
+                "wi": jnp.asarray(sd[base + f"weight_ih_l{i}"].T, dt),
+                "wh": jnp.asarray(sd[base + f"weight_hh_l{i}"].T, dt),
+                "bi": jnp.asarray(sd[base + f"bias_ih_l{i}"], dt),
+                "bh": jnp.asarray(sd[base + f"bias_hh_l{i}"], dt),
+            })
+        params["pred"] = {"embed": jnp.asarray(sd["decoder.prediction.embed.weight"], dt),
+                          "layers": layers}
+        params["joint"] = {
+            "enc_w": t("joint.enc.weight"), "enc_b": a("joint.enc.bias"),
+            "pred_w": t("joint.pred.weight"), "pred_b": a("joint.pred.bias"),
+            "out_w": t("joint.joint_net.2.weight"), "out_b": a("joint.joint_net.2.bias"),
+        }
+    return params

@@ -96,13 +96,20 @@ def _make_parakeet_stt(config, ctx: HandlerContext):
     from s2s_tpu.stt.language_id import detect_language
     from s2s_tpu.stt.parakeet_handler import ParakeetSTTHandler
 
+    tokenizer = None
+    if config.tokenizer:
+        from s2s_tpu.stt.tokenizer import SentencePieceTokenizer
+
+        tokenizer = SentencePieceTokenizer.from_file(config.tokenizer)
     return ParakeetSTTHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,
         setup_kwargs=dict(
             speculative_turns=ctx.speculative_turns,
             device_scheduler=ctx.device_scheduler,
             cancel_scope=ctx.cancel_scope,
+            model_size=config.model_size,
             language=config.language,
+            tokenizer=tokenizer,
             params=_load_checkpoint(config.checkpoint),
             language_detector=detect_language,
         ),

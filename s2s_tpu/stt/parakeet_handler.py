@@ -60,10 +60,11 @@ class ParakeetSTTHandler(WhisperSTTHandler):
         import jax
 
         from s2s_tpu.models import parakeet
-        from s2s_tpu.ops.mel import log_mel_spectrogram
 
         cfg = {
-            "0.6b": parakeet.ParakeetConfig.tdt_0_6b,
+            "0.6b": parakeet.ParakeetConfig.tdt_0_6b_v3,
+            "0.6b-v3": parakeet.ParakeetConfig.tdt_0_6b_v3,
+            "0.6b-v2": parakeet.ParakeetConfig.tdt_0_6b_v2,
             "tiny": parakeet.ParakeetConfig.test_tiny,
         }[model_size]()
         if params is None:
@@ -72,14 +73,14 @@ class ParakeetSTTHandler(WhisperSTTHandler):
         self._parakeet_cfg, self._parakeet_params, self._tokenizer = cfg, params, tokenizer
 
         def transcribe(audio: np.ndarray) -> DecodeResult:
+            # fused mel -> encode -> TDT decode, one dispatch per bucket;
+            # valid-length masking inside makes padding bit-invisible
             seconds = len(audio) / self.sample_rate
             target = int(bucket_duration(max(seconds, 0.5)) * self.sample_rate)
             padded = np.zeros(target, np.float32)
-            padded[: min(len(audio), target)] = audio[:target]
-            mel = log_mel_spectrogram(padded, cfg.n_mels)[None]
-            # valid encoder frames for the *unpadded* audio (x8 subsampling)
-            enc_len = max(1, int(len(audio) / self.sample_rate * 100) // 8)
-            tokens = parakeet.transcribe_tokens(params, cfg, mel, enc_len=enc_len)
+            n_valid = min(len(audio), target)
+            padded[:n_valid] = audio[:target]
+            tokens = parakeet.transcribe_tokens(params, cfg, padded, n_valid)
             if self._tokenizer is not None:
                 text = self._tokenizer.decode(tokens).strip()
             else:

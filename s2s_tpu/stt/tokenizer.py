@@ -69,6 +69,41 @@ class ByteLevelTokenizer:
         return cls(vocab, special)
 
 
+class SentencePieceTokenizer:
+    """Decode-only SentencePiece-style tokenizer (Parakeet/NeMo BPE vocabs:
+    pieces use the ``▁`` word-boundary marker; decode = concat + replace)."""
+
+    def __init__(self, pieces: list[str]) -> None:
+        self.pieces = pieces
+
+    def decode(self, ids, skip_special: bool = True) -> str:
+        out = []
+        for i in ids:
+            i = int(i)
+            if 0 <= i < len(self.pieces):
+                piece = self.pieces[i]
+                if skip_special and piece.startswith("<") and piece.endswith(">"):
+                    continue
+                out.append(piece)
+        return "".join(out).replace("▁", " ").strip()
+
+    @classmethod
+    def from_file(cls, path: str | Path) -> "SentencePieceTokenizer":
+        """Load from a NeMo ``vocab.txt`` (one piece per line, id = line
+        number) or a JSON list / ``{"piece": id}`` map."""
+        p = Path(path)
+        text = p.read_text(encoding="utf-8")
+        if p.suffix == ".json":
+            raw = json.loads(text)
+            if isinstance(raw, list):
+                return cls(raw)
+            pieces = [""] * (max(raw.values()) + 1)
+            for piece, idx in raw.items():
+                pieces[idx] = piece
+            return cls(pieces)
+        return cls(text.splitlines())
+
+
 # Whisper language codes in language-token order (<|en|> = 50259, ...).
 WHISPER_LANGUAGES = (
     "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he uk el ms cs ro da hu ta no th "

@@ -51,7 +51,10 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--family", required=True,
                         choices=["smollm2-1.7b", "smollm2-360m", "whisper-tiny", "whisper-base",
-                                 "whisper-small", "whisper-large-v3", "distil-large-v3", "silero-vad"])
+                                 "whisper-small", "whisper-large-v3", "distil-large-v3", "silero-vad",
+                                 "parakeet-tdt-0.6b-v2", "parakeet-tdt-0.6b-v3"])
+    parser.add_argument("--pred-layers", type=int, default=1,
+                        help="parakeet prediction-network LSTM layers (per the checkpoint)")
     parser.add_argument("--src", required=True)
     parser.add_argument("--out", required=True)
     args = parser.parse_args()
@@ -65,6 +68,17 @@ def main() -> None:
             "smollm2-360m": decoder_lm.DecoderLMConfig.smollm2_360m,
         }[args.family]()
         params = decoder_lm.convert_hf_state_dict(sd, cfg)
+    elif args.family.startswith("parakeet-tdt"):
+        from dataclasses import replace
+
+        from s2s_tpu.models import parakeet
+
+        cfg = {
+            "parakeet-tdt-0.6b-v2": parakeet.ParakeetConfig.tdt_0_6b_v2,
+            "parakeet-tdt-0.6b-v3": parakeet.ParakeetConfig.tdt_0_6b_v3,
+        }[args.family]()
+        cfg = replace(cfg, pred_layers=args.pred_layers)
+        params = parakeet.convert_state_dict(sd, cfg)
     elif args.family == "silero-vad":
         from s2s_tpu.models.silero_vad import convert_silero_state_dict
 

@@ -60,7 +60,172 @@ def make_llama_fixture(path: str = "tests/data/llama_parity.npz") -> None:
     )
 
 
+def _parakeet_features_torch(audio: "torch.Tensor", n_mels: int) -> "torch.Tensor":
+    """transformers ``ParakeetFeatureExtractor`` math (librosa-free): preemph
+    0.97, centered 512-pt STFT with hann(400) constant padding, power, slaney
+    mel, log(x + 2^-24), per-feature mean/std over valid frames."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from s2s_tpu.ops.mel import mel_filter_bank
+
+    preemphasized = torch.cat([audio[:, :1], audio[:, 1:] - 0.97 * audio[:, :-1]], dim=1)
+    window = torch.hann_window(400, periodic=False)
+    stft = torch.stft(preemphasized, 512, hop_length=160, win_length=400, window=window,
+                      return_complex=True, pad_mode="constant")
+    magnitudes = torch.view_as_real(stft)
+    magnitudes = torch.sqrt(magnitudes.pow(2).sum(-1)).pow(2)
+    filters = torch.from_numpy(mel_filter_bank(n_mels, 257, 16000).T.copy())
+    mel = (filters @ magnitudes).permute(0, 2, 1)  # (B, T, n_mels)
+    logmel = torch.log(mel + 2.0 ** -24)
+    lengths = torch.tensor([audio.shape[1] // 160])
+    mask = (torch.arange(logmel.shape[1]) < lengths[:, None]).unsqueeze(-1)
+    masked = logmel * mask
+    mean = (masked.sum(dim=1) / lengths.unsqueeze(-1)).unsqueeze(1)
+    var = ((masked - mean) ** 2 * mask).sum(dim=1) / (lengths - 1).unsqueeze(-1)
+    std = torch.sqrt(var).unsqueeze(1)
+    return ((logmel - mean) / (std + 1e-5)) * mask
+
+
+class _TorchTDTDecoder(torch.nn.Module):
+    """NeMo-layout TDT prediction network + joint (the piece transformers
+    does not ship — it only has ParakeetForCTC)."""
+
+    def __init__(self, vocab: int, pred_hidden: int, joint_hidden: int,
+                 d_model: int, n_durations: int = 5, layers: int = 1):
+        super().__init__()
+        self.vocab = vocab
+        self.embed = torch.nn.Embedding(vocab + 1, pred_hidden, padding_idx=vocab)
+        self.lstm = torch.nn.LSTM(pred_hidden, pred_hidden, num_layers=layers)
+        self.enc = torch.nn.Linear(d_model, joint_hidden)
+        self.pred = torch.nn.Linear(pred_hidden, joint_hidden)
+        self.out = torch.nn.Linear(joint_hidden, vocab + 1 + n_durations)
+
+    def nemo_state_dict(self):
+        sd = {"decoder.prediction.embed.weight": self.embed.weight}
+        for k, v in self.lstm.state_dict().items():
+            sd[f"decoder.prediction.dec_rnn.lstm.{k}"] = v
+        for name, mod in (("enc", self.enc), ("pred", self.pred)):
+            sd[f"joint.{name}.weight"] = mod.weight
+            sd[f"joint.{name}.bias"] = mod.bias
+        sd["joint.joint_net.2.weight"] = self.out.weight
+        sd["joint.joint_net.2.bias"] = self.out.bias
+        return {k: v.detach().numpy() for k, v in sd.items()}
+
+    def pred_step(self, token: int, hidden):
+        emb = self.embed(torch.tensor([[token]]))  # (1, 1, H)
+        out, hidden = self.lstm(emb, hidden)
+        return out[0], hidden
+
+    def joint(self, enc_t, pred_out):
+        logits = self.out(torch.relu(self.enc(enc_t) + self.pred(pred_out)))
+        return logits[0, : self.vocab + 1], logits[0, self.vocab + 1 :]
+
+    @torch.no_grad()
+    def tdt_greedy(self, enc, enc_len: int, max_symbols: int = 10):
+        """NeMo GreedyTDTInfer semantics: blank advances max(duration, 1);
+        an emission advances its duration, bounded per frame by max_symbols."""
+        tokens, t, syms = [], 0, 0
+        pred_out, hidden = self.pred_step(self.vocab, None)  # SOS == blank
+        while t < enc_len and len(tokens) < 100:
+            token_logits, dur_logits = self.joint(enc[t : t + 1], pred_out)
+            k = int(token_logits.argmax())
+            dur = int(dur_logits.argmax())
+            if k == self.vocab:
+                advance = max(dur, 1)
+            else:
+                tokens.append(k)
+                pred_out, hidden = self.pred_step(k, hidden)
+                syms += 1
+                advance = dur if syms < max_symbols else max(dur, 1)
+            if advance > 0:
+                syms = 0
+            t += advance
+        return tokens
+
+
+def make_parakeet_fixture(path: str = "tests/data/parakeet_parity.npz") -> None:
+    from transformers import ParakeetEncoderConfig
+    from transformers.models.parakeet.modeling_parakeet import ParakeetEncoder
+
+    torch.manual_seed(0)
+    cfg = ParakeetEncoderConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, conv_kernel_size=9, subsampling_factor=8,
+        subsampling_conv_channels=32, num_mel_bins=32,
+        dropout=0.0, dropout_positions=0.0, layerdrop=0.0,
+        activation_dropout=0.0, attention_dropout=0.0,
+        attn_implementation="eager",
+    )
+    encoder = ParakeetEncoder(cfg).eval()
+    # randomize BatchNorm running stats so stat conversion is actually tested
+    gen = torch.Generator().manual_seed(7)
+    for mod in encoder.modules():
+        if isinstance(mod, torch.nn.BatchNorm1d):
+            mod.running_mean.copy_(torch.randn(mod.running_mean.shape, generator=gen) * 0.5)
+            mod.running_var.copy_(torch.rand(mod.running_var.shape, generator=gen) + 0.5)
+
+    # frontend golden: 6075 samples -> 38 frames total, 37 valid
+    audio = torch.randn(1, 6075, generator=torch.Generator().manual_seed(1)) * 0.1
+    feats = _parakeet_features_torch(audio, cfg.num_mel_bins)
+
+    # encoder goldens computed UNPADDED per sample (HF's eager path NaN-
+    # poisons padded batches: masked rows go NaN in layer 1's softmax and
+    # leak into valid rows via matrix_ac in layer 2 — NeMo masks with a
+    # finite -10000 instead).  The JAX side runs the PADDED batch and must
+    # match each unpadded golden on the valid prefix: proves both numerics
+    # and padding-invariance (what bucketed windows rely on).
+    mel = torch.randn(2, 38, cfg.num_mel_bins, generator=torch.Generator().manual_seed(2))
+    mel_lens = torch.tensor([38, 26])
+    attention_mask = torch.arange(38)[None, :] < mel_lens[:, None]
+    mel = mel * attention_mask[..., None]
+    with torch.no_grad():
+        enc0 = encoder(mel[0:1]).last_hidden_state
+        enc1 = encoder(mel[1:2, :26]).last_hidden_state
+    enc_out = torch.zeros(2, enc0.shape[1], cfg.hidden_size)
+    enc_out[0] = enc0[0]
+    enc_out[1, : enc1.shape[1]] = enc1[0]
+
+    decoder = _TorchTDTDecoder(vocab=64, pred_hidden=32, joint_hidden=32, d_model=64)
+    torch.manual_seed(3)
+    for p in decoder.parameters():
+        if p.dim() > 0:
+            p.data.uniform_(-0.5, 0.5)
+    with torch.no_grad():
+        decoder.embed.weight[decoder.embed.padding_idx].zero_()
+    tokens = decoder.tdt_greedy(enc_out[0], enc_out.shape[1])
+
+    # pred/joint numerics golden: LSTM over a fixed token sequence
+    seq = [5, 17, 3, 60]
+    pred_out, hidden = decoder.pred_step(decoder.vocab, None)
+    pred_outs = [pred_out.detach().numpy()]
+    for tok in seq:
+        pred_out, hidden = decoder.pred_step(tok, hidden)
+        pred_outs.append(pred_out.detach().numpy())
+    with torch.no_grad():
+        tok_logits, dur_logits = decoder.joint(enc_out[0, :1], pred_out)
+
+    sd = {f"encoder.{k}": v.numpy() for k, v in encoder.state_dict().items()}
+    sd.update(decoder.nemo_state_dict())
+    np.savez_compressed(
+        path,
+        audio=audio.numpy(), feats=feats.numpy(),
+        mel=mel.numpy(), mel_lens=mel_lens.numpy(), enc_out=enc_out.numpy(),
+        greedy_tokens=np.asarray(tokens, np.int32),
+        pred_seq=np.asarray(seq, np.int32), pred_outs=np.concatenate(pred_outs),
+        joint_tok_logits=tok_logits.numpy(), joint_dur_logits=dur_logits.numpy(),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
 if __name__ == "__main__":
-    make_whisper_fixture()
-    make_llama_fixture()
+    import sys
+
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only in (None, "whisper"):
+        make_whisper_fixture()
+    if only in (None, "llama"):
+        make_llama_fixture()
+    if only in (None, "parakeet"):
+        make_parakeet_fixture()
     print("fixtures written to tests/data/")

@@ -106,29 +106,43 @@ def test_parakeet_encoder_subsamples_8x(parakeet_tiny):
     from s2s_tpu.models import parakeet
 
     cfg, params = parakeet_tiny
-    mel = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.n_mels, 200))
-    enc = parakeet.encode(params, cfg, mel)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 200, cfg.n_mels))
+    enc, enc_len = parakeet.encode(params, cfg, mel, 200)
     assert enc.shape[1] == 200 // 8
     assert enc.shape[2] == cfg.d_model
+    assert int(enc_len[0]) == enc.shape[1]
 
 
 def test_parakeet_tdt_decode_terminates(parakeet_tiny):
     from s2s_tpu.models import parakeet
 
     cfg, params = parakeet_tiny
-    mel = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.n_mels, 160))
-    tokens = parakeet.transcribe_tokens(params, cfg, mel)
+    audio = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (16000,)) * 0.1)
+    tokens = parakeet.transcribe_tokens(params, cfg, audio)
     assert isinstance(tokens, list)
-    assert all(0 < t < cfg.vocab_size for t in tokens)  # blank never emitted
-    assert len(tokens) <= parakeet.MAX_SYMBOLS
+    assert all(0 <= t < cfg.vocab_size for t in tokens)  # blank never emitted
+    assert len(tokens) <= parakeet.MAX_TOKENS
 
 
 def test_parakeet_tdt_decode_deterministic(parakeet_tiny):
     from s2s_tpu.models import parakeet
 
     cfg, params = parakeet_tiny
-    mel = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.n_mels, 160))
-    assert parakeet.transcribe_tokens(params, cfg, mel) == parakeet.transcribe_tokens(params, cfg, mel)
+    audio = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (16000,)) * 0.1)
+    assert parakeet.transcribe_tokens(params, cfg, audio) == parakeet.transcribe_tokens(params, cfg, audio)
+
+
+def test_parakeet_padding_invariance(parakeet_tiny):
+    """Bucket padding must not change the transcript (valid-length masking
+    threads through mel norm, subsampling, attention, and the conv module)."""
+    from s2s_tpu.models import parakeet
+
+    cfg, params = parakeet_tiny
+    audio = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (12000,)) * 0.1)
+    unpadded = parakeet.transcribe_tokens(params, cfg, audio)
+    padded = np.zeros(16000, np.float32)
+    padded[:12000] = audio
+    assert parakeet.transcribe_tokens(params, cfg, padded, n_valid=12000) == unpadded
 
 
 def test_parakeet_handler_with_fake_fn():

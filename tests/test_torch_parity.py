@@ -48,6 +48,77 @@ def test_whisper_matches_torch():
     )
 
 
+PARAKEET_FIXTURE = "tests/data/parakeet_parity.npz"
+
+
+def _parakeet_setup():
+    from s2s_tpu.models import parakeet
+
+    sd, io = load_fixture(PARAKEET_FIXTURE)
+    cfg = parakeet.ParakeetConfig(
+        n_mels=32, d_model=64, n_layers=2, n_heads=4, d_ff=128, sub_channels=32,
+        vocab_size=64, pred_hidden=32, pred_layers=1, joint_hidden=32,
+        max_enc_frames=16, dtype=jnp.float32,
+    )
+    return parakeet, cfg, parakeet.convert_state_dict(sd, cfg), io
+
+
+def test_parakeet_frontend_matches_torch():
+    """log-mel + per-feature normalization vs the transformers
+    ParakeetFeatureExtractor math (preemph, centered 512-pt STFT, slaney
+    mel, log + guard, masked mean/std)."""
+    parakeet, cfg, _params, io = _parakeet_setup()
+    audio = jnp.asarray(io["audio"][0])
+    feats, n_valid = parakeet.log_mel_frontend(audio, audio.shape[0], cfg)
+    assert int(n_valid) == io["feats"].shape[1] - 1  # last frame masked
+    np.testing.assert_allclose(np.asarray(feats), io["feats"][0], atol=2e-4)
+
+
+def test_parakeet_encoder_matches_torch():
+    """FastConformer encoder (subsampling, rel-pos attention, BN conv
+    module) vs transformers ParakeetEncoder, on a PADDED batch so the
+    length masking is proven equivalent to torch's attention_mask."""
+    parakeet, cfg, params, io = _parakeet_setup()
+    enc, enc_len = parakeet.jit_encode(
+        params, cfg, jnp.asarray(io["mel"]), jnp.asarray(io["mel_lens"])
+    )
+    enc = np.asarray(enc)
+    ref = io["enc_out"]
+    for b in range(2):
+        n = int(enc_len[b])
+        np.testing.assert_allclose(enc[b, :n], ref[b, :n], atol=3e-4)
+
+
+def test_parakeet_pred_joint_matches_torch():
+    """Prediction-network LSTM + additive ReLU joint numerics vs torch."""
+    parakeet, cfg, params, io = _parakeet_setup()
+    state = parakeet.init_pred_state(cfg)
+    outs = []
+    out, state = parakeet.pred_step(params, cfg, jnp.asarray([cfg.blank_id]), state)
+    outs.append(np.asarray(out))
+    for tok in io["pred_seq"]:
+        out, state = parakeet.pred_step(params, cfg, jnp.asarray([int(tok)]), state)
+        outs.append(np.asarray(out))
+    np.testing.assert_allclose(np.concatenate(outs), io["pred_outs"], atol=2e-5)
+
+    enc_t = jnp.asarray(io["enc_out"][0, :1])
+    tok_logits, dur_logits = parakeet.joint(params, cfg, enc_t, jnp.asarray(outs[-1]))
+    np.testing.assert_allclose(np.asarray(tok_logits)[0], io["joint_tok_logits"], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dur_logits)[0], io["joint_dur_logits"], atol=2e-4)
+
+
+def test_parakeet_tdt_greedy_matches_torch():
+    """End-to-end: converted weights + on-device while_loop TDT decode must
+    emit the exact token sequence the torch NeMo-semantics loop emits."""
+    parakeet, cfg, params, io = _parakeet_setup()
+    encoded = jnp.asarray(io["enc_out"][:1])
+    buf, n = parakeet.tdt_greedy_decode(
+        params, cfg, encoded, jnp.asarray(encoded.shape[1], jnp.int32)
+    )
+    got = [int(x) for x in np.asarray(buf[: int(n)])]
+    assert got == list(io["greedy_tokens"]), (got, list(io["greedy_tokens"]))
+
+
 def test_decoder_lm_matches_torch_llama():
     from s2s_tpu.models import decoder_lm
 
