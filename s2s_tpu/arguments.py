@@ -134,9 +134,11 @@ class LocalLLMArgs:
 class Qwen3TTSArgs:
     prefix = "tts"
 
+    model_size: str = "1.7b"  # 1.7b | tiny
     voice: Optional[str] = None
     voice_instruct: Optional[str] = None
     ref_audio: Optional[str] = None  # wav path for voice cloning
+    ref_spk: Optional[str] = None  # precomputed speaker embedding (.npy/.npz)
     streaming_chunk_size: int = 8
     max_new_tokens: int = 1024
     checkpoint: Optional[str] = None

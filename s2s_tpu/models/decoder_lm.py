@@ -58,15 +58,26 @@ class DecoderLMConfig:
     rope_theta: float = 130000.0
     rms_eps: float = 1e-5
     tie_embeddings: bool = True
+    qk_norm: bool = False  # Qwen3-style per-head RMS norm on q/k (pre-rope)
+    head_dim_override: int | None = None  # Qwen3 decouples head_dim from d_model
     dtype: Any = jnp.bfloat16
 
     @property
     def head_dim(self) -> int:
-        return self.d_model // self.n_heads
+        return self.head_dim_override or self.d_model // self.n_heads
 
     @staticmethod
     def smollm2_1_7b() -> "DecoderLMConfig":
         return DecoderLMConfig()
+
+    @staticmethod
+    def qwen3_1_7b(vocab_size: int = 151936) -> "DecoderLMConfig":
+        """Qwen3-1.7B dense layout (the Qwen3-TTS talker body)."""
+        return DecoderLMConfig(
+            vocab_size=vocab_size, d_model=2048, n_layers=28, n_heads=16, n_kv_heads=8,
+            d_ff=6144, max_seq_len=32768, rope_theta=1_000_000.0, rms_eps=1e-6,
+            tie_embeddings=True, qk_norm=True, head_dim_override=128,
+        )
 
     @staticmethod
     def smollm2_360m() -> "DecoderLMConfig":
@@ -88,7 +99,7 @@ def _init_layer(key, cfg: DecoderLMConfig) -> Params:
     def lin(k, di, do):
         return (jax.random.normal(k, (di, do), jnp.float32) * (di ** -0.5)).astype(dt)
 
-    return {
+    layer = {
         "attn_norm": jnp.ones((cfg.d_model,), dt),
         "wq": lin(lk[0], cfg.d_model, cfg.n_heads * cfg.head_dim),
         "wk": lin(lk[1], cfg.d_model, cfg.n_kv_heads * cfg.head_dim),
@@ -99,6 +110,10 @@ def _init_layer(key, cfg: DecoderLMConfig) -> Params:
         "w_up": lin(lk[5], cfg.d_model, cfg.d_ff),
         "w_down": lin(lk[6], cfg.d_ff, cfg.d_model),
     }
+    if cfg.qk_norm:
+        layer["q_norm"] = jnp.ones((cfg.head_dim,), dt)
+        layer["k_norm"] = jnp.ones((cfg.head_dim,), dt)
+    return layer
 
 
 def stack_layers(layers: list[Params]) -> Params:
@@ -137,6 +152,9 @@ def param_shardings(cfg: DecoderLMConfig) -> Params:
         "w_up": P(None, None, "model"),
         "w_down": P(None, "model", None),
     }
+    if cfg.qk_norm:
+        layers["q_norm"] = P(None, None)
+        layers["k_norm"] = P(None, None)
     specs: Params = {
         "embed": P("model", None),
         "layers": layers,
@@ -166,8 +184,13 @@ def _block(x, lp, cfg: DecoderLMConfig, cache: KVCache | None, pos, cos, sin, ma
     """One transformer block over UNSTACKED layer params; returns (x, (k,v))."""
     b, t, _ = x.shape
     h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-    q = linear(h, lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = linear(h, lp["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = linear(h, lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
+    k = linear(h, lp["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
     v = linear(h, lp["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
@@ -365,22 +388,36 @@ def convert_hf_state_dict(state_dict: dict[str, Any], cfg: DecoderLMConfig) -> P
         w = w[:, perm, :].reshape(n_heads * hd, -1)
         return jnp.asarray(w.T, dtype=dt)
 
+    hd = cfg.head_dim
+    perm = np.empty(hd, np.int64)
+    perm[0::2] = np.arange(hd // 2)
+    perm[1::2] = np.arange(hd // 2) + hd // 2
+
     layers = []
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
-        layers.append(
-            {
-                "attn_norm": jnp.asarray(state_dict[p + "input_layernorm.weight"], dt),
-                "wq": rope_permuted(p + "self_attn.q_proj.weight", cfg.n_heads),
-                "wk": rope_permuted(p + "self_attn.k_proj.weight", cfg.n_kv_heads),
-                "wv": t(p + "self_attn.v_proj.weight"),
-                "wo": t(p + "self_attn.o_proj.weight"),
-                "mlp_norm": jnp.asarray(state_dict[p + "post_attention_layernorm.weight"], dt),
-                "w_gate": t(p + "mlp.gate_proj.weight"),
-                "w_up": t(p + "mlp.up_proj.weight"),
-                "w_down": t(p + "mlp.down_proj.weight"),
-            }
-        )
+        layer = {
+            "attn_norm": jnp.asarray(state_dict[p + "input_layernorm.weight"], dt),
+            "wq": rope_permuted(p + "self_attn.q_proj.weight", cfg.n_heads),
+            "wk": rope_permuted(p + "self_attn.k_proj.weight", cfg.n_kv_heads),
+            "wv": t(p + "self_attn.v_proj.weight"),
+            "wo": t(p + "self_attn.o_proj.weight"),
+            "mlp_norm": jnp.asarray(state_dict[p + "post_attention_layernorm.weight"], dt),
+            "w_gate": t(p + "mlp.gate_proj.weight"),
+            "w_up": t(p + "mlp.up_proj.weight"),
+            "w_down": t(p + "mlp.down_proj.weight"),
+        }
+        if cfg.qk_norm:
+            # q/k-norm acts pre-rope on unpermuted coords; RMS is permutation-
+            # equivariant, so permuting the norm weights like the wq/wk rows
+            # keeps the product exact under our interleaved rope layout
+            layer["q_norm"] = jnp.asarray(
+                np.asarray(state_dict[p + "self_attn.q_norm.weight"])[perm], dt
+            )
+            layer["k_norm"] = jnp.asarray(
+                np.asarray(state_dict[p + "self_attn.k_norm.weight"])[perm], dt
+            )
+        layers.append(layer)
     params: Params = {
         "embed": jnp.asarray(state_dict["model.embed_tokens.weight"], dt),
         "layers": stack_layers(layers),

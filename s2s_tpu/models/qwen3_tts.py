@@ -1,31 +1,40 @@
-"""Qwen3-TTS-class streaming TTS in pure JAX: codec-token talker LM + RVQ
-codec decoder/vocoder.
+"""Qwen3-TTS streaming TTS in pure JAX: dense Qwen3 codec-token talker LM +
+MTP code predictor + Code2Wav (ConvNeXt/Snake) neural codec vocoder.
 
 Replaces the reference's GGML ``faster-qwen3-tts`` / qwentts.cpp stack
 (reference ``TTS/qwen3_tts_handler.py:206-242`` — the single biggest native
-rewrite, SURVEY §2.9):
+rewrite, SURVEY §2.9).  The architecture follows the Qwen 12.5 Hz codec
+family as published in transformers' Qwen3-Omni implementation
+(``models/qwen3_omni_moe/modeling_qwen3_omni_moe.py``), whose codec math
+matches the reference's constants exactly (12.5 codec frames/s; total
+upsample 8*5*4*3*2*2 = 1920 at 24 kHz):
 
-- **Talker**: a decoder-only transformer (reuses
-  :mod:`s2s_tpu.models.decoder_lm` blocks via the embedding-level API) whose
-  sequence is [speaker embedding, text tokens, codec frames]; each 80 ms
-  codec frame is predicted by ``n_q`` RVQ heads in ONE autoregressive step
-  (12.5 frames/s — reference constant, ``qwen3_tts_handler.py:42-49``).
-- **Codec decoder/vocoder**: sum of codebook embeddings -> dilated conv
-  stack -> transposed-conv upsampling x1280 (8*8*5*4) to 16 kHz waveform.
-- **Streaming**: frames decode one jitted step at a time (cancellable); the
-  vocoder runs per ``chunk_frames`` (default 8 = 640 ms of audio, the GGML
-  streaming chunk) with 2 frames of left context to kill chunk-edge
-  artifacts.
+- **Talker**: dense Qwen3 decoder (qk-norm, GQA; 1.7B layout by default)
+  over codec vocabulary; sequence = [speaker embed, text tokens, codec
+  frames]; predicts the FIRST codebook of each 80 ms frame.
+- **Code predictor**: small Qwen3-style decoder that, per frame, expands
+  (talker hidden, codebook-0 embed) into the remaining ``n_q - 1`` residual
+  codebooks autoregressively with per-step embedding tables and heads
+  (MTP).  The next talker input is the SUM of all codebook embeddings plus
+  a pad embedding — exactly the Omni talker recurrence.
+- **Code2Wav vocoder**: per-quantizer code embeddings (mean), an 8-layer
+  sliding-window rope transformer with layer scale, x4 ConvNeXt upsampling,
+  then the SnakeBeta/dilated-conv decoder stack to a 24 kHz waveform.
 
-Voice modes mirror the reference: ``custom_voice`` (preset speaker table),
-``voice_design`` (instruct text prepended), ``voice_clone`` (speaker vector
-from a reference-audio encoder — mel-average projection here; converter maps
-real .spk/.rvq embeddings).
+All three pieces have torch parity fixtures (``tests/test_torch_parity.py``)
+against the transformers classes; the state-dict converter consumes their
+key naming.
+
+TPU design: decode runs in fused per-chunk programs — ONE ``lax.scan`` over
+codec frames (talker step + the 15-step code-predictor inner scan per frame)
+followed by the vocoder over the chunk with left context, i.e. one dispatch
+and one host fetch per ~640 ms of audio.  Weights are explicit arguments to
+every jit (never captured — see repo memory on remote-compile payloads).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Iterator, NamedTuple
 
@@ -34,218 +43,491 @@ import jax.numpy as jnp
 import numpy as np
 
 from s2s_tpu.models import decoder_lm
-from s2s_tpu.models.common import Params
-from s2s_tpu.models.decoder_lm import DecoderLMConfig, DecodeState
+from s2s_tpu.models.common import (
+    KVCache,
+    Params,
+    apply_rope,
+    attention,
+    linear,
+    rms_norm,
+    rope_frequencies,
+)
+from s2s_tpu.models.decoder_lm import DecoderLMConfig, DecodeState, stack_layers
 
-SAMPLE_RATE = 16_000
+SAMPLE_RATE = 24_000
 FRAMES_PER_SECOND = 12.5
-UPSAMPLE = 1280  # samples per codec frame at 16 kHz
-DEFAULT_CHUNK_FRAMES = 8  # 640 ms per vocoder call
-VOCODER_CONTEXT_FRAMES = 2
+DEFAULT_CHUNK_FRAMES = 8  # 640 ms per fused decode+vocode program
+VOCODER_CONTEXT_FRAMES = 25  # left context re-vocoded per chunk (HF default)
 
-UP_STRIDES = (8, 8, 5, 4)  # vocoder upsampling schedule (x1280 total)
 
-BOS_FRAME = 0  # codec id reserved per codebook
-EOS_LOGIT_INDEX = 1  # codec id meaning end-of-speech (per codebook 0)
+# ---------------------------------------------------------------------------
+# configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Code2WavConfig:
+    codebook_size: int = 2048
+    num_quantizers: int = 16
+    hidden: int = 1024
+    n_layers: int = 8
+    n_heads: int = 16
+    d_ff: int = 3072
+    rope_theta: float = 10000.0
+    sliding_window: int = 72
+    rms_eps: float = 1e-5
+    upsampling_ratios: tuple = (2, 2)
+    upsample_rates: tuple = (8, 5, 4, 3)
+    decoder_dim: int = 1536
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.n_heads
+
+    @property
+    def total_upsample(self) -> int:
+        return int(np.prod(self.upsample_rates)) * int(np.prod(self.upsampling_ratios))
 
 
 @dataclass(frozen=True)
 class Qwen3TTSConfig:
-    text_vocab: int = 1024  # byte-level + specials
-    codec_vocab: int = 1026  # codebook entries + BOS/EOS
-    n_q: int = 4  # RVQ codebooks per frame
+    text_vocab: int = 1024  # byte-level text prompt tokens
+    codec_vocab: int = 4206  # talker vocab: codebook + reserved + specials
+    codec_bos_id: int = 4197
+    codec_eos_id: int = 4198
     n_speakers: int = 16
-    lm: DecoderLMConfig = DecoderLMConfig(
-        vocab_size=1, d_model=512, n_layers=12, n_heads=8, n_kv_heads=8, d_ff=2048,
-        max_seq_len=2048, tie_embeddings=False, dtype=jnp.bfloat16,
-    )
-    vocoder_dim: int = 256
+    lm: DecoderLMConfig = field(default_factory=lambda: DecoderLMConfig(
+        vocab_size=1, d_model=2048, n_layers=28, n_heads=16, n_kv_heads=8, d_ff=6144,
+        max_seq_len=4096, rope_theta=1_000_000.0, rms_eps=1e-6, tie_embeddings=False,
+        qk_norm=True, head_dim_override=128, dtype=jnp.bfloat16,
+    ))
+    cp: DecoderLMConfig = field(default_factory=lambda: DecoderLMConfig(
+        vocab_size=1, d_model=2048, n_layers=5, n_heads=16, n_kv_heads=8, d_ff=6144,
+        max_seq_len=32, rope_theta=10000.0, rms_eps=1e-6, tie_embeddings=False,
+        qk_norm=True, head_dim_override=128, dtype=jnp.bfloat16,
+    ))
+    c2w: Code2WavConfig = field(default_factory=Code2WavConfig)
     dtype: Any = jnp.bfloat16
+
+    @property
+    def n_q(self) -> int:
+        return self.c2w.num_quantizers
+
+    @property
+    def codebook_size(self) -> int:
+        return self.c2w.codebook_size
+
+    @property
+    def upsample(self) -> int:
+        return self.c2w.total_upsample
+
+    @staticmethod
+    def qwen3_tts_12hz_1_7b() -> "Qwen3TTSConfig":
+        return Qwen3TTSConfig()
 
     @staticmethod
     def tiny() -> "Qwen3TTSConfig":
         return Qwen3TTSConfig(
+            text_vocab=256, codec_vocab=72, codec_bos_id=65, codec_eos_id=66,
             lm=DecoderLMConfig(
-                vocab_size=1, d_model=64, n_layers=2, n_heads=4, n_kv_heads=4, d_ff=128,
-                max_seq_len=256, tie_embeddings=False, dtype=jnp.float32,
+                vocab_size=1, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128,
+                max_seq_len=256, tie_embeddings=False, qk_norm=True, head_dim_override=16,
+                dtype=jnp.float32,
             ),
-            codec_vocab=130, n_q=2, vocoder_dim=32, dtype=jnp.float32,
+            cp=DecoderLMConfig(
+                vocab_size=1, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128,
+                max_seq_len=16, tie_embeddings=False, qk_norm=True, head_dim_override=16,
+                dtype=jnp.float32,
+            ),
+            c2w=Code2WavConfig(
+                codebook_size=64, num_quantizers=4, hidden=32, n_layers=1, n_heads=2,
+                d_ff=64, sliding_window=8, upsampling_ratios=(2, 2), upsample_rates=(4, 3),
+                decoder_dim=32, dtype=jnp.float32,
+            ),
+            dtype=jnp.float32,
         )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _norm01(key, shape, dtype, scale=0.02):
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+def _lin(key, di, do, dtype):
+    return (jax.random.normal(key, (di, do), jnp.float32) * di ** -0.5).astype(dtype)
+
+
+def _init_c2w_layer(key, cfg: Code2WavConfig) -> Params:
+    ks = jax.random.split(key, 7)
+    d, dt = cfg.hidden, cfg.dtype
+    return {
+        "attn_norm": jnp.ones((d,), dt),
+        "wq": _lin(ks[0], d, d, dt), "wk": _lin(ks[1], d, d, dt),
+        "wv": _lin(ks[2], d, d, dt), "wo": _lin(ks[3], d, d, dt),
+        "attn_scale": jnp.full((d,), 0.01, dt),
+        "mlp_norm": jnp.ones((d,), dt),
+        "w_gate": _lin(ks[4], d, cfg.d_ff, dt), "w_up": _lin(ks[5], d, cfg.d_ff, dt),
+        "w_down": _lin(ks[6], cfg.d_ff, d, dt),
+        "mlp_scale": jnp.full((d,), 0.01, dt),
+    }
+
+
+def _init_convnext(key, dim: int, dt) -> Params:
+    ks = jax.random.split(key, 3)
+    return {
+        "dw_w": _norm01(ks[0], (7, 1, dim), dt, 0.1), "dw_b": jnp.zeros((dim,), dt),
+        "ln_w": jnp.ones((dim,), dt), "ln_b": jnp.zeros((dim,), dt),
+        "pw1_w": _lin(ks[1], dim, 4 * dim, dt), "pw1_b": jnp.zeros((4 * dim,), dt),
+        "pw2_w": _lin(ks[2], 4 * dim, dim, dt), "pw2_b": jnp.zeros((dim,), dt),
+        "gamma": jnp.full((dim,), 1e-6, dt),
+    }
+
+
+def _init_snake(dim: int, dt) -> Params:
+    return {"alpha": jnp.zeros((dim,), jnp.float32), "beta": jnp.zeros((dim,), jnp.float32)}
+
+
+def _init_conv(key, cin, cout, k, dt) -> Params:
+    w = jax.random.normal(key, (k, cin, cout), jnp.float32) * (cin * k) ** -0.5
+    return {"w": w.astype(dt), "b": jnp.zeros((cout,), dt)}
+
+
+def _init_dwconv(key, dim, k, dt) -> Params:
+    w = jax.random.normal(key, (k, 1, dim), jnp.float32) * k ** -0.5
+    return {"w": w.astype(dt), "b": jnp.zeros((dim,), dt)}
+
+
+def _init_trans_conv(key, cin, cout, k, dt) -> Params:
+    # stored pre-flipped for the lhs-dilated conv formulation, (k, cin, cout)
+    w = jax.random.normal(key, (k, cin, cout), jnp.float32) * (cin * k) ** -0.5
+    return {"w": w.astype(dt), "b": jnp.zeros((cout,), dt)}
+
+
+def init_c2w_params(key, cfg: Code2WavConfig) -> Params:
+    ks = jax.random.split(key, cfg.n_layers + 32)
+    dt, d = cfg.dtype, cfg.hidden
+    upsample = []
+    for i, r in enumerate(cfg.upsampling_ratios):
+        upsample.append({
+            "tconv": _init_trans_conv(ks[cfg.n_layers + 2 * i], d, d, r, dt),
+            "convnext": _init_convnext(ks[cfg.n_layers + 2 * i + 1], d, dt),
+        })
+    dec_blocks = []
+    dim = cfg.decoder_dim
+    for i, rate in enumerate(cfg.upsample_rates):
+        out = dim // 2
+        kb = jax.random.split(ks[cfg.n_layers + 8 + i], 8)
+        units = []
+        for j, dil in enumerate((1, 3, 9)):
+            units.append({
+                "act1": _init_snake(out, dt),
+                "conv1": _init_conv(kb[2 * j], out, out, 7, dt),
+                "act2": _init_snake(out, dt),
+                "conv2": _init_conv(kb[2 * j + 1], out, out, 1, dt),
+            })
+        dec_blocks.append({
+            "act": _init_snake(dim, dt),
+            "tconv": _init_trans_conv(kb[6], dim, out, 2 * rate, dt),
+            "units": units,
+        })
+        dim = out
+    return {
+        "embed": _norm01(ks[0], (cfg.codebook_size * cfg.num_quantizers, d), dt),
+        "layers": stack_layers([_init_c2w_layer(ks[1 + i], cfg) for i in range(cfg.n_layers)]),
+        "final_norm": jnp.ones((d,), dt),
+        "upsample": upsample,
+        "dec_in": _init_conv(ks[cfg.n_layers + 20], d, cfg.decoder_dim, 7, dt),
+        "dec_blocks": dec_blocks,
+        "dec_act": _init_snake(dim, dt),
+        "dec_out": _init_conv(ks[cfg.n_layers + 21], dim, 1, 7, dt),
+    }
 
 
 def init_params(key, cfg: Qwen3TTSConfig = Qwen3TTSConfig()) -> Params:
     ks = jax.random.split(key, 12)
     d, dt = cfg.lm.d_model, cfg.dtype
-    lm_params = decoder_lm.init_params(ks[0], cfg.lm)
-    lm_params.pop("lm_head", None)  # talker uses per-codebook heads
-    voc_layers = []
-    ch = cfg.vocoder_dim
-    for i, s in enumerate(UP_STRIDES):
-        out_ch = max(8, ch // 2)
-        voc_layers.append(
-            {
-                "w": (jax.random.normal(ks[4 + i], (2 * s, ch, out_ch), jnp.float32)
-                      * (2 * s * ch) ** -0.5).astype(dt),
-                "b": jnp.zeros((out_ch,), dt),
-            }
-        )
-        ch = out_ch
+    lm = decoder_lm.init_params(ks[0], cfg.lm)
+    lm.pop("lm_head", None)
+    lm["embed"] = _norm01(ks[1], (cfg.codec_vocab, d), dt)  # codec token table
+    cp = decoder_lm.init_params(ks[2], cfg.cp)
+    cp.pop("lm_head", None)
+    cp.pop("embed", None)
+    n_res = cfg.n_q - 1
     return {
-        "lm": lm_params,
-        "text_embed": (jax.random.normal(ks[1], (cfg.text_vocab, d), jnp.float32) * 0.02).astype(dt),
-        "codec_embed": (jax.random.normal(ks[2], (cfg.n_q, cfg.codec_vocab, d), jnp.float32) * 0.02).astype(dt),
-        "speakers": (jax.random.normal(ks[3], (cfg.n_speakers, d), jnp.float32) * 0.02).astype(dt),
-        "heads": (jax.random.normal(ks[8], (cfg.n_q, d, cfg.codec_vocab), jnp.float32) * d ** -0.5).astype(dt),
-        "voc_in": (jax.random.normal(ks[9], (d, cfg.vocoder_dim), jnp.float32) * d ** -0.5).astype(dt),
-        "voc_layers": voc_layers,
-        "voc_out": (jax.random.normal(ks[10], (7, ch, 1), jnp.float32) * (7 * ch) ** -0.5).astype(dt),
-        "spk_proj": (jax.random.normal(ks[11], (80, d), jnp.float32) * 80 ** -0.5).astype(dt),
+        "talker": lm,
+        "codec_head": _lin(ks[3], d, cfg.codec_vocab, dt),
+        "text_embed": _norm01(ks[4], (cfg.text_vocab, d), dt),
+        "speakers": _norm01(ks[5], (cfg.n_speakers, d), dt),
+        "pad_embed": _norm01(ks[6], (d,), dt),
+        "spk_proj": _lin(ks[7], 80, d, dt),
+        "cp": cp,
+        "cp_embeds": _norm01(ks[8], (n_res, cfg.codebook_size, cfg.cp.d_model), dt),
+        "cp_heads": (jax.random.normal(ks[9], (n_res, cfg.cp.d_model, cfg.codebook_size), jnp.float32)
+                     * cfg.cp.d_model ** -0.5).astype(dt),
+        "c2w": init_c2w_params(ks[10], cfg.c2w),
     }
 
 
-def _frame_embedding(params, codes):
-    """codes: (B, n_q) -> summed codebook embeddings (B, D)."""
-    n_q = codes.shape[1]
-    embeds = jnp.stack([params["codec_embed"][q][codes[:, q]] for q in range(n_q)], axis=0)
-    return jnp.sum(embeds, axis=0)
+# ---------------------------------------------------------------------------
+# Code2Wav vocoder
+# ---------------------------------------------------------------------------
+
+
+def _causal_conv(x, p, dilation: int = 1):
+    """NTC causal conv, stride 1: left-pad (k-1)*dilation, length preserved."""
+    k = p["w"].shape[0]
+    groups = x.shape[-1] // p["w"].shape[1]
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (1,), ((dilation * (k - 1), 0),),
+        rhs_dilation=(dilation,), dimension_numbers=("NTC", "TIO", "NTC"),
+        feature_group_count=groups, preferred_element_type=jnp.float32,
+    )
+    return (out + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _causal_trans_conv(x, p, stride: int, kernel: int):
+    """torch ConvTranspose1d (weight pre-flipped at conversion) + the causal
+    trim of (kernel - stride) samples on each side."""
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (1,), ((kernel - 1, kernel - 1),),
+        lhs_dilation=(stride,), dimension_numbers=("NTC", "TIO", "NTC"),
+        preferred_element_type=jnp.float32,
+    )
+    out = (out + p["b"].astype(jnp.float32)).astype(x.dtype)
+    trim = kernel - stride
+    return out[:, trim : out.shape[1] - trim if trim else None, :]
+
+
+def _snake(x, p):
+    """SnakeBeta: x + (1/e^beta) sin^2(x * e^alpha), per channel, f32."""
+    xf = x.astype(jnp.float32)
+    alpha = jnp.exp(p["alpha"])[None, None, :]
+    beta = jnp.exp(p["beta"])[None, None, :]
+    return (xf + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(xf * alpha))).astype(x.dtype)
+
+
+def _convnext_block(x, p):
+    h = _causal_conv(x, {"w": p["dw_w"], "b": p["dw_b"]})
+    hf = h.astype(jnp.float32)
+    mean = jnp.mean(hf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(hf - mean), axis=-1, keepdims=True)
+    h = ((hf - mean) * jax.lax.rsqrt(var + 1e-6) * p["ln_w"] + p["ln_b"]).astype(x.dtype)
+    h = linear(h, p["pw1_w"], p["pw1_b"])
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(x.dtype)
+    h = linear(h, p["pw2_w"], p["pw2_b"])
+    return x + p["gamma"] * h
+
+
+def _c2w_transformer(params, cfg: Code2WavConfig, x):
+    t = x.shape[1]
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, t, cfg.rope_theta)
+    cos, sin = cos_full[:t], sin_full[:t]
+    qpos = jnp.arange(t)[:, None]
+    kpos = jnp.arange(t)[None, :]
+    mask = ((kpos <= qpos) & (kpos > qpos - cfg.sliding_window))[None, None]
+
+    def body(carry, lp):
+        h = rms_norm(carry, lp["attn_norm"], cfg.rms_eps)
+        b = h.shape[0]
+        q = linear(h, lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = linear(h, lp["wk"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = linear(h, lp["wv"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        a = attention(q, k, v, mask).transpose(0, 2, 1, 3).reshape(b, t, -1)
+        x = carry + lp["attn_scale"] * linear(a, lp["wo"])
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        h = linear(jax.nn.silu(linear(h, lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+                   * linear(h, lp["w_up"]), lp["w_down"])
+        return x + lp["mlp_scale"] * h, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return rms_norm(x, params["final_norm"], cfg.rms_eps)
+
+
+def code2wav(params, cfg: Code2WavConfig, codes):
+    """codes: (B, n_q, T) int32 -> waveform (B, T') float32 @ 24 kHz.
+
+    T' = upsampled length after the causal trans-conv trims (slightly under
+    T * total_upsample; chunked callers trim the context prefix instead of
+    assuming exact alignment).
+    """
+    offsets = (jnp.arange(cfg.num_quantizers) * cfg.codebook_size)[None, :, None]
+    emb = params["embed"][codes + offsets]  # (B, n_q, T, H)
+    x = jnp.mean(emb.astype(jnp.float32), axis=1).astype(cfg.dtype)  # (B, T, H)
+    x = _c2w_transformer(params, cfg, x)
+    for blk, r in zip(params["upsample"], cfg.upsampling_ratios):
+        x = _causal_trans_conv(x, blk["tconv"], r, r)
+        x = _convnext_block(x, blk["convnext"])
+    x = _causal_conv(x, params["dec_in"])
+    for blk, rate in zip(params["dec_blocks"], cfg.upsample_rates):
+        x = _snake(x, blk["act"])
+        x = _causal_trans_conv(x, blk["tconv"], rate, 2 * rate)
+        for unit, dil in zip(blk["units"], (1, 3, 9)):
+            res = x
+            x = _causal_conv(_snake(x, unit["act1"]), unit["conv1"], dilation=dil)
+            x = _causal_conv(_snake(x, unit["act2"]), unit["conv2"])
+            x = x + res
+    x = _snake(x, params["dec_act"])
+    x = _causal_conv(x, params["dec_out"])
+    return jnp.clip(x[:, :, 0].astype(jnp.float32), -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# talker + code predictor decode
+# ---------------------------------------------------------------------------
 
 
 class TalkerState(NamedTuple):
     lm_state: DecodeState
-    last_codes: jax.Array  # (B, n_q)
+    next_embed: jax.Array  # (B, D) input embedding for the next frame step
+
+
+def _cp_expand_frame(params, cfg: Qwen3TTSConfig, talker_hidden, code0):
+    """Per-frame MTP: expand (talker hidden, code0) into the residual
+    codebooks.  talker_hidden: (B, D) PRE-final-norm talker output; code0:
+    (B,) clipped to the codebook.  Returns (codes (B, n_q), embed_sum (B, D))
+    where embed_sum already includes the talker's code0 embedding."""
+    cp, n_res = cfg.cp, cfg.n_q - 1
+    b = code0.shape[0]
+    state = decoder_lm.init_decode_state(cp, b, max_t=cfg.n_q + 2)
+    code0_emb = params["talker"]["embed"][code0]
+    prompt = jnp.stack([talker_hidden.astype(cp.dtype), code0_emb.astype(cp.dtype)], axis=1)
+    h, state = decoder_lm._hidden_prefill(params["cp"], cp, prompt, state, 2)
+    h = rms_norm(h, params["cp"]["final_norm"], cp.rms_eps)
+
+    def body(carry, xs):
+        h, state, emb_sum = carry
+        head, table = xs
+        logits = (h.astype(jnp.float32) @ head.astype(jnp.float32))
+        code = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        emb = table[code]
+        emb_sum = emb_sum + emb.astype(jnp.float32)
+        x, state = decoder_lm._hidden_step(params["cp"], cp, emb[:, None, :], state)
+        h = rms_norm(x[:, 0], params["cp"]["final_norm"], cp.rms_eps)
+        return (h, state, emb_sum), code
+
+    (_, _, emb_sum), residuals = jax.lax.scan(
+        body, (h, state, code0_emb.astype(jnp.float32)),
+        (params["cp_heads"], params["cp_embeds"]),
+    )
+    codes = jnp.concatenate([code0[None], residuals], axis=0).T  # (B, n_q)
+    return codes, emb_sum.astype(cfg.dtype)
+
+
+def _frame_step(params, cfg: Qwen3TTSConfig, state: TalkerState):
+    """One codec frame: talker step -> code0 -> code-predictor expansion.
+    Returns (codes (B, n_q), eos (B,), new state)."""
+    x, lm_state = decoder_lm._hidden_step(
+        params["talker"], cfg.lm, state.next_embed[:, None, :], state.lm_state
+    )
+    hidden = x[:, 0]
+    normed = rms_norm(hidden, params["talker"]["final_norm"], cfg.lm.rms_eps)
+    logits = (normed.astype(jnp.float32) @ params["codec_head"].astype(jnp.float32))
+    code0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    eos = code0 == cfg.codec_eos_id
+    code0_cb = jnp.clip(code0, 0, cfg.codebook_size - 1)
+    codes, emb_sum = _cp_expand_frame(params, cfg, hidden, code0_cb)
+    next_embed = emb_sum + params["pad_embed"][None, :]
+    return codes, eos, TalkerState(lm_state, next_embed)
 
 
 def talker_prefill(params, cfg: Qwen3TTSConfig, text_tokens, speaker_vec, state: DecodeState):
-    """Prefill [speaker, text...] prompt. text_tokens: (1, T_bucket) padded,
-    speaker_vec: (1, D). Returns (first-frame logits (1, n_q, K), TalkerState)."""
+    """Fill the talker cache with [speaker, text...]; the first frame step
+    then consumes the codec BOS embedding.  Returns a TalkerState."""
     text_emb = params["text_embed"][text_tokens]
     prompt = jnp.concatenate([speaker_vec[:, None, :].astype(text_emb.dtype), text_emb], axis=1)
     prompt_len = jnp.sum(text_tokens > 0, axis=1) + 1
-    hidden, lm_state = decoder_lm.prefill_embeds(params["lm"], cfg.lm, prompt, state, prompt_len)
-    logits = jnp.einsum("bd,qdk->bqk", hidden.astype(jnp.float32), params["heads"].astype(jnp.float32))
-    bos = jnp.full((text_tokens.shape[0], cfg.n_q), BOS_FRAME, jnp.int32)
-    return logits, TalkerState(lm_state, bos)
+    _, lm_state = decoder_lm._hidden_prefill(params["talker"], cfg.lm, prompt, state, prompt_len)
+    bos = params["talker"]["embed"][
+        jnp.full((text_tokens.shape[0],), cfg.codec_bos_id, jnp.int32)
+    ]
+    return TalkerState(lm_state, bos)
 
 
-def talker_step(params, cfg: Qwen3TTSConfig, codes, state: TalkerState):
-    """One codec frame step. codes: (B, n_q) previous frame.
-    Returns (logits (B, n_q, K), new state)."""
-    emb = _frame_embedding(params, codes)
-    hidden, lm_state = decoder_lm.decode_step_embeds(params["lm"], cfg.lm, emb, state.lm_state)
-    logits = jnp.einsum("bd,qdk->bqk", hidden.astype(jnp.float32), params["heads"].astype(jnp.float32))
-    return logits, TalkerState(lm_state, codes)
+def decode_chunk_audio(params, cfg: Qwen3TTSConfig, state: TalkerState, context, n_frames: int):
+    """Fused chunk decode + vocode: ONE device program and ONE host fetch per
+    audio chunk.  context: (C, n_q) trailing frames of the previous chunk,
+    re-vocoded for continuity and trimmed from the returned audio.
 
-
-def vocode(params, cfg: Qwen3TTSConfig, codes):
-    """codes: (T, n_q) codec frames -> (T*1280,) float32 waveform @ 16 kHz."""
-    frame_emb = _frame_embedding(params, codes)  # (T, D)
-    # -> (1, T, vocoder_dim)
-    x = (frame_emb @ params["voc_in"]).astype(cfg.dtype)[None]
-    for layer, s in zip(params["voc_layers"], UP_STRIDES):
-        x = jax.lax.conv_transpose(
-            x, layer["w"], strides=(s,), padding="SAME",
-            dimension_numbers=("NTC", "TIO", "NTC"),
-        ).astype(cfg.dtype) + layer["b"]
-        x = jax.nn.gelu(x)
-    x = jax.lax.conv_general_dilated(
-        x, params["voc_out"], window_strides=(1,), padding=((3, 3),),
-        dimension_numbers=("NTC", "TIO", "NTC"), preferred_element_type=jnp.float32,
-    )
-    return jnp.tanh(x[0, :, 0].astype(jnp.float32))
-
-
-def talker_decode_chunk(params, cfg: Qwen3TTSConfig, codes, state: TalkerState, n_frames: int):
-    """Greedily decode *n_frames* codec frames in ONE device program
-    (``lax.scan`` of talker steps) — a single dispatch + a single host sync
-    per audio chunk instead of one per 80 ms frame (which costs ~100 ms of
-    round-trip each on a remote-attached chip).
-
-    Returns (frames (n_frames, B, n_q), eos_flags (n_frames,), next codes,
-    new state)."""
+    Returns (audio, eos_flags (n_frames,), new state, next context)."""
 
     def body(carry, _):
-        codes, state = carry
-        logits, state = talker_step(params, cfg, codes, state)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, n_q)
-        eos = nxt[0, 0] == EOS_LOGIT_INDEX
-        return (nxt, state), (codes, eos)
+        st = carry
+        codes, eos, st = _frame_step(params, cfg, st)
+        return st, (codes[0], eos[0])
 
-    (next_codes, state), (frames, eos_flags) = jax.lax.scan(
-        body, (codes, state), None, length=n_frames
-    )
-    return frames, eos_flags, next_codes, state
-
-
-def talker_decode_chunk_audio(
-    params, cfg: Qwen3TTSConfig, codes, state: TalkerState, context, n_frames: int
-):
-    """Fused chunk decode + vocode: ONE device program and ONE host fetch per
-    audio chunk.  *context*: (VOCODER_CONTEXT_FRAMES, n_q) trailing frames of
-    the previous chunk (BOS frames for the first chunk) vocoded again for
-    continuity and trimmed from the returned audio.
-
-    Returns (audio (n_frames*UPSAMPLE,), eos_flags (n_frames,), next codes,
-    new state, next context)."""
-    frames, eos_flags, next_codes, state = talker_decode_chunk(params, cfg, codes, state, n_frames)
-    chunk_frames = frames[:, 0, :]  # (n_frames, n_q)
-    full = jnp.concatenate([context, chunk_frames], axis=0)
-    audio = vocode(params, cfg, full)[context.shape[0] * UPSAMPLE :]
-    next_context = full[-VOCODER_CONTEXT_FRAMES:]
-    return audio, eos_flags, next_codes, state, next_context
+    state, (frames, eos_flags) = jax.lax.scan(body, state, None, length=n_frames)
+    full = jnp.concatenate([context, frames], axis=0)  # (C + n, n_q)
+    wav = code2wav(params["c2w"], cfg.c2w, full.T[None])  # (1, T')
+    audio = wav[0, context.shape[0] * cfg.upsample :]
+    next_context = full[-context.shape[0] :] if context.shape[0] else full[:0]
+    return audio, eos_flags, state, next_context
 
 
 def synthesize_utterance(
     params, cfg: Qwen3TTSConfig, text_tokens, speaker_vec, max_frames: int, cache_len: int | None = None
 ):
-    """Whole utterance in ONE device program: prefill + fixed-length frame scan
-    + vocode — a single dispatch and a single host fetch (the throughput path;
-    streaming uses the chunked program).  Frames after EOS are vocoded but
-    masked out via the returned ``n_valid``.
-
-    Returns (audio (max_frames*UPSAMPLE,), n_valid_frames scalar)."""
+    """Whole utterance in ONE device program: prefill + frame scan + vocode.
+    Returns (audio, n_valid_frames)."""
     state = decoder_lm.init_decode_state(cfg.lm, 1, max_t=cache_len or cfg.lm.max_seq_len)
-    logits, tstate = talker_prefill(params, cfg, text_tokens, speaker_vec, state)
-    codes = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    frames, eos_flags, _, _ = talker_decode_chunk(params, cfg, codes, tstate, max_frames)
-    audio = vocode(params, cfg, frames[:, 0, :])
+    tstate = talker_prefill(params, cfg, text_tokens, speaker_vec, state)
+
+    def body(carry, _):
+        st = carry
+        codes, eos, st = _frame_step(params, cfg, st)
+        return st, (codes[0], eos[0])
+
+    _, (frames, eos_flags) = jax.lax.scan(body, tstate, None, length=max_frames)
+    audio = code2wav(params["c2w"], cfg.c2w, frames.T[None])[0]
     any_eos = jnp.any(eos_flags)
-    first_eos = jnp.argmax(eos_flags)  # 0 when no EOS: guarded by any_eos
+    first_eos = jnp.argmax(eos_flags)
     n_valid = jnp.where(any_eos, first_eos + 1, max_frames)
     return audio, n_valid
 
 
-# Explicit-params jits (see decoder_lm note: never capture weights in a jit).
-jit_talker_step = partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))(talker_step)
+# Explicit-params jits (never capture weights — see repo memory).
 jit_talker_prefill = partial(jax.jit, static_argnums=(1,))(talker_prefill)
-jit_vocode = partial(jax.jit, static_argnums=(1,))(vocode)
-jit_talker_decode_chunk = partial(jax.jit, static_argnums=(1, 4), donate_argnums=(3,))(
-    talker_decode_chunk
-)
-jit_talker_decode_chunk_audio = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
-    talker_decode_chunk_audio
+jit_decode_chunk_audio = partial(jax.jit, static_argnums=(1, 4), donate_argnums=(2,))(
+    decode_chunk_audio
 )
 jit_synthesize_utterance = partial(jax.jit, static_argnums=(1, 4, 5))(synthesize_utterance)
+jit_code2wav = partial(jax.jit, static_argnums=(1,))(code2wav)
 
 
-def make_jit_talker_step(params, cfg: Qwen3TTSConfig):
-    def step(codes, state):
-        return jit_talker_step(params, cfg, codes, state)
-
-    return step
-
-
-def speaker_from_reference(params, ref_audio: np.ndarray, sample_rate: int = SAMPLE_RATE):
+def speaker_from_reference(params, ref_audio: np.ndarray, sample_rate: int = 16_000):
     """Voice-clone embedding: mean log-mel of the reference projected to D.
-    (A converter can instead load precomputed .spk vectors.)"""
+    (The converter can instead load precomputed .spk vectors — see
+    ``load_speaker_file``.)"""
     from s2s_tpu.ops.mel import log_mel_spectrogram
 
     mel = log_mel_spectrogram(np.asarray(ref_audio, np.float32), 80)  # (80, T)
-    pooled = jnp.mean(mel, axis=1)  # (80,)
+    pooled = jnp.mean(mel, axis=1)
     return (pooled @ params["spk_proj"])[None, :]
 
 
+def load_speaker_file(path: str):
+    """Load a precomputed speaker embedding (.spk saved as .npy/.npz) —
+    mirrors the reference's cached-reference mode
+    (``qwen3_tts_handler.py:112-113``)."""
+    arr = np.load(path)
+    if hasattr(arr, "files"):
+        arr = arr[arr.files[0]]
+    vec = np.asarray(arr, np.float32).reshape(1, -1)
+    return jnp.asarray(vec)
+
+
+# ---------------------------------------------------------------------------
+# host-side streaming synthesizer
+# ---------------------------------------------------------------------------
+
+
 class Qwen3TTS:
-    """Host-side streaming synthesizer."""
+    """Host-side streaming synthesizer over the fused chunk programs."""
 
     def __init__(
         self,
@@ -253,23 +535,25 @@ class Qwen3TTS:
         cfg: Qwen3TTSConfig | None = None,
         seed: int = 0,
         chunk_frames: int = DEFAULT_CHUNK_FRAMES,
+        context_frames: int = VOCODER_CONTEXT_FRAMES,
     ) -> None:
         self.cfg = cfg or Qwen3TTSConfig()
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), self.cfg)
         self.chunk_frames = chunk_frames
-        self._jit_step = make_jit_talker_step(self.params, self.cfg)
-        self._jit_vocode = lambda codes: jit_vocode(self.params, self.cfg, codes)
+        self.context_frames = context_frames
+
+    @property
+    def sample_rate(self) -> int:
+        return SAMPLE_RATE
 
     def _encode_text(self, text: str, bucket: int | None = None) -> tuple[jnp.ndarray, int]:
-        # prompt (speaker + text bucket) must leave room for codec frames
         bucket = bucket or min(256, self.cfg.lm.max_seq_len // 2 - 1)
-        ids = [min(self.cfg.text_vocab - 1, max(1, b)) for b in text.encode("utf-8")][: bucket]
+        ids = [min(self.cfg.text_vocab - 1, max(1, b)) for b in text.encode("utf-8")][:bucket]
         arr = np.zeros((1, bucket), np.int32)
         arr[0, : len(ids)] = ids
         return jnp.asarray(arr), len(ids)
 
-    #: KV-cache length buckets: decode-step cost scales with cache reads, so
-    #: short utterances must not pay for the 2048-slot worst case.
+    #: KV-cache length buckets: decode-step cost scales with cache reads.
     CACHE_BUCKETS = (512, 768, 1024, 1536, 2048)
 
     def _cache_len(self, prompt_bucket: int, max_new: int) -> int:
@@ -288,7 +572,7 @@ class Qwen3TTS:
             self._cache_len(tokens.shape[1], max_frames),
         )
         out = np.asarray(audio)
-        return out[: int(n_valid) * UPSAMPLE]
+        return out[: int(n_valid) * self.cfg.upsample]
 
     def stream(
         self,
@@ -297,14 +581,11 @@ class Qwen3TTS:
         speaker_id: int = 0,
         speaker_vec: Any | None = None,
         cancel_check=None,
-        sample_fn=None,
     ) -> Iterator[tuple[np.ndarray, int]]:
         """Yield (float32 audio chunk, sample_rate) per ``chunk_frames`` codec
-        frames.  The talker decodes a whole chunk in ONE device program
-        (:func:`talker_decode_chunk`), so each 640 ms of audio costs one
-        dispatch + one host sync.  ``cancel_check()`` polls between chunks —
-        the abort granularity the generation-discard window already models
-        (SURVEY §7 watch-list)."""
+        frames.  Each chunk is ONE fused device program (talker scan + code
+        predictor + vocoder), so ~640 ms of audio costs one dispatch + one
+        host sync.  ``cancel_check()`` polls between chunks."""
         cfg = self.cfg
         tokens, _ = self._encode_text(text)
         if speaker_vec is None:
@@ -312,39 +593,179 @@ class Qwen3TTS:
         state = decoder_lm.init_decode_state(
             cfg.lm, 1, max_t=self._cache_len(tokens.shape[1], max_new_tokens)
         )
-        logits, tstate = jit_talker_prefill(self.params, cfg, tokens, speaker_vec, state)
-
-        if sample_fn is not None:
-            codes = sample_fn(logits)
-        else:
-            codes = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1, n_q)
-        # BOS context for the first chunk (vocoded + trimmed for continuity)
-        context = jnp.full((VOCODER_CONTEXT_FRAMES, cfg.n_q), BOS_FRAME, jnp.int32)
+        tstate = jit_talker_prefill(self.params, cfg, tokens, speaker_vec, state)
+        context = jnp.zeros((self.context_frames, cfg.n_q), jnp.int32)
         emitted = 0
+        chunk = self.chunk_frames
         while emitted < max_new_tokens:
-            n = min(self.chunk_frames, max_new_tokens - emitted)
-            audio_dev, eos_flags, codes, tstate, context = jit_talker_decode_chunk_audio(
-                self.params, cfg, codes, tstate, context, n
+            n = min(chunk, max_new_tokens - emitted)
+            audio_dev, eos_flags, tstate, context = jit_decode_chunk_audio(
+                self.params, cfg, tstate, context, n
             )
-            # one host fetch per chunk: audio + flags arrive together
             audio = np.asarray(audio_dev)
             eos = np.asarray(eos_flags)
             valid = n
             hit_eos = False
             nz = np.nonzero(eos)[0]
             if len(nz):
-                valid = int(nz[0]) + 1  # frame at the EOS position is the last real one
+                valid = int(nz[0])  # EOS frame itself carries no audio
                 hit_eos = True
             if valid > 0:
-                yield audio[: valid * UPSAMPLE], SAMPLE_RATE
-            emitted += valid
+                n_samples = min(len(audio), valid * cfg.upsample)
+                yield audio[:n_samples], SAMPLE_RATE
+            emitted += max(valid, 1)
             if hit_eos:
                 return
             if cancel_check is not None and cancel_check():
                 return
 
-    def _vocode_pending(self, pending: list[np.ndarray], context: np.ndarray) -> np.ndarray:
-        frames = np.asarray(pending, np.int32)
-        full = np.concatenate([context, frames], axis=0) if len(context) else frames
-        audio = np.asarray(self._jit_vocode(jnp.asarray(full)))
-        return audio[len(context) * UPSAMPLE :]
+
+# ---------------------------------------------------------------------------
+# checkpoint conversion (transformers Qwen3-Omni talker/code2wav naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_c2w_state_dict(sd: dict, cfg: Code2WavConfig) -> Params:
+    """transformers ``Qwen3OmniMoeCode2Wav`` state dict -> param pytree."""
+    dt = cfg.dtype
+
+    def a(name, dtype=None):
+        return jnp.asarray(np.asarray(sd[name]), dtype or dt)
+
+    def t(name):
+        return jnp.asarray(np.asarray(sd[name]).T, dt)
+
+    def conv(name):  # torch Conv1d (out, in/groups, k) -> NTC/TIO (k, in/g, out)
+        return {"w": jnp.asarray(np.asarray(sd[name + ".weight"]).transpose(2, 1, 0), dt),
+                "b": a(name + ".bias")}
+
+    def tconv(name):  # torch ConvTranspose1d (in, out, k) -> flipped (k, in, out)
+        w = np.asarray(sd[name + ".weight"]).transpose(2, 0, 1)[::-1].copy()
+        return {"w": jnp.asarray(w, dt), "b": a(name + ".bias")}
+
+    def snake(name):
+        return {"alpha": a(name + ".alpha", jnp.float32), "beta": a(name + ".beta", jnp.float32)}
+
+    hd = cfg.head_dim
+    perm = np.empty(hd, np.int64)
+    perm[0::2] = np.arange(hd // 2)
+    perm[1::2] = np.arange(hd // 2) + hd // 2
+
+    def rope_perm(name):
+        w = np.asarray(sd[name])  # (n_heads*hd, d)
+        w = w.reshape(-1, hd, w.shape[-1])[:, perm, :].reshape(-1, w.shape[-1])
+        return jnp.asarray(w.T, dt)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"pre_transformer.layers.{i}."
+        layers.append({
+            "attn_norm": a(p + "input_layernorm.weight"),
+            "wq": rope_perm(p + "self_attn.q_proj.weight"),
+            "wk": rope_perm(p + "self_attn.k_proj.weight"),
+            "wv": t(p + "self_attn.v_proj.weight"),
+            "wo": t(p + "self_attn.o_proj.weight"),
+            "attn_scale": a(p + "self_attn_layer_scale.scale"),
+            "mlp_norm": a(p + "post_attention_layernorm.weight"),
+            "w_gate": t(p + "mlp.gate_proj.weight"),
+            "w_up": t(p + "mlp.up_proj.weight"),
+            "w_down": t(p + "mlp.down_proj.weight"),
+            "mlp_scale": a(p + "mlp_layer_scale.scale"),
+        })
+
+    upsample = []
+    for i in range(len(cfg.upsampling_ratios)):
+        p = f"upsample.{i}."
+        upsample.append({
+            "tconv": tconv(p + "0.conv"),
+            "convnext": {
+                "dw_w": jnp.asarray(np.asarray(sd[p + "1.dwconv.conv.weight"]).transpose(2, 1, 0), dt),
+                "dw_b": a(p + "1.dwconv.conv.bias"),
+                "ln_w": a(p + "1.norm.weight"), "ln_b": a(p + "1.norm.bias"),
+                "pw1_w": t(p + "1.pwconv1.weight"), "pw1_b": a(p + "1.pwconv1.bias"),
+                "pw2_w": t(p + "1.pwconv2.weight"), "pw2_b": a(p + "1.pwconv2.bias"),
+                "gamma": a(p + "1.gamma"),
+            },
+        })
+
+    dec_blocks = []
+    for i in range(len(cfg.upsample_rates)):
+        p = f"decoder.{i + 1}.block."
+        units = []
+        for j in range(3):
+            q = p + f"{j + 2}."
+            units.append({
+                "act1": snake(q + "act1"), "conv1": conv(q + "conv1.conv"),
+                "act2": snake(q + "act2"), "conv2": conv(q + "conv2.conv"),
+            })
+        dec_blocks.append({"act": snake(p + "0"), "tconv": tconv(p + "1.conv"), "units": units})
+
+    n_dec = len(cfg.upsample_rates)
+    return {
+        "embed": a("code_embedding.weight"),
+        "layers": stack_layers(layers),
+        "final_norm": a("pre_transformer.norm.weight"),
+        "upsample": upsample,
+        "dec_in": conv("decoder.0.conv"),
+        "dec_blocks": dec_blocks,
+        "dec_act": snake(f"decoder.{n_dec + 1}"),
+        "dec_out": conv(f"decoder.{n_dec + 2}.conv"),
+    }
+
+
+def convert_state_dict(sd: dict, cfg: Qwen3TTSConfig) -> Params:
+    """Full Qwen3-TTS checkpoint (talker + code predictor + code2wav) using
+    transformers Qwen3-Omni talker naming:
+
+    - ``talker.model.layers.*`` / ``talker.codec_head`` — dense Qwen3 talker
+    - ``talker.code_predictor.model.layers.*``, ``.codec_embedding.{i}``,
+      ``.lm_head.{i}`` — MTP code predictor
+    - ``code2wav.*`` — vocoder
+    Optional TTS-specific tables: ``talker.text_embed``, ``talker.speakers``,
+    ``talker.tts_pad_embed``, ``talker.spk_proj``.
+    """
+    dt = cfg.dtype
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def sub(prefix, rename_to="model."):
+        return {rename_to + k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    talker_sd = sub("talker.model.")
+    talker_sd["model.embed_tokens.weight"] = sd["talker.model.embed_tokens.weight"]
+    talker = decoder_lm.convert_hf_state_dict(talker_sd, cfg.lm)
+    talker.pop("lm_head", None)
+
+    cp_sd = sub("talker.code_predictor.model.")
+    cp_sd["model.embed_tokens.weight"] = np.zeros((1, cfg.cp.d_model), np.float32)  # unused
+    cp = decoder_lm.convert_hf_state_dict(cp_sd, cfg.cp)
+    cp.pop("lm_head", None)
+    cp.pop("embed", None)
+
+    n_res = cfg.n_q - 1
+    cp_embeds = jnp.stack([
+        jnp.asarray(sd[f"talker.code_predictor.model.codec_embedding.{i}.weight"], dt)
+        for i in range(n_res)
+    ])
+    cp_heads = jnp.stack([
+        jnp.asarray(sd[f"talker.code_predictor.lm_head.{i}.weight"].T, dt) for i in range(n_res)
+    ])
+
+    c2w_sd = {k[len("code2wav."):]: v for k, v in sd.items() if k.startswith("code2wav.")}
+
+    def opt(name, default):
+        return jnp.asarray(sd[name], dt) if name in sd else default
+
+    d = cfg.lm.d_model
+    return {
+        "talker": talker,
+        "codec_head": jnp.asarray(sd["talker.codec_head.weight"].T, dt),
+        "text_embed": opt("talker.text_embed.weight",
+                          jnp.zeros((cfg.text_vocab, d), dt)),
+        "speakers": opt("talker.speakers.weight", jnp.zeros((cfg.n_speakers, d), dt)),
+        "pad_embed": opt("talker.tts_pad_embed", jnp.zeros((d,), dt)),
+        "spk_proj": opt("talker.spk_proj.weight", jnp.zeros((80, d), dt)),
+        "cp": cp,
+        "cp_embeds": cp_embeds,
+        "cp_heads": cp_heads,
+        "c2w": convert_c2w_state_dict(c2w_sd, cfg.c2w),
+    }

@@ -212,15 +212,21 @@ def _make_local_vlm(config, ctx: HandlerContext):
 
 
 def _make_qwen3_tts(config, ctx: HandlerContext):
-    from s2s_tpu.models.qwen3_tts import Qwen3TTS
+    from s2s_tpu.models.qwen3_tts import Qwen3TTS, Qwen3TTSConfig, load_speaker_file
     from s2s_tpu.tts.qwen3_handler import Qwen3TTSHandler
 
+    cfg = {
+        "1.7b": Qwen3TTSConfig.qwen3_tts_12hz_1_7b,
+        "tiny": Qwen3TTSConfig.tiny,
+    }[config.model_size]()
     model = ctx.model_cache.get(
-        ("qwen3_tts", config.checkpoint, config.streaming_chunk_size),
+        ("qwen3_tts", config.model_size, config.checkpoint, config.streaming_chunk_size),
         lambda: Qwen3TTS(
-            params=_load_checkpoint(config.checkpoint), chunk_frames=config.streaming_chunk_size
+            params=_load_checkpoint(config.checkpoint), cfg=cfg,
+            chunk_frames=config.streaming_chunk_size,
         ),
     )
+    speaker_vec = load_speaker_file(config.ref_spk) if config.ref_spk else None
     ref_audio = None
     if config.ref_audio:
         import wave
@@ -242,6 +248,7 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
             voice=config.voice,
             voice_instruct=config.voice_instruct,
             ref_audio=ref_audio,
+            speaker_vec=speaker_vec,
             streaming_chunk_size=config.streaming_chunk_size,
             max_new_tokens=config.max_new_tokens,
             blocksize=config.blocksize,

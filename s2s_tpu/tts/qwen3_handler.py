@@ -79,11 +79,13 @@ class Qwen3TTSHandler(BaseTTSHandler):
         blocksize: int = 512,
         voice: str | None = None,
         ref_audio: np.ndarray | None = None,
+        speaker_vec=None,
         voice_instruct: str | None = None,
         streaming_chunk_size: int = 8,
         max_new_tokens: int = DEFAULT_MAX_NEW_TOKENS,
         synthesize_fn=None,
         model=None,
+        model_size: str = "1.7b",
         warmup: bool = False,
     ) -> None:
         self.setup_base(
@@ -98,15 +100,17 @@ class Qwen3TTSHandler(BaseTTSHandler):
         self.streaming_chunk_size = streaming_chunk_size
         self.max_new_tokens = max_new_tokens
         self._synthesize_fn = synthesize_fn
-        self._speaker_vec = None
+        self._speaker_vec = speaker_vec  # precomputed .spk embedding (cached-reference mode)
         if synthesize_fn is None:
             if model is None:
-                from s2s_tpu.models.qwen3_tts import Qwen3TTS
+                from s2s_tpu.models.qwen3_tts import Qwen3TTS, Qwen3TTSConfig
 
                 logger.warning("Qwen3TTSHandler: random-init weights (no checkpoint provided)")
-                model = Qwen3TTS(chunk_frames=streaming_chunk_size)
+                cfg = {"1.7b": Qwen3TTSConfig.qwen3_tts_12hz_1_7b,
+                       "tiny": Qwen3TTSConfig.tiny}[model_size]()
+                model = Qwen3TTS(cfg=cfg, chunk_frames=streaming_chunk_size)
             self.model = model
-            if ref_audio is not None:
+            if ref_audio is not None and self._speaker_vec is None:
                 from s2s_tpu.models.qwen3_tts import speaker_from_reference
 
                 self._speaker_vec = speaker_from_reference(self.model.params, ref_audio)

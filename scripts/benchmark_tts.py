@@ -18,7 +18,7 @@ from queue import Queue
 SENTENCE = "This is a representative assistant reply used to benchmark synthesis."
 
 
-def build_handler(backend: str):
+def build_handler(backend: str, model_size: str):
     stop = threading.Event()
     if backend == "kokoro":
         from s2s_tpu.tts.kokoro_handler import KokoroTTSHandler
@@ -26,19 +26,22 @@ def build_handler(backend: str):
         return KokoroTTSHandler(stop, Queue(), Queue(), setup_kwargs=dict(warmup=False))
     from s2s_tpu.tts.qwen3_handler import Qwen3TTSHandler
 
-    return Qwen3TTSHandler(stop, Queue(), Queue(), setup_kwargs=dict(warmup=False))
+    return Qwen3TTSHandler(
+        stop, Queue(), Queue(), setup_kwargs=dict(warmup=False, model_size=model_size)
+    )
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--tts", default="qwen3", choices=["qwen3", "kokoro"])
+    parser.add_argument("--model_size", default="1.7b")
     parser.add_argument("--text", default=SENTENCE)
     parser.add_argument("--runs", type=int, default=3)
     args = parser.parse_args()
 
     from s2s_tpu.pipeline.messages import TTSInput
 
-    handler = build_handler(args.tts)
+    handler = build_handler(args.tts, args.model_size)
 
     def run_once():
         t0 = time.perf_counter()

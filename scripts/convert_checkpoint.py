@@ -52,7 +52,8 @@ def main() -> None:
     parser.add_argument("--family", required=True,
                         choices=["smollm2-1.7b", "smollm2-360m", "whisper-tiny", "whisper-base",
                                  "whisper-small", "whisper-large-v3", "distil-large-v3", "silero-vad",
-                                 "parakeet-tdt-0.6b-v2", "parakeet-tdt-0.6b-v3"])
+                                 "parakeet-tdt-0.6b-v2", "parakeet-tdt-0.6b-v3",
+                                 "qwen3-tts-12hz-1.7b"])
     parser.add_argument("--pred-layers", type=int, default=1,
                         help="parakeet prediction-network LSTM layers (per the checkpoint)")
     parser.add_argument("--src", required=True)
@@ -79,6 +80,10 @@ def main() -> None:
         }[args.family]()
         cfg = replace(cfg, pred_layers=args.pred_layers)
         params = parakeet.convert_state_dict(sd, cfg)
+    elif args.family == "qwen3-tts-12hz-1.7b":
+        from s2s_tpu.models import qwen3_tts
+
+        params = qwen3_tts.convert_state_dict(sd, qwen3_tts.Qwen3TTSConfig.qwen3_tts_12hz_1_7b())
     elif args.family == "silero-vad":
         from s2s_tpu.models.silero_vad import convert_silero_state_dict
 

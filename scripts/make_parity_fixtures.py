@@ -60,6 +60,29 @@ def make_llama_fixture(path: str = "tests/data/llama_parity.npz") -> None:
     )
 
 
+def make_qwen3_fixture(path: str = "tests/data/qwen3_parity.npz") -> None:
+    """Tiny dense Qwen3 (qk-norm, decoupled head_dim) — the TTS talker body."""
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(0)
+    cfg = Qwen3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=True, attention_bias=False,
+        attn_implementation="eager",
+    )
+    model = Qwen3ForCausalLM(cfg).eval()
+    tokens = torch.randint(0, 512, (1, 12), generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        logits = model(input_ids=tokens).logits
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    np.savez_compressed(
+        path, tokens=tokens.numpy(), logits=logits.numpy(),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
 def _parakeet_features_torch(audio: "torch.Tensor", n_mels: int) -> "torch.Tensor":
     """transformers ``ParakeetFeatureExtractor`` math (librosa-free): preemph
     0.97, centered 512-pt STFT with hann(400) constant padding, power, slaney
@@ -218,6 +241,66 @@ def make_parakeet_fixture(path: str = "tests/data/parakeet_parity.npz") -> None:
     )
 
 
+def make_qwen3tts_fixture(path: str = "tests/data/qwen3tts_parity.npz") -> None:
+    """Tiny Qwen3-Omni Code2Wav vocoder + talker code predictor — the codec
+    stack our Qwen3-TTS implements (same 12.5 Hz codec family)."""
+    from transformers.models.qwen3_omni_moe.configuration_qwen3_omni_moe import (
+        Qwen3OmniMoeCode2WavConfig,
+        Qwen3OmniMoeTalkerCodePredictorConfig,
+    )
+    from transformers.models.qwen3_omni_moe.modeling_qwen3_omni_moe import (
+        Qwen3OmniMoeCode2Wav,
+        Qwen3OmniMoeTalkerCodePredictorModelForConditionalGeneration,
+    )
+
+    torch.manual_seed(0)
+    c2w_cfg = Qwen3OmniMoeCode2WavConfig(
+        codebook_size=64, num_quantizers=4, hidden_size=32, num_attention_heads=2,
+        num_key_value_heads=2, intermediate_size=64, sliding_window=8,
+        num_hidden_layers=1, upsample_rates=(4, 3), upsampling_ratios=(2, 2),
+        decoder_dim=32, attention_dropout=0.0, attn_implementation="eager",
+    )
+    c2w = Qwen3OmniMoeCode2Wav(c2w_cfg).eval()
+    codes = torch.randint(0, 64, (1, 4, 9), generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        wav = c2w(codes)
+
+    cp_cfg = Qwen3OmniMoeTalkerCodePredictorConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_code_groups=4, rope_theta=10000.0, attn_implementation="eager",
+    )
+    cp = Qwen3OmniMoeTalkerCodePredictorModelForConditionalGeneration(cp_cfg).eval()
+    prompt = torch.randn(1, 2, 32, generator=torch.Generator().manual_seed(2))
+    # greedy MTP expansion: head[step] logits -> code -> embedding[step] -> step
+    cp_logits, cp_codes = [], []
+    with torch.no_grad():
+        from transformers import DynamicCache
+
+        cache = DynamicCache()
+        out = cp.model(inputs_embeds=prompt, past_key_values=cache, use_cache=True)
+        h = out.last_hidden_state[:, -1]
+        for step in range(cp_cfg.num_code_groups - 1):
+            logits = cp.lm_head[step](h)
+            cp_logits.append(logits.numpy())
+            code = int(logits.argmax(-1))
+            cp_codes.append(code)
+            if step < cp_cfg.num_code_groups - 2:
+                emb = cp.model.codec_embedding[step](torch.tensor([[code]]))
+                out = cp.model(inputs_embeds=emb, past_key_values=cache, use_cache=True)
+                h = out.last_hidden_state[:, -1]
+
+    sd = {f"code2wav.{k}": v.numpy() for k, v in c2w.state_dict().items()}
+    sd.update({f"talker.code_predictor.{k}": v.numpy() for k, v in cp.state_dict().items()})
+    np.savez_compressed(
+        path,
+        codes=codes.numpy(), wav=wav.numpy(),
+        cp_prompt=prompt.numpy(), cp_logits=np.concatenate(cp_logits),
+        cp_codes=np.asarray(cp_codes, np.int32),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -226,6 +309,10 @@ if __name__ == "__main__":
         make_whisper_fixture()
     if only in (None, "llama"):
         make_llama_fixture()
+    if only in (None, "qwen3"):
+        make_qwen3_fixture()
     if only in (None, "parakeet"):
         make_parakeet_fixture()
+    if only in (None, "qwen3tts"):
+        make_qwen3tts_fixture()
     print("fixtures written to tests/data/")

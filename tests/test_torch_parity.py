@@ -16,6 +16,26 @@ import pytest
 
 WHISPER_FIXTURE = "tests/data/whisper_parity.npz"
 LLAMA_FIXTURE = "tests/data/llama_parity.npz"
+QWEN3_FIXTURE = "tests/data/qwen3_parity.npz"
+
+
+def test_decoder_lm_matches_torch_qwen3():
+    """Dense Qwen3 (per-head qk-norm, decoupled head_dim) — the TTS talker
+    body — vs transformers Qwen3ForCausalLM."""
+    from s2s_tpu.models import decoder_lm
+
+    sd, io = load_fixture(QWEN3_FIXTURE)
+    cfg = decoder_lm.DecoderLMConfig(
+        vocab_size=512, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128,
+        max_seq_len=128, rope_theta=10000.0, rms_eps=1e-6, tie_embeddings=True,
+        qk_norm=True, head_dim_override=32, dtype=jnp.float32,
+    )
+    params = decoder_lm.convert_hf_state_dict(sd, cfg)
+    logits = decoder_lm.forward(params, cfg, jnp.asarray(io["tokens"], jnp.int32))
+    np.testing.assert_allclose(np.asarray(logits), io["logits"], atol=3e-3)
+    assert np.array_equal(
+        np.argmax(np.asarray(logits), -1), np.argmax(io["logits"], -1)
+    )
 
 
 def load_fixture(path):
@@ -117,6 +137,80 @@ def test_parakeet_tdt_greedy_matches_torch():
     )
     got = [int(x) for x in np.asarray(buf[: int(n)])]
     assert got == list(io["greedy_tokens"]), (got, list(io["greedy_tokens"]))
+
+
+QWEN3TTS_FIXTURE = "tests/data/qwen3tts_parity.npz"
+
+
+def _qwen3tts_setup():
+    from s2s_tpu.models import qwen3_tts
+
+    sd, io = load_fixture(QWEN3TTS_FIXTURE)
+    c2w_cfg = qwen3_tts.Code2WavConfig(
+        codebook_size=64, num_quantizers=4, hidden=32, n_layers=1, n_heads=2,
+        d_ff=64, sliding_window=8, upsampling_ratios=(2, 2), upsample_rates=(4, 3),
+        decoder_dim=32, dtype=jnp.float32,
+    )
+    return qwen3_tts, c2w_cfg, sd, io
+
+
+def test_code2wav_matches_torch():
+    """Full Code2Wav vocoder (code embeddings, sliding-window rope
+    transformer with layer scale, ConvNeXt upsampling, SnakeBeta decoder)
+    vs transformers Qwen3OmniMoeCode2Wav."""
+    qwen3_tts, cfg, sd, io = _qwen3tts_setup()
+    c2w_sd = {k[len("code2wav."):]: v for k, v in sd.items() if k.startswith("code2wav.")}
+    params = qwen3_tts.convert_c2w_state_dict(c2w_sd, cfg)
+    wav = qwen3_tts.jit_code2wav(params, cfg, jnp.asarray(io["codes"], jnp.int32))
+    ref = io["wav"][:, 0, :]  # torch returns (B, 1, T)
+    assert wav.shape == ref.shape, (wav.shape, ref.shape)
+    np.testing.assert_allclose(np.asarray(wav), ref, atol=3e-4)
+
+
+def test_code_predictor_matches_torch():
+    """MTP code predictor: per-step heads/embeddings over a 2-token prefill,
+    greedy expansion — logits and chosen codes must match torch."""
+    import jax
+
+    from s2s_tpu.models import decoder_lm, qwen3_tts
+
+    sd, io = load_fixture(QWEN3TTS_FIXTURE)
+    cp_cfg = decoder_lm.DecoderLMConfig(
+        vocab_size=1, d_model=32, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=64,
+        max_seq_len=16, rope_theta=10000.0, rms_eps=1e-6, tie_embeddings=False,
+        qk_norm=True, head_dim_override=16, dtype=jnp.float32,
+    )
+    cp_sd = {"model." + k[len("talker.code_predictor.model."):]: v
+             for k, v in sd.items() if k.startswith("talker.code_predictor.model.")}
+    cp_sd["model.embed_tokens.weight"] = np.zeros((1, 32), np.float32)
+    cp = decoder_lm.convert_hf_state_dict(cp_sd, cp_cfg)
+    cp.pop("embed")
+    n_res = 3
+    heads = jnp.stack([jnp.asarray(sd[f"talker.code_predictor.lm_head.{i}.weight"].T, jnp.float32)
+                       for i in range(n_res)])
+    embeds = jnp.stack([
+        jnp.asarray(sd[f"talker.code_predictor.model.codec_embedding.{i}.weight"], jnp.float32)
+        for i in range(n_res)])
+
+    state = decoder_lm.init_decode_state(cp_cfg, 1, max_t=8)
+    prompt = jnp.asarray(io["cp_prompt"], jnp.float32)
+    h, state = decoder_lm._hidden_prefill({"layers": cp["layers"]} | cp, cp_cfg, prompt, state, 2)
+    h = jax.numpy.asarray(h)
+    from s2s_tpu.models.common import rms_norm
+
+    h = rms_norm(h, cp["final_norm"], cp_cfg.rms_eps)
+    got_logits, got_codes = [], []
+    for step in range(n_res):
+        logits = h.astype(jnp.float32) @ heads[step]
+        got_logits.append(np.asarray(logits))
+        code = int(jnp.argmax(logits, -1)[0])
+        got_codes.append(code)
+        if step < n_res - 1:
+            emb = embeds[step][jnp.asarray([code])]
+            x, state = decoder_lm._hidden_step(cp, cp_cfg, emb[:, None, :], state)
+            h = rms_norm(x[:, 0], cp["final_norm"], cp_cfg.rms_eps)
+    np.testing.assert_allclose(np.concatenate(got_logits), io["cp_logits"], atol=3e-4)
+    assert got_codes == list(io["cp_codes"]), (got_codes, list(io["cp_codes"]))
 
 
 def test_decoder_lm_matches_torch_llama():
