@@ -352,7 +352,7 @@ class BaseLLMHandler(BaseHandler):
                 )
         except Exception as exc:
             # Generation failures must still terminate the response; otherwise
-            # st.in_response wedges and every later response blocks.
+            # st.rsp.active wedges and every later response blocks.
             logger.exception("LLM generation failed; ending the current response")
             yield EndOfResponse(
                 turn_id=ctx.turn_id,

@@ -57,12 +57,12 @@ class DomainHandler:
 
     def _input_item_id(self, conn_id: str) -> str:
         st = self._state(conn_id)
-        return st.speculative_input_item_id or self._service.response._current_item_id(conn_id)
+        return st.spec.input_item_id or self._service.response._current_item_id(conn_id)
 
     def _next_input_content_index(self, conn_id: str) -> int:
         st = self._state(conn_id)
-        idx = st.input_content_index
-        st.input_content_index += 1
+        idx = st.mic.content_index
+        st.mic.content_index += 1
         return idx
 
 
@@ -118,10 +118,10 @@ class AudioHandler(DomainHandler):
         if not preserve_active_response:
             item_id = response._start_item(conn_id)
         else:
-            saved_item, saved_index = st.current_item_id, st.content_index
+            saved_item, saved_index = st.rsp.item_id, st.rsp.content_index
             item_id = response._start_item(conn_id)
-            st.current_item_id, st.content_index = saved_item, saved_index
-        st.input_content_index = 0
+            st.rsp.item_id, st.rsp.content_index = saved_item, saved_index
+        st.mic.content_index = 0
         return item_id
 
     def handle_audio_append(self, conn_id: str, audio_b64: str) -> list[bytes]:
@@ -142,28 +142,28 @@ class AudioHandler(DomainHandler):
         remainder; shared by WS and WebRTC ingress."""
         st = self._state(conn_id)
         pcm_bytes = resample_pcm16(pcm_bytes, src_rate, PIPELINE_SAMPLE_RATE)
-        pcm_bytes = st.audio_remainder + pcm_bytes
+        pcm_bytes = st.mic.remainder + pcm_bytes
         chunks: list[bytes] = []
         for i in range(0, len(pcm_bytes), CHUNK_SIZE_BYTES):
             piece = pcm_bytes[i : i + CHUNK_SIZE_BYTES]
             if len(piece) == CHUNK_SIZE_BYTES:
                 chunks.append(piece)
             else:
-                st.audio_remainder = piece
+                st.mic.remainder = piece
                 break
         else:
-            st.audio_remainder = b""
+            st.mic.remainder = b""
         if chunks:
-            st.audio_buffer_has_data = True
+            st.mic.has_data = True
         return chunks
 
     def handle_audio_commit(self, conn_id: str) -> Optional[ServerEvent]:
         st = self._state(conn_id)
-        if not st.audio_buffer_has_data:
+        if not st.mic.has_data:
             return self.make_error(
                 "Input audio buffer is empty, nothing to commit.", "input_audio_buffer_commit_empty"
             )
-        st.audio_buffer_has_data = False
+        st.mic.has_data = False
         return None
 
     # ── pipeline events ──────────────────────────────────────────────
@@ -173,29 +173,29 @@ class AudioHandler(DomainHandler):
         response = self._service.response
         st = self._state(conn_id)
         events: list[ServerEvent] = []
-        if st.in_response and event.interrupt_response and st.runtime_config.interrupt_response_enabled:
+        if st.rsp.active and event.interrupt_response and st.runtime_config.interrupt_response_enabled:
             # Terminal events must precede speech_started on the wire.
             events.extend(response.finish_response(conn_id, status="cancelled", reason="turn_detected"))
         is_reopen = bool(
-            event.reopened and event.turn_id is not None and event.turn_id == st.speculative_turn_id
+            event.reopened and event.turn_id is not None and event.turn_id == st.spec.turn_id
         )
-        preserve = st.in_response
+        preserve = st.rsp.active
         if is_reopen:
-            input_item_id = st.speculative_input_item_id
+            input_item_id = st.spec.input_item_id
             if input_item_id is None:
                 input_item_id = self._start_input_item(conn_id, preserve_active_response=preserve)
-                st.speculative_input_item_id = input_item_id
+                st.spec.input_item_id = input_item_id
             elif not preserve:
-                st.current_item_id = input_item_id
-                st.content_index = 0
-            st.input_audio_duration_s = 0.0
-            st.input_content_index = 0
+                st.rsp.item_id = input_item_id
+                st.rsp.content_index = 0
+            st.mic.duration_s = 0.0
+            st.mic.content_index = 0
         else:
             input_item_id = self._start_input_item(conn_id, preserve_active_response=preserve)
-            st.speculative_input_item_id = input_item_id
-            st.response_usage.turns += 1
-        st.speculative_turn_id = event.turn_id
-        st.speculative_turn_revision = event.turn_revision
+            st.spec.input_item_id = input_item_id
+            st.usage.turns += 1
+        st.spec.turn_id = event.turn_id
+        st.spec.revision = event.turn_revision
         st.last_item_id = input_item_id
         events.append(
             {
@@ -209,7 +209,7 @@ class AudioHandler(DomainHandler):
 
     def on_speech_stopped(self, conn_id: str, event: SpeechStoppedEvent) -> list[ServerEvent]:
         if event.duration_s:
-            self._state(conn_id).input_audio_duration_s = event.duration_s
+            self._state(conn_id).mic.duration_s = event.duration_s
         return [
             {
                 "type": "input_audio_buffer.speech_stopped",
@@ -226,7 +226,7 @@ class AudioHandler(DomainHandler):
         response = self._service.response
         st = self._state(conn_id)
         events: list[ServerEvent] = []
-        need_created = st.current_response_id is None
+        need_created = st.rsp.id is None
         resp_id, item_id = response._ensure_response(conn_id)
         if need_created:
             events.append(
@@ -247,7 +247,7 @@ class AudioHandler(DomainHandler):
 
     def client_output_rate(self, conn_id: str) -> int:
         st = self._state(conn_id)
-        rp = st.current_response_params
+        rp = st.rsp.params
         rate = None
         if rp and rp.audio and rp.audio.output and rp.audio.output.format:
             rate = getattr(rp.audio.output.format, "rate", None)
@@ -283,7 +283,7 @@ class ConversationHandler(DomainHandler):
         """Inject an item into the LLM context. Deferred while a response is
         generating (applying now races the LLM write-back thread)."""
         st = self._state(conn_id)
-        if st.in_response:
+        if st.rsp.active:
             st.deferred_items.append(item)
             return []
         return self._apply_item(conn_id, item)
@@ -329,7 +329,7 @@ class ConversationHandler(DomainHandler):
 
     def on_transcription_completed(self, conn_id: str, event: TranscriptionCompletedEvent) -> list[ServerEvent]:
         st = self._state(conn_id)
-        st.response_usage.audio_duration_s += st.input_audio_duration_s
+        st.usage.audio_duration_s += st.mic.duration_s
         return [
             {
                 "type": "conversation.item.input_audio_transcription.completed",
@@ -337,7 +337,7 @@ class ConversationHandler(DomainHandler):
                 "content_index": 0,
                 "item_id": self._input_item_id(conn_id),
                 "transcript": event.transcript,
-                "usage": {"type": "duration", "seconds": st.input_audio_duration_s},
+                "usage": {"type": "duration", "seconds": st.mic.duration_s},
             }
         ]
 
@@ -350,61 +350,61 @@ class ResponseHandler(DomainHandler):
 
     def _ensure_response(self, conn_id: str) -> tuple[str, str]:
         st = self._state(conn_id)
-        if st.current_response_id is None:
-            st.current_response_id = generate_id("resp")
+        if st.rsp.id is None:
+            st.rsp.id = generate_id("resp")
             self._start_item(conn_id)
-            st.in_response = True
-        st.response_pending = False
-        return st.current_response_id, self._current_item_id(conn_id)
+            st.rsp.active = True
+        st.rsp.pending = False
+        return st.rsp.id, self._current_item_id(conn_id)
 
     def _end_response(self, conn_id: str, status: str = "completed") -> None:
         st = self._state(conn_id)
         if status == "cancelled":
-            st.response_usage.responses_cancelled += 1
+            st.usage.responses_cancelled += 1
         else:
-            st.response_usage.responses_completed += 1
-        self._service.total_usage.merge(st.response_usage)
+            st.usage.responses_completed += 1
+        self._service.total_usage.merge(st.usage)
         logger.info(
             "Response done (status=%s): input=%d output=%d audio=%.2fs",
-            status, st.response_usage.input_tokens, st.response_usage.output_tokens,
-            st.response_usage.audio_duration_s,
+            status, st.usage.input_tokens, st.usage.output_tokens,
+            st.usage.audio_duration_s,
         )
-        st.response_usage.reset()
-        st.current_response_id = None
-        st.current_item_id = None
-        st.content_index = 0
-        st.in_response = False
-        st.response_pending = False
-        st.current_response_params = None
-        st.pending_output_text_parts = []
-        st.pending_assistant_item_id = None
-        st.pending_assistant_output_index = None
-        st.pending_function_calls = []
+        st.usage.reset()
+        st.rsp.id = None
+        st.rsp.item_id = None
+        st.rsp.content_index = 0
+        st.rsp.active = False
+        st.rsp.pending = False
+        st.rsp.params = None
+        st.rsp.text_parts = []
+        st.rsp.assistant_item_id = None
+        st.rsp.assistant_output_index = None
+        st.rsp.tool_calls = []
 
     def _start_item(self, conn_id: str) -> str:
         st = self._state(conn_id)
         item_id = generate_id("item")
-        st.current_item_id = item_id
-        st.content_index = 0
-        st.input_audio_duration_s = 0.0
+        st.rsp.item_id = item_id
+        st.rsp.content_index = 0
+        st.mic.duration_s = 0.0
         return item_id
 
     def _current_item_id(self, conn_id: str) -> str:
-        return self._state(conn_id).current_item_id or self._start_item(conn_id)
+        return self._state(conn_id).rsp.item_id or self._start_item(conn_id)
 
     def _ensure_assistant_output_item(self, conn_id: str, item_id: str) -> tuple[str, int]:
         st = self._state(conn_id)
-        if st.pending_assistant_item_id is None:
-            st.pending_assistant_item_id = item_id
-            st.pending_assistant_output_index = len(st.pending_function_calls)
+        if st.rsp.assistant_item_id is None:
+            st.rsp.assistant_item_id = item_id
+            st.rsp.assistant_output_index = len(st.rsp.tool_calls)
             st.last_item_id = item_id
-        assert st.pending_assistant_output_index is not None
-        return st.pending_assistant_item_id, st.pending_assistant_output_index
+        assert st.rsp.assistant_output_index is not None
+        return st.rsp.assistant_item_id, st.rsp.assistant_output_index
 
     def _next_content_index(self, conn_id: str) -> int:
         st = self._state(conn_id)
-        idx = st.content_index
-        st.content_index += 1
+        idx = st.rsp.content_index
+        st.rsp.content_index += 1
         return idx
 
     def _build_response(self, conn_id: str, status: str, reason: str | None = None) -> dict[str, Any]:
@@ -414,7 +414,7 @@ class ResponseHandler(DomainHandler):
             status_details = {"type": status}
             if reason:
                 status_details["reason"] = reason
-        rp = st.current_response_params
+        rp = st.rsp.params
         voice = None
         if rp and rp.audio and rp.audio.output and rp.audio.output.voice:
             voice = str(rp.audio.output.voice)
@@ -423,7 +423,7 @@ class ResponseHandler(DomainHandler):
             out = audio_cfg.output if audio_cfg is not None else None
             voice = str(out.voice) if out is not None and out.voice else None
         return {
-            "id": st.current_response_id,
+            "id": st.rsp.id,
             "object": "realtime.response",
             "status": status,
             "status_details": status_details,
@@ -433,9 +433,9 @@ class ResponseHandler(DomainHandler):
             "metadata": rp.metadata if rp and rp.metadata else None,
             "output": self._build_output_items(conn_id, status),
             "usage": {
-                "input_tokens": st.response_usage.input_tokens,
-                "output_tokens": st.response_usage.output_tokens,
-                "total_tokens": st.response_usage.input_tokens + st.response_usage.output_tokens,
+                "input_tokens": st.usage.input_tokens,
+                "output_tokens": st.usage.output_tokens,
+                "total_tokens": st.usage.input_tokens + st.usage.output_tokens,
             },
         }
 
@@ -445,36 +445,36 @@ class ResponseHandler(DomainHandler):
         st = self._state(conn_id)
         assistant_status = "completed" if status == "completed" else "incomplete"
         output: list[dict[str, Any]] = []
-        for call in st.pending_function_calls:
+        for call in st.rsp.tool_calls:
             call_status = call.status if call.status in ("completed", "incomplete") else assistant_status
             entry = call.model_dump(exclude_none=True)
             entry.update({"object": "realtime.item", "status": call_status})
             output.append(entry)
         text = self._assistant_text(conn_id)
-        if st.pending_assistant_item_id is not None:
-            if response_wants_audio(st.current_response_params):
+        if st.rsp.assistant_item_id is not None:
+            if response_wants_audio(st.rsp.params):
                 content = {"type": "output_audio", "transcript": text}
             else:
                 content = {"type": "output_text", "text": text}
             message = {
                 "type": "message",
                 "role": "assistant",
-                "id": st.pending_assistant_item_id,
+                "id": st.rsp.assistant_item_id,
                 "object": "realtime.item",
                 "status": assistant_status,
                 "content": [content],
             }
             output.insert(
-                st.pending_assistant_output_index if st.pending_assistant_output_index is not None else 0,
+                st.rsp.assistant_output_index if st.rsp.assistant_output_index is not None else 0,
                 message,
             )
         return output
 
     def _assistant_text(self, conn_id: str) -> str:
         st = self._state(conn_id)
-        if response_wants_audio(st.current_response_params):
-            return " ".join(p.strip() for p in st.pending_output_text_parts if p.strip())
-        return "".join(st.pending_output_text_parts)
+        if response_wants_audio(st.rsp.params):
+            return " ".join(p.strip() for p in st.rsp.text_parts if p.strip())
+        return "".join(st.rsp.text_parts)
 
     # ── public handlers ──────────────────────────────────────────────
 
@@ -486,7 +486,7 @@ class ResponseHandler(DomainHandler):
                 "Only string tool_choice values are supported for now (auto, required, none).",
                 "tool_choice_not_supported",
             )
-        if st.in_response:
+        if st.rsp.active:
             return self.make_error(
                 "Cannot create response while another response is in progress.",
                 "conversation_already_has_active_response",
@@ -503,10 +503,10 @@ class ResponseHandler(DomainHandler):
                 except ChatItemError as exc:
                     return self.make_error(str(exc), "invalid_input_item")
 
-        st.in_response = True
-        st.response_pending = False
-        st.current_response_params = response
-        st.current_response_id = generate_id("resp")
+        st.rsp.active = True
+        st.rsp.pending = False
+        st.rsp.params = response
+        st.rsp.id = generate_id("resp")
         self._start_item(conn_id)
 
         queue = self._service.text_prompt_queue
@@ -516,9 +516,9 @@ class ResponseHandler(DomainHandler):
                 GenerateResponseRequest(
                     runtime_config=st.runtime_config,
                     response=response,
-                    turn_id=None if out_of_band else st.speculative_user_turn_id,
-                    turn_revision=None if out_of_band else st.speculative_user_turn_revision,
-                    speech_stopped_at_s=None if out_of_band else st.speculative_user_speech_stopped_at_s,
+                    turn_id=None if out_of_band else st.spec.user_turn_id,
+                    turn_revision=None if out_of_band else st.spec.user_revision,
+                    speech_stopped_at_s=None if out_of_band else st.spec.stopped_at_s,
                 )
             )
         return {
@@ -541,14 +541,14 @@ class ResponseHandler(DomainHandler):
         flush."""
         st = self._state(conn_id)
         events: list[ServerEvent] = []
-        if st.in_response:
+        if st.rsp.active:
             resp_id, item_id = self._ensure_response(conn_id)
-            assistant_item_id = st.pending_assistant_item_id or item_id
+            assistant_item_id = st.rsp.assistant_item_id or item_id
             output_index = (
-                st.pending_assistant_output_index if st.pending_assistant_output_index is not None else 0
+                st.rsp.assistant_output_index if st.rsp.assistant_output_index is not None else 0
             )
-            function_call_only = bool(st.pending_function_calls) and st.pending_assistant_item_id is None
-            if response_wants_audio(st.current_response_params) and not function_call_only:
+            function_call_only = bool(st.rsp.tool_calls) and st.rsp.assistant_item_id is None
+            if response_wants_audio(st.rsp.params) and not function_call_only:
                 events.append(
                     {
                         "type": "response.output_audio.done",
@@ -559,7 +559,7 @@ class ResponseHandler(DomainHandler):
                         "response_id": resp_id,
                     }
                 )
-                if st.pending_output_text_parts:
+                if st.rsp.text_parts:
                     events.append(
                         {
                             "type": "response.output_audio_transcript.done",
@@ -571,7 +571,7 @@ class ResponseHandler(DomainHandler):
                             "transcript": self._assistant_text(conn_id),
                         }
                     )
-            elif status == "completed" and st.pending_output_text_parts:
+            elif status == "completed" and st.rsp.text_parts:
                 events.append(
                     {
                         "type": "response.output_text.done",
@@ -580,7 +580,7 @@ class ResponseHandler(DomainHandler):
                         "item_id": assistant_item_id,
                         "output_index": output_index,
                         "response_id": resp_id,
-                        "text": "".join(st.pending_output_text_parts),
+                        "text": "".join(st.rsp.text_parts),
                     }
                 )
             events.append(
@@ -615,13 +615,13 @@ class ResponseHandler(DomainHandler):
         st = self._state(conn_id)
         events: list[ServerEvent] = []
         resp_id, item_id = self._ensure_response(conn_id)
-        wants_audio = response_wants_audio(st.current_response_params)
+        wants_audio = response_wants_audio(st.rsp.params)
         if event.text and (not wants_audio or event.text.strip()):
             assistant_item_id, output_index = self._ensure_assistant_output_item(conn_id, item_id)
             if wants_audio:
                 part = event.text.strip()
-                delta = (" " if st.pending_output_text_parts else "") + part
-                st.pending_output_text_parts.append(part)
+                delta = (" " if st.rsp.text_parts else "") + part
+                st.rsp.text_parts.append(part)
                 events.append(
                     {
                         "type": "response.output_audio_transcript.delta",
@@ -634,7 +634,7 @@ class ResponseHandler(DomainHandler):
                     }
                 )
             else:
-                st.pending_output_text_parts.append(event.text)
+                st.rsp.text_parts.append(event.text)
                 events.append(
                     {
                         "type": "response.output_text.delta",
@@ -647,9 +647,9 @@ class ResponseHandler(DomainHandler):
                     }
                 )
         for tool in event.tools:
-            st.response_usage.tool_calls += 1
+            st.usage.tool_calls += 1
             function_item_id = tool.id or generate_id("item")
-            output_idx = len(st.pending_function_calls) + int(st.pending_assistant_item_id is not None)
+            output_idx = len(st.rsp.tool_calls) + int(st.rsp.assistant_item_id is not None)
             events.append(
                 {
                     "type": "response.function_call_arguments.done",
@@ -662,7 +662,7 @@ class ResponseHandler(DomainHandler):
                     "response_id": resp_id,
                 }
             )
-            st.pending_function_calls.append(
+            st.rsp.tool_calls.append(
                 FunctionCallItem(
                     id=function_item_id,
                     call_id=tool.call_id,

@@ -265,7 +265,7 @@ async def dispatch_client_event(
             await transport.send_events([result])
 
     elif etype == "response.cancel":
-        if service._state(session_id).in_response:
+        if service._state(session_id).rsp.active:
             unit.cancel_scope.cancel()
         flush_queue(unit.output_queue, preserve=_keep_audio_sentinel)
         flush_queue(unit.text_output_queue, preserve=_keep_user_text_event)
@@ -329,7 +329,7 @@ async def send_loop_for(unit: PipelineUnit, stop_event) -> None:
                 was_in_response = was_pending = False
                 if is_speech_start and session_id:
                     st = unit.service._state(session_id)
-                    was_in_response, was_pending = st.in_response, st.response_pending
+                    was_in_response, was_pending = st.rsp.active, st.rsp.pending
 
                 if isinstance(text_msg, AssistantTextEvent) and generation_is_discardable(
                     unit, text_msg.cancel_generation
@@ -358,7 +358,7 @@ async def send_loop_for(unit: PipelineUnit, stop_event) -> None:
                     if was_in_response or was_pending:
                         if interrupt:
                             unit.cancel_scope.cancel()
-                            unit.service._state(session_id).response_pending = False
+                            unit.service._state(session_id).rsp.pending = False
                             flush_queue(unit.output_queue, preserve=_keep_audio_sentinel)
                             flush_queue(unit.text_output_queue, preserve=_keep_user_text_event)
                             unit.response_playing.clear()
@@ -386,7 +386,7 @@ async def send_loop_for(unit: PipelineUnit, stop_event) -> None:
                     gen = _audio_generation(audio_chunk)
                     if gen is not None and unit.cancel_scope.is_stale(gen):
                         if session_id:
-                            unit.service._state(session_id).response_pending = False
+                            unit.service._state(session_id).rsp.pending = False
                         unit.cancel_scope.response_done(gen)
                         unit.should_listen.set()
                         logger.info("Pipeline %d: stale response complete, re-listening", unit.index)
@@ -395,7 +395,7 @@ async def send_loop_for(unit: PipelineUnit, stop_event) -> None:
                     if transport is not None and session_id:
                         await transport.send_events(unit.service.finish_response(session_id))
                     if session_id:
-                        unit.service._state(session_id).response_pending = False
+                        unit.service._state(session_id).rsp.pending = False
                     unit.response_playing.clear()
                     unit.cancel_scope.response_done(gen)
                     unit.should_listen.set()

@@ -1,22 +1,27 @@
-"""Realtime protocol service: client/pipeline event translation.
+"""Realtime protocol service: translates between client events, pipeline
+events, and OpenAI-Realtime server events.
 
-Parity with reference ``api/openai_realtime/service.py``: per-connection
-``ConnState`` (protocol ids, response lifecycle flags, audio remainder,
-speculative bookkeeping, deferred items), the pipeline-event dispatch table
-with blocking + non-blocking (``try_``) staleness gates for the async send
-loop, the **STT -> LLM bridge** (chat add/replace/remove by speculative
-revision, then ``GenerateResponseRequest``), the direct-audio bridge, and
-usage metrics rolled per-response -> per-connection -> global.
+Keeps protocol semantics of reference ``api/openai_realtime/service.py``
+(per-connection state, staleness-gated pipeline dispatch with a non-blocking
+variant for the send loop, the STT -> LLM bridge with revision-aware chat
+edits, direct-audio bridge, usage rollup) in this repo's own structure:
+
+- connection state is a plain dataclass composed of three sub-contexts —
+  ``ResponseCtx`` (output lifecycle), ``InputCtx`` (mic buffer), ``SpecCtx``
+  (speculative-turn bookkeeping) — instead of one flat record;
+- all turn-staleness decisions live in :class:`TurnGate`, which resolves
+  every pipeline event to ``fresh`` / ``stale`` / ``defer``;
+- usage counters are one dataclass shared by the response, connection, and
+  global rollup levels.
 """
 
 from __future__ import annotations
 
 import logging
+from dataclasses import dataclass, field
 from queue import Queue
 from threading import Event as ThreadingEvent
 from typing import Any, Callable, Optional
-
-from pydantic import BaseModel, ConfigDict, Field
 
 from s2s_tpu.llm.chat import Chat, make_user_message
 from s2s_tpu.pipeline.events import (
@@ -55,19 +60,22 @@ PIPELINE_SAMPLE_RATE = 16_000
 CHUNK_SAMPLES = 512
 CHUNK_SIZE_BYTES = CHUNK_SAMPLES * 2
 
-CLIENT_EVENT_TYPES = {
-    "input_audio_buffer.append",
-    "input_audio_buffer.commit",
-    "output_audio_buffer.clear",
-    "session.update",
-    "conversation.item.create",
-    "response.create",
-    "response.cancel",
-}
+#: Client event types this server accepts (everything else is warned+dropped).
+CLIENT_EVENT_TYPES = frozenset({
+    "input_audio_buffer.append", "input_audio_buffer.commit",
+    "output_audio_buffer.clear", "session.update",
+    "conversation.item.create", "response.create", "response.cancel",
+})
+
+_USAGE_FIELDS = (
+    "input_tokens", "output_tokens", "audio_duration_s",
+    "responses_completed", "responses_cancelled", "tool_calls", "turns",
+)
 
 
-class UsageMetrics(BaseModel):
-    """Per-response usage counters with rollup + reset."""
+@dataclass
+class Usage:
+    """Flat usage counters; one instance per response/connection/global."""
 
     input_tokens: int = 0
     output_tokens: int = 0
@@ -77,18 +85,25 @@ class UsageMetrics(BaseModel):
     tool_calls: int = 0
     turns: int = 0
 
-    def merge(self, other: "UsageMetrics") -> None:
-        for name in UsageMetrics.model_fields:
+    def merge(self, other: "Usage") -> None:
+        for name in _USAGE_FIELDS:
             setattr(self, name, getattr(self, name) + getattr(other, name))
 
     def reset(self) -> None:
-        for name, info in UsageMetrics.model_fields.items():
-            setattr(self, name, info.default)
+        fresh = Usage()
+        for name in _USAGE_FIELDS:
+            setattr(self, name, getattr(fresh, name))
+
+    def snapshot(self) -> dict[str, Any]:
+        return {name: getattr(self, name) for name in _USAGE_FIELDS}
 
 
-class GlobalUsageMetrics(UsageMetrics):
+@dataclass
+class GlobalUsage(Usage):
+    """Server-wide rollup: connection count + error taxonomy on top."""
+
     connections: int = 0
-    errors_by_type: dict[str, int] = Field(default_factory=dict)
+    errors_by_type: dict[str, int] = field(default_factory=dict)
 
     def record_error(self, error_type: str) -> None:
         self.errors_by_type[error_type] = self.errors_by_type.get(error_type, 0) + 1
@@ -97,42 +112,125 @@ class GlobalUsageMetrics(UsageMetrics):
     def total_errors(self) -> int:
         return sum(self.errors_by_type.values())
 
+    def snapshot(self) -> dict[str, Any]:
+        data = super().snapshot()
+        data["connections"] = self.connections
+        data["errors_by_type"] = dict(self.errors_by_type)
+        return data
 
-class ConnState(BaseModel):
-    """Per-connection protocol state."""
 
-    model_config = ConfigDict(arbitrary_types_allowed=True)
+# Back-compat aliases (tests and older call sites).
+UsageMetrics = Usage
+GlobalUsageMetrics = GlobalUsage
 
-    session_id: str = Field(default_factory=lambda: generate_id("session"))
-    conversation_id: str = Field(default_factory=lambda: generate_id("conv"))
-    runtime_config: RuntimeConfig = Field(default_factory=RuntimeConfig)
-    in_response: bool = False
-    response_pending: bool = False
-    audio_buffer_has_data: bool = False
-    audio_remainder: bytes = b""
-    current_response_id: Optional[str] = None
-    current_item_id: Optional[str] = None
+
+@dataclass
+class ResponseCtx:
+    """Lifecycle of the response currently being produced (if any)."""
+
+    active: bool = False  # a response is open on the wire
+    pending: bool = False  # LLM asked to generate, nothing on the wire yet
+    id: Optional[str] = None
+    item_id: Optional[str] = None
     content_index: int = 0
-    input_content_index: int = 0
-    input_audio_duration_s: float = 0.0
+    params: ResponseCreateParams | None = None
+    text_parts: list[str] = field(default_factory=list)
+    assistant_item_id: Optional[str] = None
+    assistant_output_index: Optional[int] = None
+    tool_calls: list[FunctionCallItem] = field(default_factory=list)
+
+
+@dataclass
+class InputCtx:
+    """Mic-side input buffer bookkeeping."""
+
+    has_data: bool = False
+    remainder: bytes = b""
+    content_index: int = 0
+    duration_s: float = 0.0
+
+
+@dataclass
+class SpecCtx:
+    """Speculative-turn bookkeeping: which turn/revision the connection is
+    currently attributing input and output to, and what it may need to roll
+    back (user chat item, double-counted audio seconds) on a reopen."""
+
+    turn_id: Optional[str] = None
+    revision: Optional[int] = None
+    user_turn_id: Optional[str] = None
+    user_revision: Optional[int] = None
+    stopped_at_s: Optional[float] = None
+    user_item_id: Optional[str] = None
+    input_item_id: Optional[str] = None
+    audio_s: float = 0.0
+
+
+@dataclass
+class ConnState:
+    """Per-connection protocol state (composed sub-contexts)."""
+
+    runtime_config: RuntimeConfig
+    session_id: str = field(default_factory=lambda: generate_id("session"))
+    conversation_id: str = field(default_factory=lambda: generate_id("conv"))
+    rsp: ResponseCtx = field(default_factory=ResponseCtx)
+    mic: InputCtx = field(default_factory=InputCtx)
+    spec: SpecCtx = field(default_factory=SpecCtx)
+    usage: Usage = field(default_factory=Usage)
     last_item_id: Optional[str] = None
-    current_response_params: ResponseCreateParams | None = None
-    pending_output_text_parts: list[str] = Field(default_factory=list)
-    pending_assistant_item_id: Optional[str] = None
-    pending_assistant_output_index: Optional[int] = None
-    pending_function_calls: list[FunctionCallItem] = Field(default_factory=list)
-    response_usage: UsageMetrics = Field(default_factory=UsageMetrics)
-    speculative_turn_id: Optional[str] = None
-    speculative_turn_revision: Optional[int] = None
-    speculative_user_turn_id: Optional[str] = None
-    speculative_user_turn_revision: Optional[int] = None
-    speculative_user_speech_stopped_at_s: Optional[float] = None
-    speculative_user_item_id: Optional[str] = None
-    speculative_input_item_id: Optional[str] = None
-    speculative_audio_duration_s: float = 0.0
     # conversation.item.create arrivals buffered during a response (applying
     # mid-generation races the LLM write-back thread); flushed at close.
-    deferred_items: list[ConversationItem] = Field(default_factory=list)
+    deferred_items: list[ConversationItem] = field(default_factory=list)
+
+
+class TurnGate:
+    """All staleness decisions for pipeline events, in one place.
+
+    Resolution values: ``"fresh"`` (dispatch), ``"stale"`` (drop),
+    ``"defer"`` (non-blocking caller should requeue until the pending
+    reopen window resolves).
+    """
+
+    #: events gated on plain turn latestness
+    INPUT_EVENTS = (PartialTranscriptionEvent, TranscriptionCompletedEvent,
+                    AudioInputCompletedEvent)
+    #: events additionally held back through reopen grace
+    OUTPUT_EVENTS = (AssistantTextEvent, TokenUsageEvent)
+
+    def __init__(self, tracker: SpeculativeTurnTracker | None) -> None:
+        self._tracker = tracker
+
+    @staticmethod
+    def _turn_of(event: PipelineEvent) -> tuple[Any, Any]:
+        return getattr(event, "turn_id", None), getattr(event, "turn_revision", None)
+
+    def resolve(self, event: PipelineEvent, *, block: bool) -> str:
+        if self._tracker is None:
+            return "fresh"
+        turn, rev = self._turn_of(event)
+        if isinstance(event, self.OUTPUT_EVENTS):
+            if block:
+                latest: bool | None = self._tracker.is_latest_after_reopen_grace(turn, rev)
+            else:
+                latest = self._tracker.try_is_latest_after_reopen_grace(turn, rev)
+            if latest is None:
+                return "defer"
+            return "fresh" if latest else "stale"
+        if isinstance(event, self.INPUT_EVENTS):
+            return "fresh" if self._tracker.is_latest(turn, rev) else "stale"
+        return "fresh"
+
+    def note(self, event: PipelineEvent) -> None:
+        if self._tracker is not None:
+            self._tracker.observe(*self._turn_of(event))
+
+    def would_defer(self, event: PipelineEvent) -> bool:
+        if self._tracker is None or not isinstance(event, self.OUTPUT_EVENTS):
+            return False
+        return self._tracker.has_pending_reopen_or_grace(*self._turn_of(event))
+
+    def is_latest(self, turn_id, revision) -> bool:
+        return self._tracker is None or self._tracker.is_latest(turn_id, revision)
 
 
 class RealtimeService:
@@ -148,25 +246,43 @@ class RealtimeService:
     ) -> None:
         self.text_prompt_queue = text_prompt_queue
         self.should_listen = should_listen
-        self._chat_size = chat_size
         self.speculative_turns = speculative_turns
+        self.total_usage = GlobalUsage()
+        self._chat_size = chat_size
         self._default_instructions = default_instructions
         self._conns: dict[str, ConnState] = {}
-        self.total_usage = GlobalUsageMetrics()
+        self._gate = TurnGate(speculative_turns)
 
+        # domain handlers own the wire-shape construction; the flat aliases
+        # below keep router/tests call sites one hop away
         self.audio = AudioHandler(self)
         self.session = SessionHandler(self)
         self.response = ResponseHandler(self)
         self.conversation = ConversationHandler(self)
+        self.build_session_created = self.session.build_session_created
+        self.build_session_updated = self.session.build_session_updated
+        self.handle_session_update = self.session.handle_session_update
+        self.handle_audio_append = self.audio.handle_audio_append
+        self.append_pcm = self.audio.append_pcm
+        self.handle_audio_commit = self.audio.handle_audio_commit
+        self.begin_audio_response = self.audio.begin_audio_response
+        self.begin_audio_output = self.audio.begin_audio_output
+        self.encode_audio_chunk = self.audio.encode_audio_chunk
+        self.handle_response_create = self.response.handle_response_create
+        self.handle_response_cancel = self.response.handle_response_cancel
+        self.finish_response = self.response.finish_response
 
-        self._pipeline_dispatch: dict[type, Callable[..., list[ServerEvent]]] = {
-            SpeechStartedEvent: self.audio.on_speech_started,
-            SpeechStoppedEvent: self.audio.on_speech_stopped,
-            TokenUsageEvent: self._on_token_usage,
-            PartialTranscriptionEvent: self.conversation.on_partial_transcription,
-            TranscriptionCompletedEvent: self._on_transcription_completed,
-            AudioInputCompletedEvent: self._on_audio_input_completed,
-            ResponseFailedEvent: self._on_response_failed,
+        # pipeline-event routing; AssistantTextEvent takes a special path
+        # because the blocking/non-blocking distinction reaches into it
+        self._routes: dict[type, Callable[[str, Any], list[ServerEvent]]] = {
+            SpeechStartedEvent: lambda cid, ev: self.audio.on_speech_started(cid, ev),
+            SpeechStoppedEvent: lambda cid, ev: self.audio.on_speech_stopped(cid, ev),
+            PartialTranscriptionEvent:
+                lambda cid, ev: self.conversation.on_partial_transcription(cid, ev),
+            TranscriptionCompletedEvent: self._bridge_transcription,
+            AudioInputCompletedEvent: self._bridge_direct_audio,
+            TokenUsageEvent: self._count_tokens,
+            ResponseFailedEvent: self._close_failed_response,
         }
 
     # ── connection lifecycle ─────────────────────────────────────────
@@ -174,24 +290,22 @@ class RealtimeService:
     def register(self) -> str:
         if self.speculative_turns:
             self.speculative_turns.reset()
-        state = ConnState(
-            runtime_config=RuntimeConfig(
-                chat=Chat(self._chat_size),
-                session=SessionConfig(type="realtime", instructions=self._default_instructions),
-            )
-        )
-        self._conns[state.session_id] = state
+        chat = Chat(self._chat_size)
+        session = SessionConfig(type="realtime", instructions=self._default_instructions)
+        st = ConnState(runtime_config=RuntimeConfig(chat=chat, session=session))
+        self._conns[st.session_id] = st
         self.total_usage.connections += 1
-        return state.session_id
+        return st.session_id
 
     def unregister(self, conn_id: str) -> None:
         st = self._conns.pop(conn_id, None)
-        if st is not None:
-            # Void in-flight compaction so a daemon worker can't mutate a
-            # closed session's chat (or bill LLM calls for it).
-            st.runtime_config.chat.close()
-            self.total_usage.merge(st.response_usage)
-            logger.info("Session %s unregistered", conn_id)
+        if st is None:
+            return
+        # Void in-flight compaction so a daemon worker can't mutate a closed
+        # session's chat (or bill LLM calls for it).
+        st.runtime_config.chat.close()
+        self.total_usage.merge(st.usage)
+        logger.info("Session %s unregistered", conn_id)
 
     def _state(self, conn_id: str) -> ConnState:
         return self._conns[conn_id]
@@ -203,225 +317,156 @@ class RealtimeService:
     # ── client events ────────────────────────────────────────────────
 
     def parse_client_event(self, raw: dict[str, Any]) -> Optional[dict[str, Any]]:
-        event_type = raw.get("type")
-        if not isinstance(event_type, str):
+        kind = raw.get("type")
+        if not isinstance(kind, str):
             logger.warning("Client event missing 'type'")
             return None
-        if event_type not in CLIENT_EVENT_TYPES:
-            logger.warning("Unknown client event type: %s", event_type)
+        if kind not in CLIENT_EVENT_TYPES:
+            logger.warning("Unknown client event type: %s", kind)
             return None
         return raw
 
-    def build_session_created(self, conn_id: str) -> ServerEvent:
-        return self.session.build_session_created(conn_id)
-
-    def build_session_updated(self, conn_id: str) -> ServerEvent:
-        return self.session.build_session_updated(conn_id)
-
-    def handle_session_update(self, conn_id: str, session: dict[str, Any] | None) -> Optional[ServerEvent]:
-        return self.session.handle_session_update(conn_id, session)
-
-    def handle_audio_append(self, conn_id: str, audio_b64: str) -> list[bytes]:
-        return self.audio.handle_audio_append(conn_id, audio_b64)
-
-    def append_pcm(self, conn_id: str, pcm_bytes: bytes, src_rate: int) -> list[bytes]:
-        return self.audio.append_pcm(conn_id, pcm_bytes, src_rate)
-
-    def handle_audio_commit(self, conn_id: str) -> Optional[ServerEvent]:
-        return self.audio.handle_audio_commit(conn_id)
-
-    def begin_audio_response(self, conn_id: str):
-        return self.audio.begin_audio_response(conn_id)
-
-    def begin_audio_output(self, conn_id: str):
-        return self.audio.begin_audio_output(conn_id)
-
-    def encode_audio_chunk(self, conn_id: str, audio: bytes) -> list[ServerEvent]:
-        return self.audio.encode_audio_chunk(conn_id, audio)
-
-    def handle_response_create(self, conn_id: str, response: dict[str, Any] | None) -> ServerEvent | None:
-        return self.response.handle_response_create(conn_id, response)
-
-    def handle_response_cancel(self, conn_id: str) -> list[ServerEvent]:
-        return self.response.handle_response_cancel(conn_id)
-
-    def finish_response(self, conn_id: str, status: str = "completed", reason: str | None = None):
-        return self.response.finish_response(conn_id, status, reason)
-
-    def handle_conversation_item_create(self, conn_id: str, item_raw: dict[str, Any]) -> list[ServerEvent]:
-        item = parse_item(item_raw)
-        return self.conversation.handle_conversation_item_create(conn_id, item)
+    def handle_conversation_item_create(
+        self, conn_id: str, item_raw: dict[str, Any]
+    ) -> list[ServerEvent]:
+        return self.conversation.handle_conversation_item_create(conn_id, parse_item(item_raw))
 
     # ── pipeline event dispatch ──────────────────────────────────────
 
     def dispatch_pipeline_event(self, conn_id: str, event: PipelineEvent) -> list[ServerEvent]:
-        events = self._dispatch(conn_id, event, wait_for_pending_reopen=True)
-        return [] if events is None else events
+        return self._route(conn_id, event, block=True) or []
 
-    def try_dispatch_pipeline_event(self, conn_id: str, event: PipelineEvent) -> list[ServerEvent] | None:
-        """Non-blocking for the send loop: ``None`` => retry after the pending
-        reopen resolves."""
-        return self._dispatch(conn_id, event, wait_for_pending_reopen=False)
+    def try_dispatch_pipeline_event(
+        self, conn_id: str, event: PipelineEvent
+    ) -> list[ServerEvent] | None:
+        """Non-blocking for the send loop: ``None`` => requeue and retry
+        after the pending reopen window resolves."""
+        return self._route(conn_id, event, block=False)
 
     def should_defer_pipeline_event(self, event: PipelineEvent) -> bool:
-        if self.speculative_turns is None or not isinstance(event, (AssistantTextEvent, TokenUsageEvent)):
-            return False
-        return self.speculative_turns.has_pending_reopen_or_grace(
-            getattr(event, "turn_id", None), getattr(event, "turn_revision", None)
-        )
+        return self._gate.would_defer(event)
 
-    def _dispatch(
-        self, conn_id: str, event: PipelineEvent, *, wait_for_pending_reopen: bool
-    ) -> list[ServerEvent] | None:
-        stale = self._is_stale(event, wait_for_pending_reopen=wait_for_pending_reopen)
-        if stale is None:
+    def _route(self, conn_id: str, event: PipelineEvent, *, block: bool) -> list[ServerEvent] | None:
+        verdict = self._gate.resolve(event, block=block)
+        if verdict == "defer":
             return None
-        if stale:
-            logger.info(
-                "Ignoring stale %s for turn=%s rev=%s",
-                event.type, getattr(event, "turn_id", None), getattr(event, "turn_revision", None),
-            )
+        if verdict == "stale":
+            turn, rev = TurnGate._turn_of(event)
+            logger.info("Ignoring stale %s for turn=%s rev=%s", event.type, turn, rev)
             return []
-        if self.speculative_turns is not None:
-            self.speculative_turns.observe(
-                getattr(event, "turn_id", None), getattr(event, "turn_revision", None)
-            )
+        self._gate.note(event)
         if isinstance(event, AssistantTextEvent):
-            return self.response.on_assistant_text(
-                conn_id, event, wait_for_pending_reopen=wait_for_pending_reopen
-            )
-        handler = self._pipeline_dispatch.get(type(event))
-        if handler is None:
+            return self.response.on_assistant_text(conn_id, event, wait_for_pending_reopen=block)
+        route = self._routes.get(type(event))
+        if route is None:
             logger.debug("Unhandled pipeline event type: %s", type(event).__name__)
             return []
-        return handler(conn_id, event)
-
-    def _is_stale(self, event: PipelineEvent, *, wait_for_pending_reopen: bool) -> bool | None:
-        if self.speculative_turns is None:
-            return False
-        if not isinstance(
-            event,
-            (
-                PartialTranscriptionEvent,
-                TranscriptionCompletedEvent,
-                AudioInputCompletedEvent,
-                AssistantTextEvent,
-                TokenUsageEvent,
-            ),
-        ):
-            return False
-        turn_id = getattr(event, "turn_id", None)
-        revision = getattr(event, "turn_revision", None)
-        if isinstance(event, (AssistantTextEvent, TokenUsageEvent)):
-            if wait_for_pending_reopen:
-                latest: bool | None = self.speculative_turns.is_latest_after_reopen_grace(turn_id, revision)
-            else:
-                latest = self.speculative_turns.try_is_latest_after_reopen_grace(turn_id, revision)
-            if latest is None:
-                return None
-            return not latest
-        return not self.speculative_turns.is_latest(turn_id, revision)
+        return route(conn_id, event)
 
     # ── STT -> LLM bridge ────────────────────────────────────────────
 
-    def _on_transcription_completed(self, conn_id: str, event: TranscriptionCompletedEvent) -> list[ServerEvent]:
-        """Final transcription: protocol event, chat write (revision-aware
-        replace/remove), LLM request."""
-        st = self._state(conn_id)
-        same_turn = event.turn_id is not None and event.turn_id == st.speculative_user_turn_id
+    def _retract_double_counted_audio(self, st: ConnState, event) -> bool:
+        """On a reopened turn the new final re-covers audio already billed;
+        subtract the previous attribution.  Returns same-turn-ness."""
+        same_turn = event.turn_id is not None and event.turn_id == st.spec.user_turn_id
         if same_turn:
-            st.response_usage.audio_duration_s -= st.speculative_audio_duration_s
+            st.usage.audio_duration_s -= st.spec.audio_s
         else:
-            st.speculative_audio_duration_s = 0.0
+            st.spec.audio_s = 0.0
+        return same_turn
 
+    def _remember_user_turn(self, st: ConnState, event) -> None:
+        if event.turn_id is None:
+            return
+        st.spec.user_turn_id = event.turn_id
+        st.spec.user_revision = event.turn_revision
+        st.spec.stopped_at_s = event.speech_stopped_at_s
+
+    def _sync_user_chat(self, st: ConnState, transcript: str, same_turn: bool) -> None:
+        """Write (or in-place replace, for a reopened revision of the same
+        turn) the user message in the chat buffer."""
+        chat = st.runtime_config.chat
+        replaced = (
+            same_turn
+            and st.spec.user_item_id is not None
+            and chat.replace_user_message_text(st.spec.user_item_id, transcript)
+        )
+        if not replaced:
+            st.spec.user_item_id = chat.add_item(make_user_message(transcript)).id
+
+    def _request_generation(self, st: ConnState, event, **extra: Any) -> None:
+        if self.text_prompt_queue is None:
+            return
+        st.rsp.pending = True
+        self.text_prompt_queue.put(GenerateResponseRequest(
+            runtime_config=st.runtime_config,
+            turn_id=event.turn_id,
+            turn_revision=event.turn_revision,
+            speech_stopped_at_s=event.speech_stopped_at_s,
+            **extra,
+        ))
+
+    def _bridge_transcription(
+        self, conn_id: str, event: TranscriptionCompletedEvent
+    ) -> list[ServerEvent]:
+        """Final transcription: protocol events, revision-aware chat write,
+        then the LLM request."""
+        st = self._state(conn_id)
+        same_turn = self._retract_double_counted_audio(st, event)
         events = self.conversation.on_transcription_completed(conn_id, event)
         if event.turn_id is not None:
-            st.speculative_audio_duration_s = st.input_audio_duration_s
+            st.spec.audio_s = st.mic.duration_s
 
-        cfg = st.runtime_config
         transcript = event.transcript
         if transcript:
-            if same_turn and st.speculative_user_item_id:
-                if not cfg.chat.replace_user_message_text(st.speculative_user_item_id, transcript):
-                    item = cfg.chat.add_item(make_user_message(transcript))
-                    st.speculative_user_item_id = item.id
-            else:
-                item = cfg.chat.add_item(make_user_message(transcript))
-                st.speculative_user_item_id = item.id
-        elif same_turn and st.speculative_user_item_id:
-            cfg.chat.remove_user_message(st.speculative_user_item_id)
-            st.speculative_user_item_id = None
-        elif event.turn_id is not None and event.turn_id != st.speculative_user_turn_id:
-            st.speculative_user_item_id = None
+            self._sync_user_chat(st, transcript, same_turn)
+        elif same_turn and st.spec.user_item_id:
+            st.runtime_config.chat.remove_user_message(st.spec.user_item_id)
+            st.spec.user_item_id = None
+        elif event.turn_id is not None and event.turn_id != st.spec.user_turn_id:
+            st.spec.user_item_id = None
 
-        if event.turn_id is not None:
-            st.speculative_user_turn_id = event.turn_id
-            st.speculative_user_turn_revision = event.turn_revision
-            st.speculative_user_speech_stopped_at_s = event.speech_stopped_at_s
-
-        if self.text_prompt_queue and transcript:
-            st.response_pending = True
-            self.text_prompt_queue.put(
-                GenerateResponseRequest(
-                    runtime_config=cfg,
-                    language_code=event.language_code,
-                    turn_id=event.turn_id,
-                    turn_revision=event.turn_revision,
-                    speech_stopped_at_s=event.speech_stopped_at_s,
-                )
-            )
+        self._remember_user_turn(st, event)
+        if transcript:
+            self._request_generation(st, event, language_code=event.language_code)
         return events
 
-    def _on_audio_input_completed(self, conn_id: str, event: AudioInputCompletedEvent) -> list[ServerEvent]:
+    def _bridge_direct_audio(
+        self, conn_id: str, event: AudioInputCompletedEvent
+    ) -> list[ServerEvent]:
+        """``--stt none``: final VAD audio goes straight to the LLM."""
         st = self._state(conn_id)
-        same_turn = event.turn_id is not None and event.turn_id == st.speculative_user_turn_id
-        if same_turn:
-            st.response_usage.audio_duration_s -= st.speculative_audio_duration_s
-        else:
-            st.speculative_audio_duration_s = 0.0
-        st.input_audio_duration_s = event.audio_duration_s
-        st.response_usage.audio_duration_s += event.audio_duration_s
+        self._retract_double_counted_audio(st, event)
+        st.mic.duration_s = event.audio_duration_s
+        st.usage.audio_duration_s += event.audio_duration_s
         if event.turn_id is not None:
-            st.speculative_audio_duration_s = event.audio_duration_s
-            st.speculative_user_turn_id = event.turn_id
-            st.speculative_user_turn_revision = event.turn_revision
-            st.speculative_user_speech_stopped_at_s = event.speech_stopped_at_s
-        if self.text_prompt_queue:
-            st.response_pending = True
-            self.text_prompt_queue.put(
-                GenerateResponseRequest(
-                    runtime_config=st.runtime_config,
-                    audio=event.audio,
-                    audio_sample_rate=event.audio_sample_rate,
-                    turn_id=event.turn_id,
-                    turn_revision=event.turn_revision,
-                    speech_stopped_at_s=event.speech_stopped_at_s,
-                )
-            )
+            st.spec.audio_s = event.audio_duration_s
+        self._remember_user_turn(st, event)
+        self._request_generation(
+            st, event, audio=event.audio, audio_sample_rate=event.audio_sample_rate
+        )
         return []
 
     # ── metrics / errors ─────────────────────────────────────────────
 
-    def _on_token_usage(self, conn_id: str, event: TokenUsageEvent) -> list[ServerEvent]:
-        if self.speculative_turns and not self.speculative_turns.is_latest(
-            event.turn_id, event.turn_revision
-        ):
+    def _count_tokens(self, conn_id: str, event: TokenUsageEvent) -> list[ServerEvent]:
+        if not self._gate.is_latest(event.turn_id, event.turn_revision):
             return []
-        st = self._state(conn_id)
-        st.response_usage.input_tokens += event.input_tokens
-        st.response_usage.output_tokens += event.output_tokens
+        usage = self._state(conn_id).usage
+        usage.input_tokens += event.input_tokens
+        usage.output_tokens += event.output_tokens
         return []
 
-    def _on_response_failed(self, conn_id: str, event: ResponseFailedEvent) -> list[ServerEvent]:
+    def _close_failed_response(self, conn_id: str, event: ResponseFailedEvent) -> list[ServerEvent]:
         """Close the response as failed: error event (carrying the message —
         response.done.status_details has no message field) + terminal events.
         Idempotent; pending implicit responses are announced first."""
         logger.info("Response failed: %s", event.message)
         st = self._state(conn_id)
-        if not (st.in_response or st.response_pending):
+        if not (st.rsp.active or st.rsp.pending):
             return []
         events: list[ServerEvent] = []
-        if st.response_pending:
+        if st.rsp.pending:
             _, _, created = self.audio.begin_audio_response(conn_id)
             events.extend(created)
         events.append(self.make_error(event.message, "response_failed"))
@@ -429,7 +474,7 @@ class RealtimeService:
         return events
 
     def get_usage(self) -> dict[str, Any]:
-        data = self.total_usage.model_dump()
+        data = self.total_usage.snapshot()
         data["total_tokens"] = data["input_tokens"] + data["output_tokens"]
         data["total_errors"] = self.total_usage.total_errors
         return data

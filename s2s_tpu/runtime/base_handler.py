@@ -98,19 +98,13 @@ class BaseHandler(Generic[InT, OutT]):
             return AudioOutput(audio=cast("bytes | np.ndarray", output), cancel_generation=gen)
         return output
 
-    # ── timing ───────────────────────────────────────────────────────
+    # ── timing knobs (class attributes; stages override as needed) ───
+    min_time_to_debug: float = 0.001
+    timing_log_level: int = logging.DEBUG
 
     @property
     def last_time(self) -> float:
         return self._times[-1]
-
-    @property
-    def min_time_to_debug(self) -> float:
-        return 0.001
-
-    @property
-    def timing_log_level(self) -> int:
-        return logging.DEBUG
 
     def should_log_timing(self, output: OutT) -> bool:
         return self.last_time > self.min_time_to_debug

@@ -204,6 +204,4 @@ class WhisperSTTHandler(BaseSTTHandler):
         self.streamer.reset()
         self._detected_language = None
 
-    @property
-    def timing_log_level(self) -> int:
-        return logging.INFO
+    timing_log_level = logging.INFO

@@ -195,6 +195,4 @@ class BaseTTSHandler(BaseHandler):
                 latency, item.turn_id, item.turn_revision,
             )
 
-    @property
-    def min_time_to_debug(self) -> float:
-        return 0.0001
+    min_time_to_debug = 0.0001

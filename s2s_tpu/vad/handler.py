@@ -46,9 +46,9 @@ from s2s_tpu.vad.iterator import VADIterator
 
 logger = logging.getLogger(__name__)
 
-#: Fragments with less active speech than this are noise: they never stitch,
-#: so sub-threshold bursts cannot sum past min_speech_ms and fire a false
-#: barge-in.
+#: Minimum active speech for a fragment to participate in hold/stitch at
+#: all — keeps a string of sub-threshold noise bursts from accumulating
+#: into a phantom speech start.
 NOISE_FLOOR_MS = 100
 
 
@@ -638,6 +638,4 @@ class VADHandler(BaseHandler):
         self.should_listen.set()
         logger.debug("VAD session state reset")
 
-    @property
-    def min_time_to_debug(self) -> float:
-        return 0.00001
+    min_time_to_debug = 0.00001

@@ -78,7 +78,7 @@ def test_audio_append_chunks_and_remainder(svc):
     pcm = np.zeros(700, np.int16).tobytes()
     chunks = service.handle_audio_append(conn, base64.b64encode(pcm).decode())
     assert len(chunks) == 1 and len(chunks[0]) == 1024
-    assert len(service._state(conn).audio_remainder) == (700 - 512) * 2
+    assert len(service._state(conn).mic.remainder) == (700 - 512) * 2
     # next append completes the chunk
     chunks = service.handle_audio_append(conn, base64.b64encode(np.zeros(324, np.int16).tobytes()).decode())
     assert len(chunks) == 1
@@ -118,7 +118,7 @@ def test_transcription_completed_writes_chat_and_queues_llm(svc):
     st = service._state(conn)
     chat = st.runtime_config.chat
     assert chat.user_turn_count == 1
-    assert st.response_pending
+    assert st.rsp.pending
     req = service.text_prompt_queue.get_nowait()
     assert isinstance(req, GenerateResponseRequest) and req.turn_id == "t1"
 
@@ -190,7 +190,7 @@ def test_assistant_text_creates_response_and_transcript_delta(svc):
     events = drive_voice_response(service, conn)
     assert types(events) == ["response.output_audio_transcript.delta"]
     st = service._state(conn)
-    assert st.in_response and st.current_response_id
+    assert st.rsp.active and st.rsp.id
 
 
 def test_finish_response_terminal_event_order(svc):
@@ -211,14 +211,14 @@ def test_finish_response_terminal_event_order(svc):
     output = done["output"]
     assert output[0]["role"] == "assistant"
     assert output[0]["content"][0] == {"type": "output_audio", "transcript": "First bit. Second bit."}
-    assert not service._state(conn).in_response
+    assert not service._state(conn).rsp.active
 
 
 def test_audio_encode_implicit_response_created(svc):
     service, conn = svc
     drive_voice_response(service, conn)
     # reset current_response_id to simulate implicit path
-    service._state(conn).current_response_id = None
+    service._state(conn).rsp.id = None
     events = service.encode_audio_chunk(conn, b"\x00\x00" * 512)
     assert types(events) == ["response.created", "response.output_audio.delta"]
     assert base64.b64decode(events[1]["delta"]) == b"\x00\x00" * 512
@@ -340,7 +340,7 @@ def test_token_usage_accumulates_and_rolls_up(svc):
     service, conn = svc
     service.dispatch_pipeline_event(conn, TokenUsageEvent(input_tokens=10, output_tokens=5))
     st = service._state(conn)
-    assert st.response_usage.input_tokens == 10
+    assert st.usage.input_tokens == 10
     service.handle_response_create(conn, None)
     service.finish_response(conn)
     usage = service.get_usage()
@@ -446,4 +446,4 @@ def test_interrupts_disabled_keeps_response(svc):
     )
     # no cancellation: the active response survives the speech start
     assert "response.done" not in types(events)
-    assert service._state(conn).in_response
+    assert service._state(conn).rsp.active

@@ -136,7 +136,7 @@ def test_usage_payload_merges_units():
     pool = [make_unit(0), make_unit(1)]
     for u in pool:
         conn = u.service.register()
-        u.service._state(conn).response_usage.input_tokens = 5
+        u.service._state(conn).usage.input_tokens = 5
         u.service.unregister(conn)
     usage = usage_payload(pool)
     assert usage["input_tokens"] == 10
