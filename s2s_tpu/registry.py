@@ -171,6 +171,14 @@ def _make_remote_llm(shape: str):
     return make
 
 
+def _load_llm_tokenizer(path):
+    if not path:
+        return None
+    from s2s_tpu.llm.bpe_tokenizer import BPETokenizer
+
+    return BPETokenizer(path)
+
+
 def _make_local_llm(config, ctx: HandlerContext):
     from s2s_tpu.llm.local_backend import LocalJAXLLMHandler
 
@@ -182,6 +190,7 @@ def _make_local_llm(config, ctx: HandlerContext):
             device_scheduler=ctx.device_scheduler,
             model_size=config.model_size,
             params=_load_checkpoint(config.checkpoint),
+            tokenizer=_load_llm_tokenizer(config.tokenizer),
             max_new_tokens=config.max_new_tokens,
             stream_batch_sentences=config.stream_batch_sentences,
             compact_history=config.compact_history,

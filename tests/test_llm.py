@@ -418,3 +418,96 @@ def test_audio_turn_success_compacts_history():
     assert isinstance(outs[-1], EndOfResponse) and outs[-1].error is None
     roles = [getattr(x, "role", None) for x in rc.chat.buffer]
     assert roles == ["user", "assistant"]
+
+
+# ── BPE tokenizer (real encode/decode from tokenizer.json) ───────────
+
+
+@pytest.fixture(scope="module")
+def bpe_json(tmp_path_factory):
+    """A real byte-level BPE trained with the tokenizers runtime."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False, use_regex=True)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=400,
+        special_tokens=["<|endoftext|>", "<|im_start|>", "<|im_end|>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "hello world, hello voice agents! 1234 tokens",
+        "speech to speech on TPUs is fast",
+        "¿cómo estás? très bien 你好",
+    ] * 8
+    tok.train_from_iterator(corpus, trainer)
+    path = tmp_path_factory.mktemp("bpe") / "tokenizer.json"
+    tok.save(str(path))
+    return str(path)
+
+
+SAMPLES = [
+    "hello world",
+    "The quick brown fox: 1234!",
+    "  leading spaces and\nnewlines\t",
+    "contractions don't stop it's fine we'll see",
+    "unicode ¿cómo? 你好 émojis",
+    "<|im_start|>user\nhi<|im_end|>",
+    "",
+]
+
+
+def test_bpe_tokenizer_roundtrip(bpe_json):
+    from s2s_tpu.llm.bpe_tokenizer import BPETokenizer
+
+    tok = BPETokenizer(bpe_json)
+    for text in SAMPLES:
+        ids = tok.encode(text)
+        assert tok.decode(ids, skip_special=False) == text, text
+
+
+def test_bpe_pure_python_matches_tokenizers_runtime(bpe_json):
+    """The dependency-free fallback must produce the same ids as the Rust
+    runtime for GPT2-pattern byte-level BPEs."""
+    import json as _json
+
+    from s2s_tpu.llm.bpe_tokenizer import BPETokenizer, PurePythonBPE
+
+    tok = BPETokenizer(bpe_json)
+    assert tok._fast is not None  # runtime present in this image
+    pure = PurePythonBPE(_json.loads(open(bpe_json).read()))
+    for text in SAMPLES:
+        assert pure.encode(text) == tok.encode(text), text
+        assert pure.decode(tok.encode(text), skip_special=False) == text
+
+
+def test_bpe_eos_and_specials(bpe_json):
+    from s2s_tpu.llm.bpe_tokenizer import BPETokenizer
+
+    tok = BPETokenizer(bpe_json)
+    assert tok.decode(tok.encode("<|im_end|>")) == ""  # specials skipped
+    assert tok.eos_id == tok.encode("<|im_end|>")[0]
+    assert tok.vocab_size >= 300
+
+
+def test_local_llm_generates_with_bpe_tokenizer(bpe_json):
+    """Converted-weights path: the local JAX LLM decodes through the real
+    BPE tokenizer (tiny random weights; coherence needs a real checkpoint)."""
+    import jax
+
+    from s2s_tpu.llm.bpe_tokenizer import BPETokenizer
+    from s2s_tpu.models import decoder_lm
+
+    tok = BPETokenizer(bpe_json)
+    cfg = decoder_lm.DecoderLMConfig.tiny(vocab=512)
+    params = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+    handler = LocalJAXLLMHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(model_size="tiny", params=params, tokenizer=tok, max_new_tokens=8),
+    )
+    rc = RuntimeConfig()
+    rc.chat.add_item(make_user_message("Hi"))
+    outs = list(handler.process(GenerateResponseRequest(runtime_config=rc)))
+    assert isinstance(outs[-1], EndOfResponse) and outs[-1].error is None
