@@ -1,25 +1,36 @@
-"""Cascade benchmark: aggregate RTFx of the on-device voice pipeline.
+"""Cascade benchmark: the BASELINE workload at real model sizes.
 
-Measures the three device hot loops of one voice turn (SURVEY §3.2) on the
-available accelerator, after warmup, for a synthetic 5 s utterance:
+Measures the device hot loops of one voice turn (SURVEY §3.2) after warmup,
+with the BASELINE.md cascade — **Parakeet-TDT-0.6B** STT, **SmolLM2-1.7B**
+local LLM, **Qwen3-TTS 12.5 Hz (1.7B talker)** — at full configuration
+(random weights; compute cost is architecture-determined):
 
-1. VAD — Silero-JAX streaming steps over every 32 ms chunk;
-2. STT — Whisper-tiny encode + 32 greedy decode steps over the utterance;
-3. TTS — Qwen3-TTS talker decode (12.5 tok/s of audio) + vocoder chunks
-   for a 5 s reply.
+1. VAD   — Silero-JAX streaming steps over every 32 ms chunk;
+2. STT   — Parakeet fused mel+encode+TDT-decode over a 5 s utterance bucket;
+3. LLM   — SmolLM2-1.7B prefill (128-token prompt bucket) + 64-token reply;
+4. TTS   — Qwen3-TTS prefill + frame loop (talker + 15-step MTP code
+           predictor per frame) + Code2Wav vocoder for a 5 s reply.
 
-RTFx = (input audio + output audio seconds) / total compute seconds.
-Baseline target (BASELINE.md): aggregate RTFx >= 20x per chip, so
-``vs_baseline = RTFx / 20``.
+RTFx = (input audio + output audio seconds) / total compute seconds;
+baseline target >= 20x per chip => ``vs_baseline = RTFx / 20``.
+
+voice_to_voice = speech-stop -> first audible chunk: STT final (2 s bucket)
++ LLM first sentence (12 tokens) + TTS first streamed chunk (8 codec frames
+= 640 ms of audio), p50/p95 over 20 turns — the compute chain under the
+reference's "Last speech detected to first speech out" log minus
+endpointing grace (policy, not compute).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
+import statistics
 import time
+from functools import partial
 
 import numpy as np
 
@@ -33,141 +44,202 @@ try:
 except Exception:  # noqa: BLE001
     pass
 
+IN_SECONDS = 5.0
+OUT_SECONDS = 5.0
+V2V_TURNS = 20
+FIRST_SENTENCE_TOKENS = 12
+REPLY_TOKENS = 64
+PROMPT_BUCKET = 128
+TTS_CHUNK_FRAMES = 8
 
-def bench_vad(seconds: float) -> float:
+
+def _device_init(init_fn, key):
+    """Run a param initializer as ONE jitted program (eager per-op dispatch
+    through the remote-device tunnel would take minutes at 1.7B scale)."""
+    import jax
+
+    return jax.jit(init_fn)(key)
+
+
+# ── stage builders (each returns (warmed callable, cleanup)) ──────────
+
+
+def build_vad():
+    import jax
     import jax.numpy as jnp
 
     from s2s_tpu.models import silero_vad
 
-    import jax
-
     params = silero_vad.init_params(jax.random.PRNGKey(0))
-    state = silero_vad.SileroState.create(1)
-    chunk = jnp.zeros((1, silero_vad.CHUNK))
-    # warmup
-    prob, state = silero_vad.jit_step(params, state, chunk)
-    prob.block_until_ready()
-    n_chunks = int(seconds * 16000) // silero_vad.CHUNK
+    n_chunks = int(IN_SECONDS * 16000) // silero_vad.CHUNK
+    chunks = jnp.zeros((n_chunks, 1, silero_vad.CHUNK))
+    probs, _state = silero_vad.jit_scan_steps(params, silero_vad.SileroState.create(1), chunks)
+    _ = float(probs[-1, 0])
 
-    def run():
-        nonlocal state
+    def run() -> float:
         t0 = time.perf_counter()
-        prob = None
-        for _ in range(n_chunks):
-            prob, state = silero_vad.jit_step(params, state, chunk)
-        prob.block_until_ready()
+        probs, _ = silero_vad.jit_scan_steps(params, silero_vad.SileroState.create(1), chunks)
+        # a value fetch is the only true sync on the tunnel backend
+        _ = float(probs[-1, 0])
         return time.perf_counter() - t0
 
-    return min(run() for _ in range(3))
+    return run, params
 
 
-def bench_stt(seconds: float, n_decode_tokens: int = 32) -> float:
+def build_stt(seconds: float, params=None):
     import jax
     import jax.numpy as jnp
 
-    from s2s_tpu.models import whisper
-    from s2s_tpu.ops.mel import log_mel_spectrogram
+    from s2s_tpu.models import parakeet
 
-    cfg = whisper.WhisperConfig.tiny()
-    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
-    audio = np.zeros(int(seconds * 16000), np.float32)
+    cfg = parakeet.ParakeetConfig.tdt_0_6b_v3()
+    if params is None:
+        params = _device_init(lambda k: parakeet.init_params(k, cfg), jax.random.PRNGKey(0))
+    n = int(seconds * 16000)
+    audio = jnp.zeros((n,), jnp.float32)
+    n_valid = jnp.asarray(n, jnp.int32)
+    buf, cnt = parakeet.transcribe_step(params, cfg, audio, n_valid)
+    _ = int(cnt)
 
-    from functools import partial
-
-    jit_encode = partial(jax.jit, static_argnums=(1,))(whisper.encode)
-    mel = log_mel_spectrogram(audio, cfg.n_mels)[None]
-    enc = jit_encode(params, cfg, mel)
-    enc.block_until_ready()
-    prompt = jnp.asarray([[whisper.SOT, whisper.LANG_BASE, whisper.TRANSCRIBE]], jnp.int32)
-    # warm the fused device decode (prefill + while_loop of steps, one fetch)
-    buf, n = whisper.jit_greedy_decode_device(params, cfg, enc, prompt, n_decode_tokens)
-    buf.block_until_ready()
-
-    def run():
+    def run() -> float:
         t0 = time.perf_counter()
-        mel = log_mel_spectrogram(audio, cfg.n_mels)[None]
-        enc = jit_encode(params, cfg, mel)
-        buf, n = whisper.jit_greedy_decode_device(params, cfg, enc, prompt, n_decode_tokens)
-        buf.block_until_ready()
+        buf, cnt = parakeet.transcribe_step(params, cfg, audio, n_valid)
+        _ = int(cnt)  # transcript count fetched (host sync)
         return time.perf_counter() - t0
 
-    return min(run() for _ in range(3))
+    return run, params
 
 
-def bench_tts(out_seconds: float) -> float:
-    from s2s_tpu.models.qwen3_tts import FRAMES_PER_SECOND, Qwen3TTS
+def build_llm():
+    import jax
+    import jax.numpy as jnp
 
-    tts = Qwen3TTS(seed=0, chunk_frames=8)
-    n_tokens = int(out_seconds * FRAMES_PER_SECOND)
+    from s2s_tpu.models import decoder_lm
+
+    cfg = decoder_lm.DecoderLMConfig.smollm2_1_7b()
+    params = _device_init(lambda k: decoder_lm.init_params(k, cfg), jax.random.PRNGKey(0))
+    prompt = jnp.ones((1, PROMPT_BUCKET), jnp.int32)
+    cache_len = 512
+
+    def turn(n_tokens: int) -> float:
+        t0 = time.perf_counter()
+        state = decoder_lm.init_decode_state(cfg, 1, max_t=cache_len)
+        logits, state = decoder_lm.jit_prefill(params, cfg, prompt, state, PROMPT_BUCKET)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        toks, flags, token, state = decoder_lm.jit_decode_chunk(
+            params, cfg, token, state, n_tokens, 0
+        )
+        _ = np.asarray(toks)  # value fetch = true sync
+        return time.perf_counter() - t0
+
+    turn(FIRST_SENTENCE_TOKENS)  # warm both programs
+    turn(REPLY_TOKENS)
+
+    def batched_chunk(n_slots: int) -> float:
+        """Aggregate serving throughput: n_slots sessions decode REPLY_TOKENS
+        through ONE dispatch stream (the --num_pipelines replacement)."""
+        from s2s_tpu.parallel import batched_decode as bd
+
+        state = bd.init_multi_state(cfg, n_slots, max_t=cache_len)
+        tokens = jnp.zeros((n_slots,), jnp.int32)
+        for s in range(n_slots):
+            tok, state = bd.jit_prefill_slot(
+                params, cfg, prompt, jnp.asarray(PROMPT_BUCKET, jnp.int32),
+                state, jnp.asarray(s, jnp.int32),
+            )
+            tokens = tokens.at[s].set(tok)
+        active = jnp.ones((n_slots,), bool)
+        bd.jit_decode_chunk_multi(  # warm
+            params, cfg, tokens, state, REPLY_TOKENS, -1, active
+        )
+        state = bd.init_multi_state(cfg, n_slots, max_t=cache_len)
+        t0 = time.perf_counter()
+        toks, emitted, tokens, state, active = bd.jit_decode_chunk_multi(
+            params, cfg, jnp.zeros((n_slots,), jnp.int32), state, REPLY_TOKENS, -1,
+            jnp.ones((n_slots,), bool),
+        )
+        _ = np.asarray(toks)
+        return time.perf_counter() - t0
+
+    return turn, batched_chunk, params
+
+
+def build_tts():
+    import jax
+
+    from s2s_tpu.models import qwen3_tts
+
+    cfg = qwen3_tts.Qwen3TTSConfig.qwen3_tts_12hz_1_7b()
+    params = _device_init(lambda k: qwen3_tts.init_params(k, cfg), jax.random.PRNGKey(0))
+    tts = qwen3_tts.Qwen3TTS(params=params, cfg=cfg, chunk_frames=TTS_CHUNK_FRAMES)
     text = "This is a representative assistant reply used to benchmark synthesis."
-    tts.synthesize(text, max_frames=n_tokens)  # warmup compiles the program
 
-    def run():
+    def first_chunk() -> float:
         t0 = time.perf_counter()
-        tts.synthesize(text, max_frames=n_tokens)
+        for _chunk, _sr in tts.stream("Sure, here is a reply.", max_new_tokens=TTS_CHUNK_FRAMES):
+            break
         return time.perf_counter() - t0
 
-    return min(run() for _ in range(3))
-
-
-def bench_voice_latency(runs: int = 5) -> float:
-    """p50 of the on-chip latency chain speech-stop -> first audible chunk:
-    final STT decode (2 s utterance bucket) + TTS first streamed chunk
-    (matches the reference's "Last speech detected to first speech out"
-    metric minus endpointing grace, which is policy, not compute)."""
-    import statistics
-
-    import jax
-    import jax.numpy as jnp
-
-    from s2s_tpu.models import whisper
-    from s2s_tpu.models.qwen3_tts import Qwen3TTS
-    from s2s_tpu.ops.mel import log_mel_spectrogram
-
-    cfg = whisper.WhisperConfig.tiny()
-    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
-    tts = Qwen3TTS(seed=0, chunk_frames=8)
-    audio = np.zeros(2 * 16000, np.float32)
-    prompt = jnp.asarray([[whisper.SOT, whisper.LANG_BASE, whisper.TRANSCRIBE]], jnp.int32)
-    from functools import partial
-
-    jit_encode = partial(jax.jit, static_argnums=(1,))(whisper.encode)
-
-    def one_turn() -> float:
+    def full(out_seconds: float) -> float:
+        n_frames = int(out_seconds * qwen3_tts.FRAMES_PER_SECOND)
         t0 = time.perf_counter()
-        mel = log_mel_spectrogram(audio, cfg.n_mels)[None]
-        enc = jit_encode(params, cfg, mel)
-        buf, n = whisper.jit_greedy_decode_device(params, cfg, enc, prompt, 24)
-        _ = np.asarray(buf[: max(1, int(n))])  # transcript fetched
-        for chunk, sr in tts.stream("Sure, here is a reply.", max_new_tokens=8):
-            break  # first audible chunk
+        tts.synthesize(text, max_frames=n_frames)
         return time.perf_counter() - t0
 
-    one_turn()  # warm
-    times = sorted(one_turn() for _ in range(runs))
-    return statistics.median(times)
+    first_chunk()  # warm streaming programs
+    full(OUT_SECONDS)  # warm one-shot program
+    return first_chunk, full, params
 
 
 def main() -> None:
-    in_seconds = 5.0
-    out_seconds = 5.0
-    t_vad = bench_vad(in_seconds)
-    t_stt = bench_stt(in_seconds)
-    t_tts = bench_tts(out_seconds)
-    v2v_p50 = bench_voice_latency()
-    total = t_vad + t_stt + t_tts
-    rtfx = (in_seconds + out_seconds) / total
+    vad_run, _vad_params = build_vad()
+    t_vad = min(vad_run() for _ in range(3))
+
+    stt_run, stt_params = build_stt(IN_SECONDS)
+    t_stt = min(stt_run() for _ in range(3))
+    # 2 s bucket for the latency chain; same weights, different shape bucket
+    stt_final, _ = build_stt(2.0, params=stt_params)
+    gc.collect()
+
+    llm_turn, llm_batched, _llm_params = build_llm()
+    t_llm = min(llm_turn(REPLY_TOKENS) for _ in range(3))
+    t_llm_b8 = min(llm_batched(8) for _ in range(3))
+
+    tts_first, tts_full, _tts_params = build_tts()
+    t_tts = min(tts_full(OUT_SECONDS) for _ in range(3))
+
+    # voice-to-voice latency chain at real sizes, all models resident
+    def one_turn() -> float:
+        t0 = time.perf_counter()
+        stt_final()
+        llm_turn(FIRST_SENTENCE_TOKENS)
+        tts_first()
+        return time.perf_counter() - t0
+
+    one_turn()
+    times = sorted(one_turn() for _ in range(V2V_TURNS))
+    v2v_p50 = statistics.median(times)
+    v2v_p95 = times[min(len(times) - 1, int(round(0.95 * (len(times) - 1))))]
+
+    total = t_vad + t_stt + t_llm + t_tts
+    rtfx = (IN_SECONDS + OUT_SECONDS) / total
     result = {
         "metric": "cascade_rtfx",
         "value": round(rtfx, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / 20.0, 3),
         "detail": {
+            "workload": "parakeet-0.6b + smollm2-1.7b + qwen3-tts-1.7b (full configs, random weights)",
             "vad_s": round(t_vad, 4),
             "stt_s": round(t_stt, 4),
+            "llm_s": round(t_llm, 4),
+            "llm_tokens_per_s": round(REPLY_TOKENS / t_llm, 1),
+            "llm_tokens_per_s_batch8": round(8 * REPLY_TOKENS / t_llm_b8, 1),
             "tts_s": round(t_tts, 4),
-            "audio_s": in_seconds + out_seconds,
+            "audio_s": IN_SECONDS + OUT_SECONDS,
             "voice_to_voice_p50_s": round(v2v_p50, 4),
+            "voice_to_voice_p95_s": round(v2v_p95, 4),
+            "voice_to_voice_turns": V2V_TURNS,
             "voice_to_voice_target_s": 0.3,
         },
     }

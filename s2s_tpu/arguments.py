@@ -127,6 +127,9 @@ class LocalLLMArgs:
     stream_batch_sentences: int = 3
     compact_history: bool = False
     enable_lang_prompt: bool = False
+    #: cross-session batched decode slots over ONE weight set (the TPU
+    #: replacement for the reference's N model copies); 0/1 = single-session
+    batched_slots: int = 4
     gen_kwargs: dict[str, Any] = field(default_factory=dict)
 
 

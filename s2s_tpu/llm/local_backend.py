@@ -44,6 +44,17 @@ class SimpleCharTokenizer:
         return bytes(int(i) % 256 for i in ids).decode("utf-8", errors="replace")
 
 
+def lm_config(model_size: str):
+    from s2s_tpu.models import decoder_lm
+
+    return {
+        "tiny": decoder_lm.DecoderLMConfig.tiny,
+        "smollm2-360m": decoder_lm.DecoderLMConfig.smollm2_360m,
+        "smollm2-1.7b": decoder_lm.DecoderLMConfig.smollm2_1_7b,
+        "qwen3-1.7b": decoder_lm.DecoderLMConfig.qwen3_1_7b,
+    }[model_size]()
+
+
 def render_chat_template(messages: list[dict[str, Any]]) -> str:
     """ChatML-style template (SmolLM2/Qwen convention)."""
     parts = []
@@ -75,6 +86,7 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         enable_lang_prompt: bool = False,
         compact_history: bool = False,
         max_new_tokens: int = 256,
+        shared_lm: Any | None = None,
         warmup: bool = False,
     ) -> None:
         self.cancel_scope = cancel_scope
@@ -84,6 +96,9 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         self.enable_lang_prompt = enable_lang_prompt
         self.gen_kwargs = gen_kwargs or {}
         self.max_new_tokens = max_new_tokens
+        #: cross-session batched decode engine (one per weight set); when
+        #: present, greedy decode goes through its shared dispatch stream
+        self.shared_lm = shared_lm
         self._generate_fn = generate_fn
         if generate_fn is None:
             self._build_jax_generator(model_size, params, tokenizer)
@@ -98,11 +113,7 @@ class LocalJAXLLMHandler(BaseLLMHandler):
 
         from s2s_tpu.models import decoder_lm
 
-        cfg = {
-            "tiny": decoder_lm.DecoderLMConfig.tiny,
-            "smollm2-360m": decoder_lm.DecoderLMConfig.smollm2_360m,
-            "smollm2-1.7b": decoder_lm.DecoderLMConfig.smollm2_1_7b,
-        }[model_size]()
+        cfg = lm_config(model_size)
         if params is None:
             logger.warning("LocalJAXLLMHandler: random-init weights (no checkpoint provided)")
             params = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
@@ -122,6 +133,14 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         padded = np.zeros(bucket, np.int32)
         padded[: len(ids)] = ids
         temperature = float(self.gen_kwargs.get("temperature", 0.0))
+
+        if self.shared_lm is not None and temperature <= 0:
+            # cross-session batched path: this turn's decode shares ONE
+            # dispatch stream (and weight set) with every other session
+            yield from self._decode_token_stream(
+                self.shared_lm.generate(ids, max_new, cancel_check=cancel_check)
+            )
+            return
 
         chunk = max(1, int(self.gen_kwargs.get("decode_chunk_tokens", 8)))
         with self.scheduler.slot(lane):
@@ -163,6 +182,18 @@ class LocalJAXLLMHandler(BaseLLMHandler):
                     break
             if pending:
                 yield self.tokenizer.decode(pending)
+
+    def _decode_token_stream(self, token_ids) -> Iterator[str]:
+        """Decode a stream of token ids to text at UTF-8 boundaries."""
+        pending: list[int] = []
+        for tok in token_ids:
+            pending.append(int(tok))
+            piece = self.tokenizer.decode(pending)
+            if not piece.endswith("�"):
+                yield piece
+                pending = []
+        if pending:
+            yield self.tokenizer.decode(pending)
 
     def _sampled_decode(self, logits, state, max_new, temperature, cancel_check) -> Iterator[str]:
         import jax

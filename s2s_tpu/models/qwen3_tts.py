@@ -536,11 +536,16 @@ class Qwen3TTS:
         seed: int = 0,
         chunk_frames: int = DEFAULT_CHUNK_FRAMES,
         context_frames: int = VOCODER_CONTEXT_FRAMES,
+        ramp_chunks: tuple[int, ...] = (2, 4),
     ) -> None:
         self.cfg = cfg or Qwen3TTSConfig()
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), self.cfg)
         self.chunk_frames = chunk_frames
         self.context_frames = context_frames
+        #: TTFA ramp: the first chunks are small (2 frames = 160 ms of audio
+        #: at ~1/4 the compute of a full chunk) so speech starts sooner, then
+        #: chunk size grows to ``chunk_frames`` for steady-state efficiency.
+        self.ramp_chunks = tuple(min(c, chunk_frames) for c in ramp_chunks)
 
     @property
     def sample_rate(self) -> int:
@@ -596,8 +601,12 @@ class Qwen3TTS:
         tstate = jit_talker_prefill(self.params, cfg, tokens, speaker_vec, state)
         context = jnp.zeros((self.context_frames, cfg.n_q), jnp.int32)
         emitted = 0
-        chunk = self.chunk_frames
+        chunk_i = 0
         while emitted < max_new_tokens:
+            chunk = (
+                self.ramp_chunks[chunk_i] if chunk_i < len(self.ramp_chunks) else self.chunk_frames
+            )
+            chunk_i += 1
             n = min(chunk, max_new_tokens - emitted)
             audio_dev, eos_flags, tstate, context = jit_decode_chunk_audio(
                 self.params, cfg, tstate, context, n

@@ -133,6 +133,26 @@ def step(params: Params, state: SileroState, chunk) -> tuple[jax.Array, SileroSt
 jit_step = jax.jit(step, donate_argnums=(1,))
 
 
+def scan_steps(params: Params, state: SileroState, chunks):
+    """Run N sequential VAD steps in ONE device program.
+
+    chunks: (N, B, CHUNK).  Returns (probs (N, B), final state).  The batch-
+    processing / benchmarking path — streaming serving still steps per 32 ms
+    chunk, but queueing hundreds of async dispatches is both slower and
+    (on the remote-tunnel backend) unreliable past a few dozen in flight.
+    """
+
+    def body(carry, chunk):
+        prob, carry = step(params, carry, chunk)
+        return carry, prob
+
+    state, probs = jax.lax.scan(body, state, chunks)
+    return probs, state
+
+
+jit_scan_steps = jax.jit(scan_steps, donate_argnums=(1,))
+
+
 class SileroVAD:
     """Stateful convenience wrapper with the ``model(x, sr) -> prob`` calling
     convention the VAD iterator expects (single session, batch=1)."""

@@ -107,3 +107,58 @@ def decode_step_multi(params, cfg: DecoderLMConfig, tokens, state: MultiDecodeSt
 
 
 jit_decode_step_multi = partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))(decode_step_multi)
+
+
+def prefill_slot(params, cfg: DecoderLMConfig, tokens, prompt_len, state: MultiDecodeState, slot):
+    """Prefill ONE session slot of the batched state.
+
+    tokens: (1, T_bucket) right-padded prompt; slot: scalar row index.
+    Runs a single-row prefill and splices its caches into row ``slot``;
+    other rows are untouched.  Returns (first token (,) int32, new state).
+    """
+    from s2s_tpu.models import decoder_lm
+
+    max_t = state.caches.k.shape[3]
+    row = decoder_lm.init_decode_state(cfg, 1, max_t=max_t)
+    logits, row = decoder_lm.prefill(params, cfg, tokens, row, prompt_len)
+    new_k = jax.lax.dynamic_update_slice(state.caches.k, row.caches.k, (0, slot, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(state.caches.v, row.caches.v, (0, slot, 0, 0, 0))
+    pos = state.pos.at[slot].set(jnp.asarray(prompt_len, jnp.int32))
+    token = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+    return token, MultiDecodeState(KVCache(new_k, new_v), pos)
+
+
+def decode_chunk_multi(
+    params, cfg: DecoderLMConfig, tokens, state: MultiDecodeState, n_tokens: int,
+    eos_id: int, active,
+):
+    """Greedily decode *n_tokens* for ALL active slots in ONE device program.
+
+    tokens: (B,) next input token per slot; active: (B,) bool.  Emits each
+    step's input token (like the single-session ``decode_chunk``); a row
+    deactivates once it produces ``eos_id`` (the eos itself is emitted so
+    the host sees the boundary).  Idle/finished rows repeat their token
+    under an inactive mask the host ignores.
+
+    Returns (toks (n, B), emitted_mask (n, B), next tokens (B,), state,
+    active_out (B,)).
+    """
+
+    def body(carry, _):
+        tok, st, act = carry
+        logits, st = decode_step_multi(params, cfg, tok, st, act)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(act, nxt, tok)
+        act_next = act & (tok != eos_id)
+        return (nxt, st, act_next), (tok, act)
+
+    (tok, state, active), (toks, emitted) = jax.lax.scan(
+        body, (tokens, state, active), None, length=n_tokens
+    )
+    return toks, emitted, tok, state, active
+
+
+jit_prefill_slot = partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))(prefill_slot)
+jit_decode_chunk_multi = partial(jax.jit, static_argnums=(1, 4, 5), donate_argnums=(3,))(
+    decode_chunk_multi
+)

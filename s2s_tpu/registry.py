@@ -180,8 +180,37 @@ def _load_llm_tokenizer(path):
 
 
 def _make_local_llm(config, ctx: HandlerContext):
-    from s2s_tpu.llm.local_backend import LocalJAXLLMHandler
+    from s2s_tpu.llm.local_backend import LocalJAXLLMHandler, lm_config
 
+    tokenizer = _load_llm_tokenizer(config.tokenizer)
+    params = None
+    shared_lm = None
+    if getattr(config, "batched_slots", 0) and config.batched_slots > 1:
+        # ONE weight set + ONE batched decode engine for every unit/session
+        # (replaces the reference's N model copies, SURVEY §2.10)
+        def build():
+            import jax
+
+            from s2s_tpu.models import decoder_lm
+            from s2s_tpu.parallel.session_scheduler import BatchedLMScheduler
+
+            cfg = lm_config(config.model_size)
+            p = _load_checkpoint(config.checkpoint)
+            if p is None:
+                logger.warning("local-jax LLM: random-init shared weights (no checkpoint)")
+                p = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+            eos = tokenizer.eos_id if tokenizer is not None else 0
+            engine = BatchedLMScheduler(
+                p, cfg, n_slots=config.batched_slots,
+                max_t=min(cfg.max_seq_len, 2048), eos_id=eos,
+            )
+            return p, engine
+
+        params, shared_lm = ctx.model_cache.get(
+            ("local-lm", config.model_size, config.checkpoint, config.batched_slots), build
+        )
+    else:
+        params = _load_checkpoint(config.checkpoint)
     return LocalJAXLLMHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,
         setup_kwargs=dict(
@@ -189,8 +218,9 @@ def _make_local_llm(config, ctx: HandlerContext):
             speculative_turns=ctx.speculative_turns,
             device_scheduler=ctx.device_scheduler,
             model_size=config.model_size,
-            params=_load_checkpoint(config.checkpoint),
-            tokenizer=_load_llm_tokenizer(config.tokenizer),
+            params=params,
+            tokenizer=tokenizer,
+            shared_lm=shared_lm,
             max_new_tokens=config.max_new_tokens,
             stream_batch_sentences=config.stream_batch_sentences,
             compact_history=config.compact_history,
