@@ -45,6 +45,8 @@ class RealtimeServerArgs:
     port: int = 8123
     chat_size: int = 30
     default_instructions: Optional[str] = None
+    webrtc_port: Optional[int] = None  # SDP endpoint port (default: ephemeral)
+    webrtc_ice_servers: Optional[str] = None  # comma-separated stun/turn URLs
 
 
 @dataclass

@@ -149,9 +149,12 @@ def build_pipeline(args: ParsedArguments, stop_event: threading.Event) -> tuple[
         service = GLOBAL_MODEL_CACHE.get(("silero_batched", n), lambda: BatchedSileroVAD(max_slots=n))
         vad_models = [service.view(i) for i in range(n)]
     pool = [build_pipeline_unit(i, args, stop_event, vad_model=vad_models[i]) for i in range(n)]
+    ice = args.server.webrtc_ice_servers
     server = RealtimeServer(
         stop_event, pool, host=args.server.host, port=args.server.port,
         llm_proxy=_build_llm_proxy(args),
+        webrtc_port=args.server.webrtc_port,
+        webrtc_ice_servers=[u.strip() for u in ice.split(",")] if ice else None,
     )
     all_handlers: list[Any] = [h for unit in pool for h in unit.handlers]
     all_handlers.append(server)

@@ -40,6 +40,9 @@ class RealtimeServer:
         host: str = "127.0.0.1",
         port: int = 8123,
         llm_proxy=None,
+        webrtc_port: Optional[int] = None,
+        webrtc_rtc=None,
+        webrtc_ice_servers: Optional[list[str]] = None,
     ) -> None:
         self.stop_event = stop_event
         self.pool = pool
@@ -49,6 +52,14 @@ class RealtimeServer:
         self.started = threading.Event()
         self.bound_port: Optional[int] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
+        # WebRTC call endpoint (side HTTP listener: the websockets
+        # process_request hook cannot read POST bodies)
+        self.webrtc_port = webrtc_port
+        self.webrtc_bound_port: Optional[int] = None
+        self._webrtc_rtc = webrtc_rtc
+        self._webrtc_ice_servers = webrtc_ice_servers
+        self._webrtc_http = None
+        self.call_manager = None
 
     # ── HTTP endpoints over the websockets process_request hook ──────
 
@@ -66,18 +77,93 @@ class RealtimeServer:
         if path == "/v1/pool":
             return connection.respond(http.HTTPStatus.OK, json.dumps(pool_payload(self.pool)) + "\n")
         if path == "/v1/realtime/calls":
-            from s2s_tpu.realtime.webrtc import WEBRTC_AVAILABLE
-
-            if not WEBRTC_AVAILABLE:
+            if self.webrtc_bound_port is not None:
                 return connection.respond(
-                    http.HTTPStatus.NOT_IMPLEMENTED,
-                    "WebRTC transport requires the aiortc extra; use the WebSocket "
-                    "transport at /v1/realtime.\n",
+                    http.HTTPStatus.TEMPORARY_REDIRECT,
+                    f"POST SDP offers to http://{self.host}:{self.webrtc_bound_port}"
+                    "/v1/realtime/calls (this port only upgrades WebSockets).\n",
                 )
             return connection.respond(
-                http.HTTPStatus.NOT_IMPLEMENTED, "WebRTC SDP negotiation not wired in this build\n"
+                http.HTTPStatus.NOT_IMPLEMENTED,
+                "WebRTC transport requires the aiortc extra; use the WebSocket "
+                "transport at /v1/realtime.\n",
             )
         return connection.respond(http.HTTPStatus.NOT_FOUND, "Not found\n")
+
+    # ── WebRTC SDP endpoint (side HTTP listener) ─────────────────────
+
+    def _start_webrtc_endpoint(self) -> None:
+        from s2s_tpu.realtime.webrtc import WEBRTC_AVAILABLE, WebRTCCallManager, load_rtc
+
+        rtc = self._webrtc_rtc
+        if rtc is None and WEBRTC_AVAILABLE:
+            rtc = load_rtc()
+        if rtc is None:
+            return
+        self.call_manager = WebRTCCallManager(
+            self.pool, self.stop_event, rtc=rtc, ice_servers=self._webrtc_ice_servers
+        )
+        manager = self.call_manager
+        loop = self._loop
+
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        class CallsHandler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                logger.debug("webrtc-http: " + fmt, *args)
+
+            def do_POST(self) -> None:  # noqa: N802
+                from s2s_tpu.realtime.webrtc import PoolBusyError
+
+                if self.path.split("?")[0] != "/v1/realtime/calls":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                length = int(self.headers.get("content-length") or 0)
+                body = self.rfile.read(length).decode("utf-8", errors="replace")
+                if "json" in (self.headers.get("content-type") or ""):
+                    try:
+                        offer_sdp = json.loads(body).get("sdp", "")
+                    except json.JSONDecodeError:
+                        offer_sdp = ""
+                else:
+                    offer_sdp = body
+                if not offer_sdp.strip():
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(b"Missing SDP offer\n")
+                    return
+                future = asyncio.run_coroutine_threadsafe(manager.handle_offer(offer_sdp), loop)
+                try:
+                    answer = future.result(timeout=30)
+                except PoolBusyError as exc:
+                    self.send_response(503)
+                    self.end_headers()
+                    self.wfile.write(f"{exc}\n".encode())
+                    return
+                except Exception as exc:  # noqa: BLE001
+                    logger.exception("WebRTC negotiation failed")
+                    self.send_response(500)
+                    self.end_headers()
+                    self.wfile.write(f"Negotiation failed: {exc}\n".encode())
+                    return
+                data = answer.encode()
+                self.send_response(201)
+                self.send_header("content-type", "application/sdp")
+                self.send_header("content-length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        port = self.webrtc_port if self.webrtc_port is not None else 0
+        self._webrtc_http = ThreadingHTTPServer((self.host, port), CallsHandler)
+        self.webrtc_bound_port = self._webrtc_http.server_address[1]
+        threading.Thread(
+            target=self._webrtc_http.serve_forever, daemon=True, name="webrtc-calls-http"
+        ).start()
+        logger.info(
+            "WebRTC call endpoint on http://%s:%d/v1/realtime/calls",
+            self.host, self.webrtc_bound_port,
+        )
 
     async def _ws_handler(self, ws) -> None:
         transport = WebSocketTransport(ws)
@@ -106,6 +192,7 @@ class RealtimeServer:
             self.bound_port = server.sockets[0].getsockname()[1] if server.sockets else self.port
             if self.llm_proxy is not None:
                 self.llm_proxy.start(self.host, self.bound_port)
+            self._start_webrtc_endpoint()
             self.started.set()
             logger.info("Realtime server on ws://%s:%d/v1/realtime", self.host, self.bound_port)
             while not self.stop_event.is_set():
@@ -134,6 +221,8 @@ class RealtimeServer:
         try:
             self._loop.run_until_complete(self._main())
         finally:
+            if self._webrtc_http is not None:
+                self._webrtc_http.shutdown()
             self._loop.close()
             logger.info("Realtime server stopped")
 

@@ -153,17 +153,33 @@ class PacedAudioBuffer:
         return out
 
 
-if WEBRTC_AVAILABLE:  # pragma: no cover - requires aiortc
+def load_rtc():
+    """Real aiortc/av namespace (``WebRTCCallManager`` takes any object with
+    the same attributes, so tests inject fakes)."""
+    from types import SimpleNamespace
+
+    import aiortc
+    import av
+
+    return SimpleNamespace(
+        RTCPeerConnection=aiortc.RTCPeerConnection,
+        RTCSessionDescription=aiortc.RTCSessionDescription,
+        RTCConfiguration=aiortc.RTCConfiguration,
+        RTCIceServer=aiortc.RTCIceServer,
+        MediaStreamTrack=aiortc.mediastreams.MediaStreamTrack,
+        MediaStreamError=aiortc.mediastreams.MediaStreamError,
+        AudioFrame=av.AudioFrame,
+    )
+
+
+def make_pipeline_track(rtc):
+    """RTP track fed by a PacedAudioBuffer at 48 kHz, server-paced 20 ms
+    frames with silence fill (reference ``PipelineAudioTrack``,
+    ``webrtc_session.py:99-152``).  Built against the injected rtc namespace
+    so tests run it with fakes."""
     import asyncio
 
-    from aiortc import MediaStreamTrack, RTCPeerConnection
-    from av import AudioFrame
-
-    from s2s_tpu.realtime.transports import SessionTransport
-
-    class PipelineAudioTrack(MediaStreamTrack):
-        """RTP track fed by a PacedAudioBuffer at 48 kHz."""
-
+    class _PipelineAudioTrack(rtc.MediaStreamTrack):
         kind = "audio"
 
         def __init__(self) -> None:
@@ -171,9 +187,9 @@ if WEBRTC_AVAILABLE:  # pragma: no cover - requires aiortc
             self.buffer = PacedAudioBuffer(rate=RTC_RATE)
             self._timestamp = 0
 
-        async def recv(self) -> "AudioFrame":
+        async def recv(self):
             samples = self.buffer.next_frame()
-            frame = AudioFrame.from_ndarray(samples[None, :], format="s16", layout="mono")
+            frame = rtc.AudioFrame.from_ndarray(samples[None, :], format="s16", layout="mono")
             frame.sample_rate = RTC_RATE
             frame.pts = self._timestamp
             frame.time_base = fractions.Fraction(1, RTC_RATE)
@@ -181,44 +197,241 @@ if WEBRTC_AVAILABLE:  # pragma: no cover - requires aiortc
             await asyncio.sleep(FRAME_MS / 1000)
             return frame
 
-    class WebRTCTransport(SessionTransport):
-        """Events over the ``oai-events`` data channel; audio on the track."""
+    return _PipelineAudioTrack()
 
-        kind = "webrtc"
 
-        def __init__(self, pc: "RTCPeerConnection", channel, track: "PipelineAudioTrack", service, session_id: str) -> None:
-            self.pc = pc
-            self.channel = channel
-            self.track = track
-            self._service = service
-            self._session_id = session_id
-            self._out16_to_48 = PcmResampler(PIPELINE_RATE, RTC_RATE)
+class WebRTCTransport:
+    """Events over the ``oai-events`` data channel (ordered via an asyncio
+    queue + sender task, reference ``webrtc_session.py:186-189``); audio on
+    the RTP track."""
 
-        async def send_events(self, events) -> None:
-            import json
+    kind = "webrtc"
 
-            for event in events:
-                try:
-                    self.channel.send(json.dumps(event))
-                except Exception:  # noqa: BLE001
-                    logger.debug("webrtc: data channel send failed")
+    def __init__(self, pc, channel, track) -> None:
+        import asyncio
 
-        async def send_audio_chunk(self, service, session_id, pcm: bytes) -> None:
-            samples = np.frombuffer(pcm, np.int16)
-            up = self._out16_to_48.push(samples)
-            self.track.buffer.append(np.clip(up * 32768, -32768, 32767).astype(np.int16))
-            # bookkeeping events (response.created etc.) still go on the channel
-            _, _, _, events = service.begin_audio_output(session_id)
-            if events:
-                await self.send_events(events)
+        self.pc = pc
+        self.channel = channel
+        self.track = track
+        self._out16_to_48 = PcmResampler(PIPELINE_RATE, RTC_RATE)
+        self._events: "asyncio.Queue[dict]" = asyncio.Queue()
+        self._channel_open = asyncio.Event()
+        if getattr(channel, "readyState", None) == "open":
+            self._channel_open.set()
+        else:
+            channel.on("open", self._channel_open.set)
 
-        def discard_pending_audio(self) -> None:
-            dropped = self.track.buffer.clear()
-            if dropped:
-                logger.info("webrtc: dropped %d unplayed samples (barge-in)", dropped)
+    async def run_sender(self) -> None:
+        """Drain queued events to the channel in order, once it opens."""
+        import json
 
-        async def close(self) -> None:
+        await self._channel_open.wait()
+        while True:
+            event = await self._events.get()
             try:
-                await self.pc.close()
+                self.channel.send(json.dumps(event))
             except Exception:  # noqa: BLE001
-                pass
+                logger.debug("webrtc: data channel send failed")
+
+    async def send_events(self, events) -> None:
+        for event in events:
+            self._events.put_nowait(event)
+
+    async def send_audio_chunk(self, service, session_id, pcm: bytes) -> None:
+        samples = np.frombuffer(pcm, np.int16)
+        up = self._out16_to_48.push(samples)
+        self.track.buffer.append(np.clip(up * 32768, -32768, 32767).astype(np.int16))
+        # bookkeeping events (response.created etc.) still go on the channel
+        _, _, _, events = service.begin_audio_output(session_id)
+        if events:
+            await self.send_events(events)
+
+    def discard_pending_audio(self) -> None:
+        dropped = self.track.buffer.clear()
+        if dropped:
+            logger.info("webrtc: dropped %d unplayed samples (barge-in)", dropped)
+
+    async def close(self) -> None:
+        try:
+            await self.pc.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
+class PoolBusyError(RuntimeError):
+    """All pipeline slots are claimed."""
+
+
+class WebRTCCallManager:
+    """``POST /v1/realtime/calls``: negotiate SDP, claim a pipeline unit,
+    pump data-channel events and inbound RTP audio, watchdog the connect
+    (reference ``webrtc_session.py`` + ``websocket_router.py:579-720``)."""
+
+    def __init__(
+        self,
+        pool,
+        stop_event,
+        rtc=None,
+        connect_timeout_s: float = 30.0,
+        ice_servers: list[str] | None = None,
+    ) -> None:
+        self.pool = pool
+        self.stop_event = stop_event
+        self._rtc = rtc if rtc is not None else load_rtc()
+        self.connect_timeout_s = connect_timeout_s
+        self.ice_servers = ice_servers or []
+        self._tasks: set = set()
+
+    def _pc_config(self):
+        rtc = self._rtc
+        if not self.ice_servers or not hasattr(rtc, "RTCConfiguration"):
+            return None
+        return rtc.RTCConfiguration(iceServers=[rtc.RTCIceServer(urls=u) for u in self.ice_servers])
+
+    def _spawn(self, coro) -> None:
+        import asyncio
+
+        task = asyncio.get_event_loop().create_task(coro)
+        self._tasks.add(task)
+        task.add_done_callback(self._tasks.discard)
+
+    async def handle_offer(self, offer_sdp: str) -> str:
+        """Negotiate one call; returns the answer SDP.  Raises
+        :class:`PoolBusyError` when no unit is free."""
+        import asyncio
+
+        from s2s_tpu.realtime.router import claim_unit, clean_unit
+
+        rtc = self._rtc
+        config = self._pc_config()
+        pc = rtc.RTCPeerConnection(config) if config is not None else rtc.RTCPeerConnection()
+        track = make_pipeline_track(rtc)
+        pc.addTrack(track)
+        channel = pc.createDataChannel("oai-events", ordered=True)
+        transport = WebRTCTransport(pc, channel, track)
+
+        unit = claim_unit(self.pool, transport)
+        if unit is None:
+            await pc.close()
+            raise PoolBusyError(f"All {len(self.pool)} session slots are in use")
+        session_id = unit.service.register()
+        unit.session.session_id = session_id
+        clean_unit(unit)
+        closed = asyncio.Event()
+
+        self._spawn(transport.run_sender())
+        await transport.send_events([unit.service.build_session_created(session_id)])
+
+        inbound: "asyncio.Queue" = asyncio.Queue()
+        loop = asyncio.get_event_loop()
+
+        @channel.on("message")
+        def on_message(message) -> None:
+            loop.call_soon_threadsafe(inbound.put_nowait, message)
+
+        self._spawn(self._pump_channel(unit, session_id, transport, inbound, closed))
+
+        @pc.on("track")
+        def on_track(remote_track) -> None:
+            if getattr(remote_track, "kind", "audio") == "audio":
+                self._spawn(self._pump_audio(unit, session_id, remote_track, closed))
+
+        @pc.on("connectionstatechange")
+        def on_state() -> None:
+            if pc.connectionState in ("failed", "closed"):
+                loop.call_soon_threadsafe(closed.set)
+
+        self._spawn(self._watchdog(pc, unit, session_id, closed))
+        self._spawn(self._teardown_when_closed(unit, session_id, closed))
+
+        await pc.setRemoteDescription(rtc.RTCSessionDescription(sdp=offer_sdp, type="offer"))
+        answer = await pc.createAnswer()
+        await pc.setLocalDescription(answer)  # aiortc gathers ICE here
+        logger.info("WebRTC call negotiated on pipeline %d (session %s)", unit.index, session_id)
+        return pc.localDescription.sdp
+
+    async def _pump_channel(self, unit, session_id, transport, inbound, closed) -> None:
+        import asyncio
+        import json
+
+        from s2s_tpu.realtime.router import dispatch_client_event
+
+        while not closed.is_set() and not self.stop_event.is_set():
+            try:
+                message = await asyncio.wait_for(inbound.get(), timeout=0.1)
+            except asyncio.TimeoutError:
+                continue
+            try:
+                raw = json.loads(message)
+            except (TypeError, json.JSONDecodeError):
+                await transport.send_events(
+                    [unit.service.make_error("Malformed JSON frame", "invalid_json")]
+                )
+                continue
+            await dispatch_client_event(
+                unit, session_id, raw, transport, transport_kind="webrtc"
+            )
+
+    async def _pump_audio(self, unit, session_id, remote_track, closed) -> None:
+        """Incoming RTP audio -> stateful resample to 16 kHz -> 512-sample
+        pipeline chunks."""
+        resamplers: dict[int, PcmResampler] = {}
+        while not closed.is_set() and not self.stop_event.is_set():
+            try:
+                frame = await remote_track.recv()
+            except Exception:  # MediaStreamError / cancelled
+                break
+            pcm, rate = frame_to_mono_int16(frame)
+            resampler = resamplers.get(rate)
+            if resampler is None:
+                resampler = resamplers.setdefault(rate, PcmResampler(rate, PIPELINE_RATE))
+            out = resampler.push(pcm)
+            if not len(out):
+                continue
+            data = np.clip(out * 32768.0, -32768, 32767).astype(np.int16).tobytes()
+            try:
+                chunks = unit.service.append_pcm(session_id, data, PIPELINE_RATE)
+            except KeyError:  # session already unregistered
+                break
+            rt_cfg = unit.service._state(session_id).runtime_config
+            for chunk in chunks:
+                unit.input_queue.put((chunk, rt_cfg))
+
+    async def _watchdog(self, pc, unit, session_id, closed) -> None:
+        import asyncio
+
+        try:
+            await asyncio.wait_for(closed.wait(), timeout=self.connect_timeout_s)
+        except asyncio.TimeoutError:
+            if getattr(pc, "connectionState", "connected") not in ("connected",):
+                logger.warning("WebRTC connect watchdog fired (session %s)", session_id)
+                closed.set()
+                await pc.close()
+
+    async def _teardown_when_closed(self, unit, session_id, closed) -> None:
+        from s2s_tpu.realtime.router import release_session
+
+        await closed.wait()
+        if unit.session is not None and unit.session.session_id == session_id:
+            release_session(unit, session_id)
+            logger.info("WebRTC call released pipeline %d (session %s)", unit.index, session_id)
+
+
+def frame_to_mono_int16(frame) -> tuple[np.ndarray, int]:
+    """Decode an av.AudioFrame-like object to (mono int16, sample_rate)."""
+    arr = frame.to_ndarray()
+    if arr.ndim == 2:
+        if arr.shape[0] > 1:  # planar channels
+            arr = arr.mean(axis=0)
+        else:
+            arr = arr[0]
+    if arr.dtype != np.int16:
+        arr = np.clip(arr.astype(np.float32), -1.0, 1.0) * 32767
+        arr = arr.astype(np.int16)
+    # interleaved stereo packed in one row: s16 stereo from av is (1, 2n)
+    layout = getattr(frame, "layout", None)
+    channels = getattr(layout, "channels", None)
+    n_ch = len(channels) if channels is not None else 1
+    if n_ch > 1:
+        arr = arr.reshape(-1, n_ch).mean(axis=1).astype(np.int16)
+    return arr, int(frame.sample_rate)
