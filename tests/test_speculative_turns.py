@@ -296,3 +296,69 @@ def test_reset_clears_everything(tracker):
     tracker.reset()
     assert tracker.is_latest("t", 0)
     assert not tracker.is_committed("t")
+
+
+# ── resurrection-after-reset/prune matrix (reference spec) ───────────
+
+
+def test_commit_after_reset_does_not_resurrect_turn(tracker):
+    """Committing a turn the tracker no longer knows (reset raced the
+    commit) must not create a committed record for it."""
+    tracker.observe("t1", 0)
+    tracker.reset()
+    tracker.commit("t1", 0)
+    assert not tracker.is_committed("t1")
+    # a fresh session may legitimately reuse the id at revision 0
+    tracker.observe("t1", 0)
+    assert tracker.is_latest("t1", 0)
+    assert not tracker.is_committed("t1")
+
+
+def test_commit_after_prune_does_not_resurrect_turn():
+    from s2s_tpu.pipeline.turns import SpeculativeTurnTracker
+
+    tracker = SpeculativeTurnTracker(max_tracked_turns=2)
+    tracker.observe("old", 0)
+    tracker.observe("mid", 0)
+    tracker.observe("new", 0)  # evicts "old"
+    tracker.commit("old", 0)
+    assert not tracker.is_committed("old")
+
+
+def test_commit_if_latest_variants_ignore_untracked_turn(tracker):
+    tracker.observe("gone", 0)
+    tracker.reset()
+    assert tracker.commit_if_latest_after_pending_reopen("gone", 0)
+    assert tracker.commit_if_latest_after_reopen_grace("gone", 0)
+    assert not tracker.is_committed("gone")
+
+
+def test_reused_turn_id_after_reset_not_reported_committed(tracker):
+    tracker.observe("t1", 0)
+    tracker.commit("t1", 0)
+    assert tracker.is_committed("t1")
+    tracker.reset()
+    tracker.observe("t1", 0)  # new session reuses the id
+    assert not tracker.is_committed("t1")
+    assert tracker.is_latest("t1", 0)
+
+
+def test_stability_window_catches_reopen_started_mid_wait(tracker):
+    """A reopen candidate appearing DURING the stability wait invalidates
+    the waited-on revision."""
+    import threading
+    import time
+
+    tracker.observe("t1", 0)
+
+    def reopen_later():
+        time.sleep(0.05)
+        cand = tracker.begin_reopen_candidate("t1", 0)
+        tracker.confirm_reopen_candidate("t1", 0, cand)
+
+    t = threading.Thread(target=reopen_later)
+    t.start()
+    ok = tracker.is_latest_after_stability_window("t1", 0, 0.3)
+    t.join()
+    assert ok is False
+    assert tracker.is_latest("t1", 1)

@@ -314,3 +314,175 @@ def test_handler_runtime_config_updates_threshold():
     list(handler.process((pcm.tobytes(), rc)))
     assert handler.iterator.threshold == 0.8
     assert handler.iterator.min_silence_samples == 16000 * 128 / 1000
+
+
+# ── speculative-turn spec matrix (reference test_speculative_turns.py
+#    VAD-level behaviors, SURVEY §3.4) ─────────────────────────────────
+
+
+def test_handler_unanswered_turn_reopens_after_grace_window():
+    """An unanswered turn stays reopenable past the smart-turn grace, up to
+    unanswered_reopen_ms on the AUDIO clock: resumed speech bumps the
+    revision instead of opening a new turn."""
+    # final at ~640 ms; 35 silence chunks (1120 ms) > 800 ms grace; resume
+    probs = [0.9] * 20 + [0.0] * 35 + [0.9] * 10 + [0.0] * 12
+    handler, qtext, tracker = build_handler(
+        probs, smart_turn=False, speculative_reopen_ms=800, unanswered_reopen_ms=3000
+    )
+    outputs = feed(handler, 77)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 2
+    assert finals[1].turn_id == finals[0].turn_id == "turn_1"
+    assert finals[1].turn_revision == 1
+    assert len(finals[1].audio) > len(finals[0].audio)  # prefix carried
+
+
+def test_handler_new_turn_after_unanswered_cap():
+    """Past unanswered_reopen_ms of audio time, resumed speech is a NEW turn
+    (no prefix, revision 0)."""
+    probs = [0.9] * 20 + [0.0] * 40 + [0.9] * 14 + [0.0] * 12
+    handler, qtext, tracker = build_handler(
+        probs, smart_turn=False, speculative_reopen_ms=500, unanswered_reopen_ms=1000
+    )
+    outputs = feed(handler, 86)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 2
+    assert finals[1].turn_id == "turn_2" and finals[1].turn_revision == 0
+    assert len(finals[1].audio) <= len(finals[0].audio)  # no prefix
+
+
+def test_handler_committed_turn_never_reopens():
+    """Commit (assistant spoke) makes the turn un-reopenable even inside the
+    unanswered window."""
+    probs = [0.9] * 20 + [0.0] * 10 + [0.9] * 14 + [0.0] * 12
+    handler, qtext, tracker = build_handler(probs, smart_turn=False)
+    outputs = []
+    pcm = np.full(CHUNK, 100, dtype=np.int16).tobytes()
+    for i in range(56):
+        outputs.extend(handler.process(pcm))
+        if i == 22:
+            tracker.commit("turn_1", 0)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert [f.turn_id for f in finals] == ["turn_1", "turn_2"]
+
+
+def test_handler_prefix_accumulates_across_two_reopens():
+    """Each reopen re-emits ALL accumulated audio exactly once (single
+    speculative prefix, no duplication)."""
+    probs = ([0.9] * 20 + [0.0] * 10) + ([0.9] * 8 + [0.0] * 10) + ([0.9] * 8 + [0.0] * 12)
+    handler, qtext, tracker = build_handler(probs)
+    outputs = feed(handler, len(probs) + 5)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert [f.turn_revision for f in finals] == [0, 1, 2]
+    assert len({f.turn_id for f in finals}) == 1
+    lens = [len(f.audio) for f in finals]
+    assert lens[0] < lens[1] < lens[2]
+    # rev2 contains rev1's audio as a strict prefix (accumulated once)
+    assert np.array_equal(finals[2].audio[: lens[1]], finals[1].audio)
+
+
+def test_handler_superseded_progressive_dropped_from_output_queue():
+    """A newer emission for the same turn supersedes queued progressive
+    audio (the STT never wastes compute on it)."""
+    probs = [0.9] * 40 + [0.0] * 20
+    handler, qtext, _ = build_handler(
+        probs, enable_realtime_transcription=True, realtime_processing_pause=0.0
+    )
+    pcm = np.full(CHUNK, 100, dtype=np.int16).tobytes()
+    for _ in range(60):
+        for out in handler.process(pcm):
+            # mimic BaseHandler.run: supersede-drop hook, then enqueue
+            handler.before_emit_output(out)
+            handler.queue_out.put(out)
+    queued = drain(handler.queue_out)
+    vad_items = [o for o in queued if isinstance(o, VADAudio)]
+    finals = [o for o in vad_items if o.mode == "final"]
+    progressive = [o for o in vad_items if o.mode == "progressive"]
+    assert len(finals) == 1
+    # every progressive that would have been superseded by the final is gone
+    assert progressive == []
+
+
+def test_handler_progressive_pause_grows_and_caps():
+    handler, _, _ = build_handler([0.0], realtime_processing_pause=0.5)
+    assert handler._progressive_pause(2_000) == 0.5
+    assert handler._progressive_pause(9_000) == 1.0
+    assert handler._progressive_pause(20_000) == 2.0
+    assert handler._progressive_pause(60_000) == 2.0  # capped
+
+
+def test_handler_max_speech_discards_before_smart_turn():
+    """A segment over max_speech_ms is discarded at finalization and Smart
+    Turn is never consulted (reference semantics: runaway segments are
+    dropped, not analyzed)."""
+    calls = []
+
+    class CountingAnalyzer(StaticAnalyzer):
+        def predict(self, audio, sample_rate=16000):
+            calls.append(len(audio))
+            return super().predict(audio, sample_rate)
+
+    probs = [0.9] * 40 + [0.0] * 20  # 1280 ms segment > 640 ms cap
+    handler, qtext, _ = build_handler(
+        probs, max_speech_ms=640, smart_turn_analyzer=CountingAnalyzer(0.9)
+    )
+    outputs = feed(handler, 60)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert finals == []
+    assert calls == []
+
+
+class StaticIterator:
+    """A whole utterance materializes in ONE tick (the deferred live start
+    never had a chance) — reference ``_StaticVADIterator`` seam."""
+
+    def __init__(self, output, active_samples):
+        self.buffer: list = []
+        self.triggered = False
+        self.active_speech_samples = 0
+        self.last_utterance_active_speech_samples = active_samples
+        self.threshold = 0.5
+        self.min_silence_samples = 1024
+        self._output = output
+
+    def __call__(self, chunk):
+        out, self._output = self._output, None
+        return out
+
+    def speech_buffer(self):
+        return []
+
+    def reset_states(self):
+        pass
+
+
+def test_handler_synthetic_final_start_does_not_interrupt():
+    """A final whose SpeechStartedEvent is only emitted at finalization
+    (utterance materialized in one tick) carries interrupt_response=False —
+    it must not trigger barge-in cancellation retroactively."""
+    handler, qtext, _ = build_handler([0.0])
+    utterance = [np.full(CHUNK, 0.1, np.float32) for _ in range(31)]
+    handler.iterator = StaticIterator(utterance, active_samples=12 * CHUNK)
+    outputs = feed(handler, 1)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 1
+    starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert len(starts) == 1
+    assert starts[0].interrupt_response is False
+
+
+def test_handler_live_start_interrupts():
+    handler, qtext, _ = build_handler([0.9] * 20 + [0.0] * 20)
+    feed(handler, 30)
+    starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert starts and starts[0].interrupt_response is True
+
+
+def test_handler_interruption_threshold_uses_active_speech():
+    """min_speech is measured on ACTIVE speech, not the padded/buffered
+    segment: long low-probability audio never fires a start."""
+    # probabilities hover below threshold: buffer grows, active stays 0
+    handler, qtext, _ = build_handler([0.45] * 40)
+    outputs = feed(handler, 40)
+    assert not [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert not [o for o in outputs if isinstance(o, VADAudio)]
