@@ -1,0 +1,78 @@
+/* WebRTC transport client (reference demo/rtc/s2s-rtc-client.js, trimmed):
+ * mic track + remote audio track over RTP (the browser handles Opus and
+ * jitter), events over the `oai-events` data channel, SDP offer POSTed to
+ * the server's /v1/realtime/calls endpoint. */
+
+import { routeServerEvent } from "./chat.js";
+
+export class RTCClient {
+  constructor(chat) {
+    this.chat = chat;
+    this.pc = null;
+    this.channel = null;
+    this.mediaStream = null;
+    this.audioEl = null;
+  }
+
+  async start(callsUrl, { instructions, voice } = {}) {
+    this.pc = new RTCPeerConnection();
+    this.mediaStream = await navigator.mediaDevices.getUserMedia({
+      audio: { channelCount: 1, echoCancellation: true, noiseSuppression: true },
+    });
+    for (const track of this.mediaStream.getTracks()) {
+      this.pc.addTrack(track, this.mediaStream);
+    }
+
+    this.audioEl = new Audio();
+    this.audioEl.autoplay = true;
+    this.pc.ontrack = (evt) => {
+      this.audioEl.srcObject = evt.streams[0] ?? new MediaStream([evt.track]);
+    };
+
+    this.channel = this.pc.createDataChannel("oai-events", { ordered: true });
+    this.channel.onmessage = (m) => routeServerEvent(JSON.parse(m.data), this.chat, {});
+    this.channel.onopen = () => {
+      const session = { type: "realtime" };
+      if (instructions) session.instructions = instructions;
+      if (voice) session.audio = { output: { voice } };
+      this.channel.send(JSON.stringify({ type: "session.update", session }));
+    };
+
+    const offer = await this.pc.createOffer();
+    await this.pc.setLocalDescription(offer);
+    await new Promise((ok) => {
+      if (this.pc.iceGatheringState === "complete") return ok();
+      this.pc.onicegatheringstatechange = () => {
+        if (this.pc.iceGatheringState === "complete") ok();
+      };
+    });
+
+    const resp = await fetch(callsUrl, {
+      method: "POST",
+      headers: { "content-type": "application/sdp" },
+      body: this.pc.localDescription.sdp,
+    });
+    if (!resp.ok) throw new Error(`SDP negotiation failed: ${resp.status} ${await resp.text()}`);
+    const answer = await resp.text();
+    await this.pc.setRemoteDescription({ type: "answer", sdp: answer });
+    this.chat.status("WebRTC connected — speak!");
+  }
+
+  sendText(text) {
+    if (this.channel?.readyState !== "open") return;
+    this.channel.send(
+      JSON.stringify({
+        type: "conversation.item.create",
+        item: { type: "message", role: "user", content: [{ type: "input_text", text }] },
+      })
+    );
+    this.channel.send(JSON.stringify({ type: "response.create", response: {} }));
+  }
+
+  stop() {
+    this.mediaStream?.getTracks().forEach((t) => t.stop());
+    this.channel?.close();
+    this.pc?.close();
+    if (this.audioEl) this.audioEl.srcObject = null;
+  }
+}

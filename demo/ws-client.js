@@ -1,0 +1,109 @@
+/* WebSocket transport client (reference demo/ws/s2s-ws-client.js, trimmed):
+ * AudioWorklet mic capture -> input_audio_buffer.append; assistant audio
+ * deltas -> AudioWorklet ring-buffer playback with sample-accurate barge-in
+ * clear. */
+
+import { routeServerEvent } from "./chat.js";
+
+const RATE = 16000;
+
+function int16ToB64(int16) {
+  let bin = "";
+  for (let i = 0; i < int16.length; i++) {
+    const v = int16[i] & 0xffff;
+    bin += String.fromCharCode(v & 0xff, v >> 8);
+  }
+  return btoa(bin);
+}
+
+function b64ToInt16(b64) {
+  const raw = atob(b64);
+  const buf = new Int16Array(raw.length / 2);
+  for (let i = 0; i < buf.length; i++) {
+    buf[i] = ((raw.charCodeAt(2 * i) | (raw.charCodeAt(2 * i + 1) << 8)) << 16) >> 16;
+  }
+  return buf;
+}
+
+export class WSClient {
+  constructor(chat) {
+    this.chat = chat;
+    this.ws = null;
+    this.audioCtx = null;
+    this.mediaStream = null;
+    this.captureNode = null;
+    this.playbackNode = null;
+  }
+
+  async start(url, { instructions, voice } = {}) {
+    this.ws = new WebSocket(url);
+    this.ws.onmessage = (m) =>
+      routeServerEvent(JSON.parse(m.data), this.chat, {
+        onBargeIn: () => this.playbackNode?.port.postMessage({ clear: true }),
+        onAudioDelta: (b64) =>
+          this.playbackNode?.port.postMessage({ pcm: b64ToInt16(b64), rate: RATE }),
+      });
+    this.ws.onclose = () => this.chat.status("disconnected");
+    await new Promise((ok, bad) => {
+      this.ws.onopen = ok;
+      this.ws.onerror = bad;
+    });
+
+    this.audioCtx = new AudioContext();
+    await this.audioCtx.audioWorklet.addModule("worklets/capture.js");
+    await this.audioCtx.audioWorklet.addModule("worklets/playback.js");
+
+    this.playbackNode = new AudioWorkletNode(this.audioCtx, "s2s-playback");
+    this.playbackNode.connect(this.audioCtx.destination);
+
+    try {
+      this.mediaStream = await navigator.mediaDevices.getUserMedia({
+        audio: { channelCount: 1, echoCancellation: true, noiseSuppression: true },
+      });
+      const srcNode = this.audioCtx.createMediaStreamSource(this.mediaStream);
+      this.captureNode = new AudioWorkletNode(this.audioCtx, "s2s-capture");
+      srcNode.connect(this.captureNode);
+      this.captureNode.port.onmessage = (m) => {
+        if (this.ws?.readyState !== WebSocket.OPEN) return;
+        this.ws.send(
+          JSON.stringify({ type: "input_audio_buffer.append", audio: int16ToB64(m.data) })
+        );
+      };
+    } catch (e) {
+      this.chat.status("no microphone — text-only mode");
+    }
+
+    const session = {
+      type: "realtime",
+      audio: {
+        input: {
+          format: { type: "audio/pcm", rate: RATE },
+          turn_detection: { type: "server_vad", interrupt_response: true },
+        },
+        output: { format: { type: "audio/pcm", rate: RATE } },
+      },
+    };
+    if (instructions) session.instructions = instructions;
+    if (voice) session.audio.output.voice = voice;
+    this.ws.send(JSON.stringify({ type: "session.update", session }));
+  }
+
+  sendText(text) {
+    if (this.ws?.readyState !== WebSocket.OPEN) return;
+    this.ws.send(
+      JSON.stringify({
+        type: "conversation.item.create",
+        item: { type: "message", role: "user", content: [{ type: "input_text", text }] },
+      })
+    );
+    this.ws.send(JSON.stringify({ type: "response.create", response: {} }));
+  }
+
+  stop() {
+    this.captureNode?.disconnect();
+    this.mediaStream?.getTracks().forEach((t) => t.stop());
+    this.playbackNode?.port.postMessage({ clear: true });
+    this.audioCtx?.close();
+    if (this.ws && this.ws.readyState === WebSocket.OPEN) this.ws.close();
+  }
+}

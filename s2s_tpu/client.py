@@ -30,24 +30,51 @@ CHUNK_SAMPLES = 512
 
 
 class PlaybackBuffer:
-    """Accumulates assistant audio; cleared on barge-in."""
+    """Accumulates assistant audio; cleared on barge-in.  ``take()`` feeds
+    the speaker callback from the audio hardware thread (thread-safe)."""
 
     def __init__(self) -> None:
+        import threading
+
         self._chunks: list[np.ndarray] = []
-        self._lock = asyncio.Lock()
+        self._offset = 0
+        self._lock = threading.Lock()
 
     def append(self, pcm: np.ndarray) -> None:
-        self._chunks.append(pcm)
+        with self._lock:
+            self._chunks.append(np.asarray(pcm, np.int16))
 
-    def clear(self) -> None:
-        self._chunks.clear()
+    def clear(self) -> int:
+        with self._lock:
+            dropped = sum(len(c) for c in self._chunks) - self._offset
+            self._chunks.clear()
+            self._offset = 0
+            return max(0, dropped)
+
+    def take(self, n: int) -> np.ndarray:
+        """Exactly n samples, silence-padded when dry (speaker callback)."""
+        out = np.zeros(n, np.int16)
+        filled = 0
+        with self._lock:
+            while filled < n and self._chunks:
+                head = self._chunks[0]
+                take = min(len(head) - self._offset, n - filled)
+                out[filled : filled + take] = head[self._offset : self._offset + take]
+                filled += take
+                self._offset += take
+                if self._offset >= len(head):
+                    self._chunks.pop(0)
+                    self._offset = 0
+        return out
 
     def drain(self) -> np.ndarray:
-        if not self._chunks:
-            return np.zeros(0, np.int16)
-        out = np.concatenate(self._chunks)
-        self._chunks.clear()
-        return out
+        with self._lock:
+            if not self._chunks:
+                return np.zeros(0, np.int16)
+            out = np.concatenate(self._chunks)[self._offset :]
+            self._chunks.clear()
+            self._offset = 0
+            return out
 
 
 @dataclass
@@ -177,18 +204,162 @@ async def run_wav_client(
     return renderer
 
 
-def run_realtime_audio_client(args) -> None:
-    """``talk`` entry point: sounddevice when present, else WAV mode."""
-    try:
-        import sounddevice  # noqa: F401
+class SoundDeviceIO:
+    """Default live audio backend (mic/speaker callbacks on HW threads,
+    reference ``audio_client.py:325-470``).  Tests inject fakes with the
+    same two methods."""
 
-        raise NotImplementedError(
-            "sounddevice live mode not wired in this build; use --input_wav/--output_wav"
+    def __init__(self) -> None:
+        import sounddevice
+
+        self._sd = sounddevice
+
+    def open_input(self, rate: int, blocksize: int, callback):
+        """callback(int16 ndarray) per block; returns a started stream with
+        ``.stop()``/``.close()``."""
+
+        def cb(indata, frames, time_info, status):  # audio HW thread
+            if status:
+                logger.debug("mic status: %s", status)
+            callback(np.frombuffer(bytes(indata), np.int16))
+
+        stream = self._sd.RawInputStream(
+            samplerate=rate, blocksize=blocksize, channels=1, dtype="int16", callback=cb
         )
-    except ImportError:
-        pass
+        stream.start()
+        return stream
+
+    def open_output(self, rate: int, blocksize: int, fill):
+        """fill(n) -> int16 ndarray; returns a started stream."""
+
+        def cb(outdata, frames, time_info, status):  # audio HW thread
+            outdata[:] = fill(frames).tobytes()
+
+        stream = self._sd.RawOutputStream(
+            samplerate=rate, blocksize=blocksize, channels=1, dtype="int16", callback=cb
+        )
+        stream.start()
+        return stream
+
+
+async def run_live_client(
+    url: str,
+    *,
+    instructions: Optional[str] = None,
+    voice: Optional[str] = None,
+    sample_rate: int = 16000,
+    audio_io=None,
+    stop_event=None,
+    connect_retry_s: float = 10.0,
+) -> TranscriptRenderer:
+    """Live mic/speaker session: mic blocks -> bounded queue (drop on full)
+    -> ``input_audio_buffer.append``; ``response.output_audio.delta`` ->
+    PlaybackBuffer -> speaker; ``speech_started`` clears unplayed playback
+    (barge-in echo cut)."""
+    import queue as _queue
+
+    import websockets
+
+    audio_io = audio_io if audio_io is not None else SoundDeviceIO()
+    playback = PlaybackBuffer()
+    renderer = TranscriptRenderer()
+    mic_q: "_queue.Queue[np.ndarray]" = _queue.Queue(maxsize=64)
+
+    def on_mic(block: np.ndarray) -> None:
+        try:
+            mic_q.put_nowait(block)
+        except _queue.Full:  # drop oldest-style: drop this block
+            pass
+
+    deadline = time.monotonic() + connect_retry_s
+    ws = None
+    while True:
+        try:
+            ws = await websockets.connect(url)
+            break
+        except OSError:
+            if time.monotonic() >= deadline:
+                raise
+            await asyncio.sleep(0.5)
+
+    mic_stream = audio_io.open_input(sample_rate, CHUNK_SAMPLES, on_mic)
+    spk_stream = audio_io.open_output(sample_rate, CHUNK_SAMPLES, playback.take)
+    try:
+        await ws.send(json.dumps(build_session_update(instructions, voice, sample_rate)))
+
+        async def sender() -> None:
+            while stop_event is None or not stop_event.is_set():
+                try:
+                    block = await asyncio.to_thread(mic_q.get, True, 0.1)
+                except _queue.Empty:
+                    continue
+                await ws.send(json.dumps({
+                    "type": "input_audio_buffer.append",
+                    "audio": base64.b64encode(block.tobytes()).decode(),
+                }))
+
+        send_task = asyncio.create_task(sender())
+        try:
+            while stop_event is None or not stop_event.is_set():
+                try:
+                    raw = await asyncio.wait_for(ws.recv(), timeout=0.2)
+                except asyncio.TimeoutError:
+                    continue
+                except Exception:
+                    break
+                event = json.loads(raw)
+                etype = event.get("type")
+                if etype == "response.output_audio.delta":
+                    playback.append(np.frombuffer(base64.b64decode(event["delta"]), np.int16))
+                elif etype == "input_audio_buffer.speech_started":
+                    dropped = playback.clear()
+                    if dropped:
+                        logger.debug("barge-in: cleared %d unplayed samples", dropped)
+                elif etype == "conversation.item.input_audio_transcription.delta":
+                    renderer.on_user_partial(event["delta"])
+                elif etype == "conversation.item.input_audio_transcription.completed":
+                    renderer.on_user_final(event["transcript"])
+                elif etype == "response.output_audio_transcript.delta":
+                    renderer.on_assistant(event["delta"])
+        finally:
+            send_task.cancel()
+            try:
+                await send_task
+            except (asyncio.CancelledError, Exception):  # noqa: BLE001
+                pass
+    finally:
+        for stream in (mic_stream, spk_stream):
+            for meth in ("stop", "close"):
+                try:
+                    getattr(stream, meth)()
+                except Exception:  # noqa: BLE001
+                    pass
+        try:
+            await ws.close()
+        except Exception:  # noqa: BLE001
+            pass
+    return renderer
+
+
+def run_realtime_audio_client(args) -> None:
+    """``talk`` entry point: sounddevice live mode when present (and no
+    --input_wav given), else headless WAV mode."""
     if not args.input_wav:
-        raise SystemExit("No sounddevice available: provide --input_wav (and optionally --output_wav)")
+        try:
+            import sounddevice  # noqa: F401
+        except ImportError:
+            raise SystemExit(
+                "No sounddevice available: provide --input_wav (and optionally --output_wav)"
+            ) from None
+        asyncio.run(
+            run_live_client(
+                args.url,
+                instructions=args.instructions,
+                voice=args.voice,
+                sample_rate=args.sample_rate,
+            )
+        )
+        return
     renderer = asyncio.run(
         run_wav_client(
             args.url,
