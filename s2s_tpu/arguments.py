@@ -67,6 +67,7 @@ class VADArgs:
     short_segment_merge_ms: int = 0
     smart_turn: bool = True
     smart_turn_threshold: float = 0.5
+    smart_turn_checkpoint: Optional[str] = None  # converted whisper-encoder+head npz
     smart_turn_max_wait_ms: int = 2000
     smart_turn_incomplete_delay_ms: int = 600
 

@@ -85,6 +85,7 @@ def build_pipeline_unit(
             short_segment_merge_ms=args.vad.short_segment_merge_ms,
             smart_turn=args.vad.smart_turn,
             smart_turn_threshold=args.vad.smart_turn_threshold,
+            smart_turn_checkpoint=args.vad.smart_turn_checkpoint,
             smart_turn_max_wait_ms=args.vad.smart_turn_max_wait_ms,
             smart_turn_incomplete_delay_ms=args.vad.smart_turn_incomplete_delay_ms,
         ),

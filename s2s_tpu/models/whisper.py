@@ -344,9 +344,10 @@ def detect_language_logits(params, cfg: WhisperConfig, encoded):
 # ── HF checkpoint conversion ─────────────────────────────────────────
 
 
-def convert_hf_state_dict(sd: dict[str, Any], cfg: WhisperConfig) -> Params:
+def convert_hf_state_dict(sd: dict[str, Any], cfg: WhisperConfig, encoder_only: bool = False) -> Params:
     """Map transformers ``WhisperForConditionalGeneration`` weights onto our
-    pytree (``model.encoder.conv1.weight`` is (d, n_mels, 3) -> (3, n_mels, d))."""
+    pytree (``model.encoder.conv1.weight`` is (d, n_mels, 3) -> (3, n_mels, d)).
+    ``encoder_only`` skips the decoder side (Smart-Turn classifiers)."""
     dt = cfg.dtype
 
     def arr(name):
@@ -379,7 +380,7 @@ def convert_hf_state_dict(sd: dict[str, Any], cfg: WhisperConfig) -> Params:
             p["xattn"] = attn(prefix + "encoder_attn.")
         return p
 
-    return {
+    params = {
         "conv1_w": jnp.asarray(np.asarray(sd["model.encoder.conv1.weight"]).transpose(2, 1, 0), dt),
         "conv1_b": arr("model.encoder.conv1.bias"),
         "conv2_w": jnp.asarray(np.asarray(sd["model.encoder.conv2.weight"]).transpose(2, 1, 0), dt),
@@ -388,9 +389,13 @@ def convert_hf_state_dict(sd: dict[str, Any], cfg: WhisperConfig) -> Params:
         "enc_blocks": stack_layers([block(f"model.encoder.layers.{i}.", False) for i in range(cfg.n_enc_layers)]),
         "enc_ln_w": arr("model.encoder.layer_norm.weight"),
         "enc_ln_b": arr("model.encoder.layer_norm.bias"),
-        "tok_emb": arr("model.decoder.embed_tokens.weight"),
-        "dec_pos": arr("model.decoder.embed_positions.weight"),
-        "dec_blocks": stack_layers([block(f"model.decoder.layers.{i}.", True) for i in range(cfg.n_dec_layers)]),
-        "dec_ln_w": arr("model.decoder.layer_norm.weight"),
-        "dec_ln_b": arr("model.decoder.layer_norm.bias"),
     }
+    if not encoder_only:
+        params.update({
+            "tok_emb": arr("model.decoder.embed_tokens.weight"),
+            "dec_pos": arr("model.decoder.embed_positions.weight"),
+            "dec_blocks": stack_layers([block(f"model.decoder.layers.{i}.", True) for i in range(cfg.n_dec_layers)]),
+            "dec_ln_w": arr("model.decoder.layer_norm.weight"),
+            "dec_ln_b": arr("model.decoder.layer_norm.bias"),
+        })
+    return params

@@ -184,6 +184,7 @@ class VADHandler(BaseHandler):
         smart_turn_incomplete_delay_ms: int = 600,
         model: Callable[..., float] | None = None,
         smart_turn_analyzer: Any | None = None,
+        smart_turn_checkpoint: str | None = None,
         enhancer: Callable[[np.ndarray], np.ndarray] | None = None,
     ) -> None:
         self.should_listen = should_listen
@@ -207,9 +208,12 @@ class VADHandler(BaseHandler):
                 raise ValueError("smart_turn_max_wait_ms must be > 0")
             if smart_turn_incomplete_delay_ms < 0:
                 raise ValueError("smart_turn_incomplete_delay_ms must be >= 0")
-            from s2s_tpu.vad.smart_turn import SmartTurnAnalyzer
+            from s2s_tpu.vad.smart_turn import SmartTurnAnalyzer, load_checkpoint
 
-            smart_turn_analyzer = SmartTurnAnalyzer(threshold=smart_turn_threshold)
+            params = load_checkpoint(smart_turn_checkpoint) if smart_turn_checkpoint else None
+            smart_turn_analyzer = SmartTurnAnalyzer(
+                threshold=smart_turn_threshold, encoder_params=params
+            )
         self.smart_turn_analyzer = smart_turn_analyzer if smart_turn else None
 
         self.unanswered_reopen_ms = max(

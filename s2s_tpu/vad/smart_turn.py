@@ -63,23 +63,33 @@ class SmartTurnAnalyzer:
             return
         cfg = config or whisper.WhisperConfig.tiny()
         key = jax.random.PRNGKey(seed)
-        params = encoder_params or whisper.init_params(key, cfg)
-        head_w = (jax.random.normal(jax.random.PRNGKey(seed + 1), (cfg.d_model, 1), jnp.float32)
-                  * cfg.d_model ** -0.5)
+        if encoder_params is not None and "head" in encoder_params:
+            params = encoder_params
+        else:
+            enc = encoder_params or whisper.init_params(key, cfg)
+            params = {
+                **enc,
+                "head": {
+                    "w": (jax.random.normal(jax.random.PRNGKey(seed + 1), (cfg.d_model, 1),
+                                            jnp.float32) * cfg.d_model ** -0.5),
+                    "b": jnp.zeros((1,), jnp.float32),
+                },
+            }
 
         from functools import partial as _partial
 
         # params passed explicitly — never captured in the jit (remote-compile
         # payload would embed the weights as constants)
         @_partial(jax.jit, static_argnums=(1,))
-        def run(p, c, head, mel):
+        def run(p, c, mel):
             enc = whisper.encode(p, c, mel)  # (1, T, d)
             pooled = jnp.mean(enc.astype(jnp.float32), axis=1)
-            return jax.nn.sigmoid(pooled @ head)[0, 0]
+            logit = pooled @ p["head"]["w"].astype(jnp.float32) + p["head"]["b"]
+            return jax.nn.sigmoid(logit)[0, 0]
 
         def predict(audio: np.ndarray) -> float:
             mel = log_mel_spectrogram(audio, cfg.n_mels)[None]  # (1, n_mels, T)
-            return float(run(params, cfg, head_w, mel))
+            return float(run(params, cfg, mel))
 
         self._predict = predict
 
@@ -88,3 +98,42 @@ class SmartTurnAnalyzer:
         prob = float(self._predict(prepare_audio(audio, sample_rate)))
         ms = (time.perf_counter() - t0) * 1000.0
         return SmartTurnResult(complete=prob > self.threshold, probability=prob, inference_ms=ms)
+
+
+def convert_state_dict(sd: dict, cfg: whisper.WhisperConfig | None = None) -> Params:
+    """Smart-Turn checkpoint -> param pytree: a Whisper ENCODER (HF naming,
+    ``model.encoder.*`` / ``encoder.*``) plus a ``classifier.{weight,bias}``
+    linear head over the mean-pooled encoder output.
+
+    The released ``smart-turn-v3`` ships as ONNX (reference
+    ``VAD/smart_turn.py:20-24``); extract a torch state dict from the
+    training repo (whisper encoder + linear head) and convert with
+    ``scripts/convert_checkpoint.py --family smart-turn``.
+    """
+    import numpy as np
+
+    cfg = cfg or whisper.WhisperConfig.tiny()
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    enc_sd = {}
+    for k, v in sd.items():
+        if k.startswith("encoder."):
+            enc_sd["model." + k] = v
+        elif k.startswith("model.encoder."):
+            enc_sd[k] = v
+    # decoder side unused: satisfy the converter with empty tensors
+    params = whisper.convert_hf_state_dict(enc_sd, cfg, encoder_only=True)
+    head_w = sd.get("classifier.weight")
+    if head_w is None:
+        raise KeyError("classifier.weight missing from smart-turn state dict")
+    params["head"] = {
+        "w": jnp.asarray(head_w.T, jnp.float32),  # torch (1, d) -> (d, 1)
+        "b": jnp.asarray(sd.get("classifier.bias", np.zeros(1)), jnp.float32),
+    }
+    return params
+
+
+def load_checkpoint(path: str) -> Params:
+    """Load a converted Smart-Turn .npz (see ``convert_state_dict``)."""
+    from s2s_tpu.registry import _load_checkpoint
+
+    return _load_checkpoint(path)

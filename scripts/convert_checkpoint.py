@@ -53,7 +53,7 @@ def main() -> None:
                         choices=["smollm2-1.7b", "smollm2-360m", "whisper-tiny", "whisper-base",
                                  "whisper-small", "whisper-large-v3", "distil-large-v3", "silero-vad",
                                  "parakeet-tdt-0.6b-v2", "parakeet-tdt-0.6b-v3",
-                                 "qwen3-tts-12hz-1.7b"])
+                                 "qwen3-tts-12hz-1.7b", "smart-turn"])
     parser.add_argument("--pred-layers", type=int, default=1,
                         help="parakeet prediction-network LSTM layers (per the checkpoint)")
     parser.add_argument("--src", required=True)
@@ -84,6 +84,10 @@ def main() -> None:
         from s2s_tpu.models import qwen3_tts
 
         params = qwen3_tts.convert_state_dict(sd, qwen3_tts.Qwen3TTSConfig.qwen3_tts_12hz_1_7b())
+    elif args.family == "smart-turn":
+        from s2s_tpu.vad import smart_turn
+
+        params = smart_turn.convert_state_dict(sd)
     elif args.family == "silero-vad":
         from s2s_tpu.models.silero_vad import convert_silero_state_dict
 

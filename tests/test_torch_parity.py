@@ -228,3 +228,34 @@ def test_decoder_lm_matches_torch_llama():
     assert np.array_equal(
         np.argmax(np.asarray(logits), -1), np.argmax(io["logits"], -1)
     )
+
+
+def test_smart_turn_converter_and_head():
+    """Smart-Turn weights path: whisper-ENCODER keys + classifier head
+    convert and reproduce sigmoid(mean-pool(enc) @ head) against the torch
+    encoder golden."""
+    import numpy as np
+
+    from s2s_tpu.models import whisper
+    from s2s_tpu.vad import smart_turn
+
+    sd, io = load_fixture(WHISPER_FIXTURE)
+    rng = np.random.RandomState(0)
+    st_sd = {k: v for k, v in sd.items() if ".encoder." in k}
+    st_sd["classifier.weight"] = rng.randn(1, 64).astype(np.float32) * 0.1
+    st_sd["classifier.bias"] = np.asarray([0.2], np.float32)
+
+    cfg = whisper.WhisperConfig(
+        n_mels=80, n_audio_ctx=64, d_model=64, n_heads=4,
+        n_enc_layers=2, n_dec_layers=2, vocab_size=1024, n_text_ctx=32,
+        dtype=jnp.float32,
+    )
+    params = smart_turn.convert_state_dict(st_sd, cfg)
+    assert "head" in params and "tok_emb" not in params  # encoder-only
+
+    enc = whisper.encode(params, cfg, jnp.asarray(io["mel"]))
+    pooled = np.asarray(enc).mean(axis=1)
+    got = 1.0 / (1.0 + np.exp(-(pooled @ np.asarray(params["head"]["w"]) + np.asarray(params["head"]["b"]))))
+    want_pooled = io["enc_out"].mean(axis=1)
+    want = 1.0 / (1.0 + np.exp(-(want_pooled @ st_sd["classifier.weight"].T + st_sd["classifier.bias"])))
+    np.testing.assert_allclose(got, want, atol=1e-4)
