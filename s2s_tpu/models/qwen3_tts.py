@@ -536,15 +536,15 @@ class Qwen3TTS:
         seed: int = 0,
         chunk_frames: int = DEFAULT_CHUNK_FRAMES,
         context_frames: int = VOCODER_CONTEXT_FRAMES,
-        ramp_chunks: tuple[int, ...] = (2, 4),
+        ramp_chunks: tuple[int, ...] = (1, 2, 4),
     ) -> None:
         self.cfg = cfg or Qwen3TTSConfig()
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), self.cfg)
         self.chunk_frames = chunk_frames
         self.context_frames = context_frames
-        #: TTFA ramp: the first chunks are small (2 frames = 160 ms of audio
-        #: at ~1/4 the compute of a full chunk) so speech starts sooner, then
-        #: chunk size grows to ``chunk_frames`` for steady-state efficiency.
+        #: TTFA ramp: the first chunk is 1 frame (80 ms of audio at ~1/8 the
+        #: compute of a full chunk) so speech starts sooner, then chunk size
+        #: grows to ``chunk_frames`` for steady-state efficiency.
         self.ramp_chunks = tuple(min(c, chunk_frames) for c in ramp_chunks)
 
     @property
