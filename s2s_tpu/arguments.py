@@ -37,6 +37,7 @@ class ModuleArgs:
     enable_llm_proxy: bool = False
     num_pipelines: int = 1
     log_level: str = "info"
+    profile_dir: Optional[str] = None  # jax profiler trace output (TensorBoard)
 
 
 @dataclass

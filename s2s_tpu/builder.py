@@ -158,6 +158,10 @@ def build_pipeline(args: ParsedArguments, stop_event: threading.Event) -> tuple[
         webrtc_ice_servers=[u.strip() for u in ice.split(",")] if ice else None,
     )
     all_handlers: list[Any] = [h for unit in pool for h in unit.handlers]
+    if args.module.profile_dir:
+        from s2s_tpu.runtime.profiler import ProfilerHandler
+
+        all_handlers.append(ProfilerHandler(stop_event, args.module.profile_dir))
     all_handlers.append(server)
     manager = ThreadManager(all_handlers)
     return manager, server
