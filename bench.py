@@ -132,6 +132,24 @@ def build_llm():
         _ = np.asarray(toks)  # value fetch = true sync
         return time.perf_counter() - t0
 
+    def int8_turn(n_tokens: int) -> float:
+        from s2s_tpu.ops.quant import quantize_tree
+
+        qparams = jax.jit(quantize_tree)(params)
+        jax.block_until_ready(qparams)
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            state = decoder_lm.init_decode_state(cfg, 1, max_t=cache_len)
+            logits, state = decoder_lm.jit_prefill(qparams, cfg, prompt, state, PROMPT_BUCKET)
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            toks, _f, _t, state = decoder_lm.jit_decode_chunk(qparams, cfg, token, state, n_tokens, 0)
+            _ = np.asarray(toks)
+            return time.perf_counter() - t0
+
+        run()  # warm
+        return min(run() for _ in range(3))
+
     turn(FIRST_SENTENCE_TOKENS)  # warm both programs
     turn(REPLY_TOKENS)
 
@@ -161,7 +179,7 @@ def build_llm():
         _ = np.asarray(toks)
         return time.perf_counter() - t0
 
-    return turn, batched_chunk, params
+    return turn, batched_chunk, int8_turn, params
 
 
 def build_tts():
@@ -186,9 +204,45 @@ def build_tts():
         tts.synthesize(text, max_frames=n_frames)
         return time.perf_counter() - t0
 
+    def batched(n_slots: int, out_seconds: float) -> float:
+        """Aggregate synthesis throughput: n_slots sessions' frames decode +
+        vocode through ONE fused program per chunk."""
+        import jax.numpy as jnp
+
+        from s2s_tpu.parallel import batched_decode as bd
+
+        n_frames = int(out_seconds * qwen3_tts.FRAMES_PER_SECOND)
+        tokens, _ = tts._encode_text(text)
+        spk = params["speakers"][jnp.asarray([0])]
+
+        def run() -> float:
+            state = bd.init_multi_state(cfg.lm, n_slots, max_t=512)
+            t0 = time.perf_counter()
+            embeds = []
+            for s in range(n_slots):
+                bos, state = qwen3_tts.jit_prefill_tts_slot(
+                    params, cfg, tokens, spk, state, jnp.asarray(s, jnp.int32)
+                )
+                embeds.append(bos)
+            embeds = jnp.stack(embeds)
+            contexts = jnp.zeros((n_slots, 8, cfg.n_q), jnp.int32)
+            active = jnp.ones((n_slots,), bool)
+            done = 0
+            while done < n_frames:
+                n = min(TTS_CHUNK_FRAMES, n_frames - done)
+                audio, _eos, embeds, state, contexts = qwen3_tts.jit_decode_chunk_audio_multi(
+                    params, cfg, embeds, state, contexts, n, active
+                )
+                _ = np.asarray(audio[:, :8])  # per-chunk host sync (streaming shape)
+                done += n
+            return time.perf_counter() - t0
+
+        run()  # warm
+        return min(run() for _ in range(2))
+
     first_chunk()  # warm streaming programs
     full(OUT_SECONDS)  # warm one-shot program
-    return first_chunk, full, params
+    return first_chunk, full, batched, params
 
 
 def main() -> None:
@@ -201,12 +255,16 @@ def main() -> None:
     stt_final, _ = build_stt(2.0, params=stt_params)
     gc.collect()
 
-    llm_turn, llm_batched, _llm_params = build_llm()
+    llm_turn, llm_batched, llm_int8, _llm_params = build_llm()
     t_llm = min(llm_turn(REPLY_TOKENS) for _ in range(3))
+    t_llm_b4 = min(llm_batched(4) for _ in range(3))
     t_llm_b8 = min(llm_batched(8) for _ in range(3))
+    t_llm_q = llm_int8(REPLY_TOKENS)
 
-    tts_first, tts_full, _tts_params = build_tts()
+    tts_first, tts_full, tts_batched, _tts_params = build_tts()
     t_tts = min(tts_full(OUT_SECONDS) for _ in range(3))
+    t_tts_b4 = tts_batched(4, OUT_SECONDS)
+    t_tts_b8 = tts_batched(8, OUT_SECONDS)
 
     # voice-to-voice latency chain at real sizes, all models resident
     def one_turn() -> float:
@@ -235,8 +293,22 @@ def main() -> None:
             "llm_s": round(t_llm, 4),
             "llm_tokens_per_s": round(REPLY_TOKENS / t_llm, 1),
             "llm_tokens_per_s_batch8": round(8 * REPLY_TOKENS / t_llm_b8, 1),
+            "llm_tokens_per_s_int8": round(REPLY_TOKENS / t_llm_q, 1),
             "tts_s": round(t_tts, 4),
+            "tts_rtf_batch4": round(4 * OUT_SECONDS / t_tts_b4, 2),
+            "tts_rtf_batch8": round(8 * OUT_SECONDS / t_tts_b8, 2),
             "audio_s": IN_SECONDS + OUT_SECONDS,
+            # aggregate serving RTFx: N concurrent sessions, batched LLM+TTS
+            "aggregate_rtfx_batch4": round(
+                4 * (IN_SECONDS + OUT_SECONDS)
+                / (t_vad * 4 + t_stt * 4 + t_llm_b4 + t_tts_b4),
+                2,
+            ),
+            "aggregate_rtfx_batch8": round(
+                8 * (IN_SECONDS + OUT_SECONDS)
+                / (t_vad * 8 + t_stt * 8 + t_llm_b8 + t_tts_b8),
+                2,
+            ),
             "voice_to_voice_p50_s": round(v2v_p50, 4),
             "voice_to_voice_p95_s": round(v2v_p95, 4),
             "voice_to_voice_turns": V2V_TURNS,

@@ -134,6 +134,7 @@ class LocalLLMArgs:
     #: cross-session batched decode slots over ONE weight set (the TPU
     #: replacement for the reference's N model copies); 0/1 = single-session
     batched_slots: int = 4
+    quantize: Optional[str] = None  # int8 weight-only decode (halves HBM reads)
     gen_kwargs: dict[str, Any] = field(default_factory=dict)
 
 
@@ -150,6 +151,8 @@ class Qwen3TTSArgs:
     max_new_tokens: int = 1024
     checkpoint: Optional[str] = None
     blocksize: int = 512
+    #: cross-session batched synthesis slots over ONE weight set; 0/1 = single
+    batched_slots: int = 0
 
 
 @dataclass

@@ -120,6 +120,10 @@ def length_mask(tk: int, valid_len) -> jax.Array:
 
 
 def linear(x, w, b=None):
+    if type(w).__name__ == "QuantWeight":  # int8 weight-only path (ops.quant)
+        from s2s_tpu.ops.quant import quantized_linear
+
+        return quantized_linear(x, w, b)
     out = jnp.einsum("...d,df->...f", x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         out = out + b

@@ -35,7 +35,7 @@ every jit (never captured — see repo memory on remote-compile payloads).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Iterator, NamedTuple
 
 import jax
@@ -349,6 +349,22 @@ def _c2w_transformer(params, cfg: Code2WavConfig, x):
     return rms_norm(x, params["final_norm"], cfg.rms_eps)
 
 
+@lru_cache(maxsize=8)
+def c2w_deficit(cfg: Code2WavConfig) -> int:
+    """Samples the causal trans-conv trims eat per vocoder call:
+    ``len(wav(T)) == T * total_upsample - deficit`` (constant in T).
+    Streaming chunks trim ``context*upsample - deficit`` so every chunk
+    delivers exactly ``n*upsample`` samples with no boundary gaps."""
+    t = 8
+    length = t
+    for r in cfg.upsampling_ratios:
+        length = length * r  # k == s: exact
+    length = length  # dec_in conv: length-preserving
+    for r in cfg.upsample_rates:
+        length = (length - 1) * r  # trans conv k=2r, s=r, trim r each side
+    return t * cfg.total_upsample - length
+
+
 def code2wav(params, cfg: Code2WavConfig, codes):
     """codes: (B, n_q, T) int32 -> waveform (B, T') float32 @ 24 kHz.
 
@@ -464,7 +480,9 @@ def decode_chunk_audio(params, cfg: Qwen3TTSConfig, state: TalkerState, context,
     state, (frames, eos_flags) = jax.lax.scan(body, state, None, length=n_frames)
     full = jnp.concatenate([context, frames], axis=0)  # (C + n, n_q)
     wav = code2wav(params["c2w"], cfg.c2w, full.T[None])  # (1, T')
-    audio = wav[0, context.shape[0] * cfg.upsample :]
+    # deficit-shifted trim: exactly n_frames * upsample samples, gap-free
+    start = max(0, context.shape[0] * cfg.upsample - c2w_deficit(cfg.c2w))
+    audio = wav[0, start:]
     next_context = full[-context.shape[0] :] if context.shape[0] else full[:0]
     return audio, eos_flags, state, next_context
 
@@ -488,6 +506,78 @@ def synthesize_utterance(
     first_eos = jnp.argmax(eos_flags)
     n_valid = jnp.where(any_eos, first_eos + 1, max_frames)
     return audio, n_valid
+
+
+# ── cross-session batched decode (slots share the talker/cp/vocoder) ──
+
+
+def prompt_embeds(params, cfg: Qwen3TTSConfig, text_tokens, speaker_vec):
+    """[speaker, text...] prompt embeddings + length. text_tokens: (1, T)."""
+    text_emb = params["text_embed"][text_tokens]
+    prompt = jnp.concatenate([speaker_vec[:, None, :].astype(text_emb.dtype), text_emb], axis=1)
+    prompt_len = jnp.sum(text_tokens > 0, axis=1)[0] + 1
+    return prompt, prompt_len
+
+
+def prefill_tts_slot(params, cfg: Qwen3TTSConfig, text_tokens, speaker_vec, state, slot):
+    """Prefill one session slot of the batched talker state; returns
+    (bos embedding (D,) for the slot's first frame, new state)."""
+    from s2s_tpu.parallel import batched_decode as bd
+
+    prompt, prompt_len = prompt_embeds(params, cfg, text_tokens, speaker_vec)
+    state = bd.prefill_slot_embeds(params["talker"], cfg.lm, prompt, prompt_len, state, slot)
+    bos = params["talker"]["embed"][jnp.asarray(cfg.codec_bos_id, jnp.int32)]
+    return bos, state
+
+
+def _frame_step_multi(params, cfg: Qwen3TTSConfig, embeds, state, active):
+    """One codec frame for ALL active slots. embeds: (B, D) per-slot next
+    talker inputs.  Returns (codes (B, n_q), eos (B,), next embeds, state)."""
+    from s2s_tpu.parallel import batched_decode as bd
+
+    hidden, state = bd.hidden_step_multi(params["talker"], cfg.lm, embeds, state, active)
+    normed = rms_norm(hidden, params["talker"]["final_norm"], cfg.lm.rms_eps)
+    logits = normed.astype(jnp.float32) @ params["codec_head"].astype(jnp.float32)
+    code0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    eos = code0 == cfg.codec_eos_id
+    code0_cb = jnp.clip(code0, 0, cfg.codebook_size - 1)
+    codes, emb_sum = _cp_expand_frame(params, cfg, hidden, code0_cb)
+    next_embeds = emb_sum + params["pad_embed"][None, :]
+    next_embeds = jnp.where(active[:, None], next_embeds, embeds)
+    return codes, eos, next_embeds, state
+
+
+def decode_chunk_audio_multi(params, cfg: Qwen3TTSConfig, embeds, state, contexts, n_frames: int, active):
+    """Fused multi-session chunk decode + vocode: ONE device program serves
+    every active slot's next ``n_frames`` codec frames plus Code2Wav.
+
+    embeds: (B, D); contexts: (B, C, n_q); active: (B,) bool.
+    Returns (audio (B, T'), eos (n, B), next embeds, state, next contexts).
+    """
+
+    def body(carry, _):
+        emb, st = carry
+        codes, eos, emb, st = _frame_step_multi(params, cfg, emb, st, active)
+        return (emb, st), (codes, eos)
+
+    (embeds, state), (frames, eos_flags) = jax.lax.scan(
+        body, (embeds, state), None, length=n_frames
+    )
+    frames = frames.transpose(1, 0, 2)  # (B, n, n_q)
+    full = jnp.concatenate([contexts, frames], axis=1)  # (B, C + n, n_q)
+    wav = code2wav(params["c2w"], cfg.c2w, full.transpose(0, 2, 1))
+    # trim shifted left by the trans-conv deficit: each chunk delivers
+    # exactly n_frames * upsample samples, gap-free across boundaries
+    start = max(0, contexts.shape[1] * cfg.upsample - c2w_deficit(cfg.c2w))
+    audio = wav[:, start:]
+    next_contexts = full[:, -contexts.shape[1] :] if contexts.shape[1] else full[:, :0]
+    return audio, eos_flags, embeds, state, next_contexts
+
+
+jit_prefill_tts_slot = partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))(prefill_tts_slot)
+jit_decode_chunk_audio_multi = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
+    decode_chunk_audio_multi
+)
 
 
 # Explicit-params jits (never capture weights — see repo memory).

@@ -58,8 +58,13 @@ def _block_multi(x, lp, cfg: DecoderLMConfig, cache_k, cache_v, pos, cos_b, sin_
     """One block for a (B, 1, D) step with per-row positions."""
     b = x.shape[0]
     h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-    q = linear(h, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = linear(h, lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = linear(h, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+    k = linear(h, lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
     v = linear(h, lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     # per-row rope: cos_b/sin_b are (B, 1, hd/2)
     q = jax.vmap(lambda qq, c, s: apply_rope(qq[None], c, s)[0])(q, cos_b, sin_b)
@@ -74,14 +79,15 @@ def _block_multi(x, lp, cfg: DecoderLMConfig, cache_k, cache_v, pos, cos_b, sin_
     return x, cache_k, cache_v
 
 
-def decode_step_multi(params, cfg: DecoderLMConfig, tokens, state: MultiDecodeState, active=None):
-    """One batched step. tokens: (B,) int32; active: (B,) bool (idle rows keep
-    their state and produce garbage logits the scheduler ignores).
-    Returns (logits (B, V) float32, new state)."""
-    b = tokens.shape[0]
+def hidden_step_multi(params, cfg: DecoderLMConfig, embeds, state: MultiDecodeState, active=None):
+    """One batched step over precomputed EMBEDDINGS with per-row positions.
+    embeds: (B, D); active: (B,) bool (idle rows keep their state).
+    Returns (pre-final-norm hidden (B, D), new state) — callers apply their
+    own norm/head (the TTS talker path; token logits wrap this below)."""
+    b = embeds.shape[0]
     if active is None:
         active = jnp.ones((b,), bool)
-    x = params["embed"][tokens][:, None, :].astype(cfg.dtype)
+    x = embeds[:, None, :].astype(cfg.dtype)
     cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
     cos_b = cos_full[state.pos][:, None, :]  # (B, 1, hd/2)
     sin_b = sin_full[state.pos][:, None, :]
@@ -96,14 +102,23 @@ def decode_step_multi(params, cfg: DecoderLMConfig, tokens, state: MultiDecodeSt
         return h, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], state.caches.k, state.caches.v))
-    logits = _logits(x, params, cfg)[:, 0]
     keep = active[None, :, None, None, None]  # (1, B, 1, 1, 1) over (L, B, H, T, D)
     new_caches = KVCache(
         jnp.where(keep, new_k, state.caches.k),
         jnp.where(keep, new_v, state.caches.v),
     )
     new_pos = jnp.where(active, state.pos + 1, state.pos)
-    return logits, MultiDecodeState(new_caches, new_pos)
+    return x[:, 0], MultiDecodeState(new_caches, new_pos)
+
+
+def decode_step_multi(params, cfg: DecoderLMConfig, tokens, state: MultiDecodeState, active=None):
+    """One batched step. tokens: (B,) int32; active: (B,) bool (idle rows keep
+    their state and produce garbage logits the scheduler ignores).
+    Returns (logits (B, V) float32, new state)."""
+    embeds = params["embed"][tokens].astype(cfg.dtype)
+    hidden, state = hidden_step_multi(params, cfg, embeds, state, active)
+    logits = _logits(hidden[:, None, :], params, cfg)[:, 0]
+    return logits, state
 
 
 jit_decode_step_multi = partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))(decode_step_multi)
@@ -126,6 +141,20 @@ def prefill_slot(params, cfg: DecoderLMConfig, tokens, prompt_len, state: MultiD
     pos = state.pos.at[slot].set(jnp.asarray(prompt_len, jnp.int32))
     token = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
     return token, MultiDecodeState(KVCache(new_k, new_v), pos)
+
+
+def prefill_slot_embeds(params, cfg: DecoderLMConfig, embeds, prompt_len, state: MultiDecodeState, slot):
+    """Prefill ONE slot from precomputed prompt EMBEDDINGS (1, T, D) — the
+    TTS talker prompt is [speaker vec, text embeds].  Returns new state."""
+    from s2s_tpu.models import decoder_lm
+
+    max_t = state.caches.k.shape[3]
+    row = decoder_lm.init_decode_state(cfg, 1, max_t=max_t)
+    _, row = decoder_lm._hidden_prefill(params, cfg, embeds, row, prompt_len)
+    new_k = jax.lax.dynamic_update_slice(state.caches.k, row.caches.k, (0, slot, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(state.caches.v, row.caches.v, (0, slot, 0, 0, 0))
+    pos = state.pos.at[slot].set(jnp.asarray(prompt_len, jnp.int32))
+    return MultiDecodeState(KVCache(new_k, new_v), pos)
 
 
 def decode_chunk_multi(
@@ -159,6 +188,9 @@ def decode_chunk_multi(
 
 
 jit_prefill_slot = partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))(prefill_slot)
+jit_prefill_slot_embeds = partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))(
+    prefill_slot_embeds
+)
 jit_decode_chunk_multi = partial(jax.jit, static_argnums=(1, 4, 5), donate_argnums=(3,))(
     decode_chunk_multi
 )

@@ -199,6 +199,10 @@ def _make_local_llm(config, ctx: HandlerContext):
             if p is None:
                 logger.warning("local-jax LLM: random-init shared weights (no checkpoint)")
                 p = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+            if getattr(config, "quantize", None) == "int8":
+                from s2s_tpu.ops.quant import quantize_tree
+
+                p = quantize_tree(p)
             eos = tokenizer.eos_id if tokenizer is not None else 0
             engine = BatchedLMScheduler(
                 p, cfg, n_slots=config.batched_slots,
@@ -211,6 +215,10 @@ def _make_local_llm(config, ctx: HandlerContext):
         )
     else:
         params = _load_checkpoint(config.checkpoint)
+        if params is not None and getattr(config, "quantize", None) == "int8":
+            from s2s_tpu.ops.quant import quantize_tree
+
+            params = quantize_tree(params)
     return LocalJAXLLMHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,
         setup_kwargs=dict(
@@ -265,6 +273,18 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
             chunk_frames=config.streaming_chunk_size,
         ),
     )
+    shared_tts = None
+    if getattr(config, "batched_slots", 0) and config.batched_slots > 1:
+        from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler
+
+        shared_tts = ctx.model_cache.get(
+            ("qwen3_tts_batched", config.model_size, config.checkpoint, config.batched_slots),
+            lambda: BatchedTTSScheduler(
+                model.params, cfg, n_slots=config.batched_slots,
+                max_t=min(cfg.lm.max_seq_len, 2048),
+                chunk_frames=config.streaming_chunk_size,
+            ),
+        )
     speaker_vec = load_speaker_file(config.ref_spk) if config.ref_spk else None
     ref_audio = None
     if config.ref_audio:
@@ -288,6 +308,7 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
             voice_instruct=config.voice_instruct,
             ref_audio=ref_audio,
             speaker_vec=speaker_vec,
+            shared_tts=shared_tts,
             streaming_chunk_size=config.streaming_chunk_size,
             max_new_tokens=config.max_new_tokens,
             blocksize=config.blocksize,

@@ -86,6 +86,7 @@ class Qwen3TTSHandler(BaseTTSHandler):
         synthesize_fn=None,
         model=None,
         model_size: str = "1.7b",
+        shared_tts=None,
         warmup: bool = False,
     ) -> None:
         self.setup_base(
@@ -100,6 +101,8 @@ class Qwen3TTSHandler(BaseTTSHandler):
         self.streaming_chunk_size = streaming_chunk_size
         self.max_new_tokens = max_new_tokens
         self._synthesize_fn = synthesize_fn
+        #: cross-session batched synthesis engine (one per weight set)
+        self.shared_tts = shared_tts
         self._speaker_vec = speaker_vec  # precomputed .spk embedding (cached-reference mode)
         if synthesize_fn is None:
             if model is None:
@@ -134,15 +137,32 @@ class Qwen3TTSHandler(BaseTTSHandler):
             gen = self.cancel_scope.generation
             cancel = lambda: self.cancel_scope.is_stale(gen)  # noqa: E731
         mode = self._model_type()
+        speaker_vec = None
         if mode == "voice_clone":
-            yield from self.model.stream(
-                text, max_new_tokens=max_new, speaker_vec=self._speaker_vec, cancel_check=cancel
+            speaker_vec = self._speaker_vec
+        else:
+            if mode == "voice_design":
+                text = f"[{self.voice_instruct}] {text}"
+            voice = self._session_voice(runtime_config, response) or self.voice or PRESET_SPEAKERS[0]
+            speaker_id = _SPEAKER_IDS.get(str(voice).lower(), 0)
+        if self.shared_tts is not None:
+            # batched path: this utterance shares ONE dispatch stream with
+            # every other session's synthesis
+            import jax.numpy as jnp
+            import numpy as np
+
+            tokens, _ = self.model._encode_text(text)
+            if speaker_vec is None:
+                speaker_vec = self.model.params["speakers"][jnp.asarray([speaker_id])]
+            yield from self.shared_tts.stream(
+                np.asarray(tokens), speaker_vec, max_new, cancel_check=cancel
             )
             return
-        if mode == "voice_design":
-            text = f"[{self.voice_instruct}] {text}"
-        voice = self._session_voice(runtime_config, response) or self.voice or PRESET_SPEAKERS[0]
-        speaker_id = _SPEAKER_IDS.get(str(voice).lower(), 0)
+        if speaker_vec is not None:
+            yield from self.model.stream(
+                text, max_new_tokens=max_new, speaker_vec=speaker_vec, cancel_check=cancel
+            )
+            return
         yield from self.model.stream(
             text, max_new_tokens=max_new, speaker_id=speaker_id, cancel_check=cancel
         )

@@ -154,3 +154,134 @@ def test_slot_reuse_after_release(lm):
         assert second == serial_greedy(params, cfg, PROMPTS[1], 8, eos_id=0)
     finally:
         sched.shutdown()
+
+
+# ── batched TTS decode (talker + code predictor + vocoder, multi-slot) ─
+
+
+@pytest.fixture(scope="module")
+def tts():
+    from s2s_tpu.models import qwen3_tts
+
+    cfg = qwen3_tts.Qwen3TTSConfig.tiny()
+    params = qwen3_tts.init_params(jax.random.PRNGKey(0), cfg)
+    return qwen3_tts, cfg, params
+
+
+def _single_tts_chunks(qwen3_tts, cfg, params, text_tokens, speaker_vec, n_frames, ctx_frames=4):
+    state = decoder_lm.init_decode_state(cfg.lm, 1, max_t=128)
+    tstate = qwen3_tts.talker_prefill(params, cfg, text_tokens, speaker_vec, state)
+    context = jnp.zeros((ctx_frames, cfg.n_q), jnp.int32)
+    audio, eos, _state, _ctx = qwen3_tts.decode_chunk_audio(
+        params, cfg, tstate, context, n_frames
+    )
+    return np.asarray(audio), np.asarray(eos)
+
+
+def test_batched_tts_matches_single_sessions(tts):
+    """Two TTS sessions decoding through ONE fused multi-slot program must
+    produce the same audio as independent single-session decodes."""
+    qwen3_tts, cfg, params = tts
+    from s2s_tpu.parallel import batched_decode as bd
+
+    prompts = []
+    for seed, text in ((1, b"hello there"), (2, b"different words here")):
+        ids = np.zeros((1, 16), np.int32)
+        raw = [min(cfg.text_vocab - 1, max(1, c)) for c in text][:16]
+        ids[0, : len(raw)] = raw
+        spk = params["speakers"][jnp.asarray([seed % cfg.n_speakers])]
+        prompts.append((jnp.asarray(ids), spk))
+
+    n_frames, ctx = 6, 4
+    singles = [
+        _single_tts_chunks(qwen3_tts, cfg, params, t, s, n_frames, ctx) for t, s in prompts
+    ]
+
+    state = bd.init_multi_state(cfg.lm, 2, max_t=128)
+    embeds = []
+    for slot, (tokens, spk) in enumerate(prompts):
+        bos, state = qwen3_tts.prefill_tts_slot(
+            params, cfg, tokens, spk, state, jnp.asarray(slot, jnp.int32)
+        )
+        embeds.append(bos)
+    embeds = jnp.stack(embeds)
+    contexts = jnp.zeros((2, ctx, cfg.n_q), jnp.int32)
+    active = jnp.ones((2,), bool)
+    audio, eos, embeds, state, contexts = qwen3_tts.decode_chunk_audio_multi(
+        params, cfg, embeds, state, contexts, n_frames, active
+    )
+    audio = np.asarray(audio)
+    for b in range(2):
+        want_audio, want_eos = singles[b]
+        np.testing.assert_allclose(audio[b], want_audio, atol=2e-4)
+        assert np.array_equal(np.asarray(eos)[:, b], want_eos)
+
+
+def test_batched_tts_idle_slot_untouched(tts):
+    """Inactive slots keep their talker state (positions/caches frozen)."""
+    qwen3_tts, cfg, params = tts
+    from s2s_tpu.parallel import batched_decode as bd
+
+    state = bd.init_multi_state(cfg.lm, 2, max_t=128)
+    embeds = jnp.zeros((2, cfg.lm.d_model), cfg.lm.dtype)
+    contexts = jnp.zeros((2, 2, cfg.n_q), jnp.int32)
+    active = jnp.asarray([True, False])
+    _audio, _eos, _embeds, new_state, _ctx = qwen3_tts.decode_chunk_audio_multi(
+        params, cfg, embeds, state, contexts, 3, active
+    )
+    assert int(new_state.pos[0]) == 3
+    assert int(new_state.pos[1]) == 0
+
+
+def test_tts_scheduler_matches_single_stream(tts):
+    """The batched TTS scheduler's audio equals the single-session
+    Qwen3TTS.stream output (same ramp, same contexts) chunk-for-chunk."""
+    qwen3_tts, cfg, params = tts
+    from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler
+
+    single = qwen3_tts.Qwen3TTS(params=params, cfg=cfg, chunk_frames=8, context_frames=4)
+    text = "hello scheduler"
+    want = np.concatenate([c for c, _ in single.stream(text, max_new_tokens=8, speaker_id=1)])
+
+    sched = BatchedTTSScheduler(params, cfg, n_slots=2, max_t=128, context_frames=4)
+    tokens, _ = single._encode_text(text)
+    spk = params["speakers"][jnp.asarray([1])]
+    try:
+        got = np.concatenate([c for c, _ in sched.stream(np.asarray(tokens), spk, 8)])
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+    finally:
+        sched.shutdown()
+
+
+def test_tts_scheduler_concurrent_sessions(tts):
+    qwen3_tts, cfg, params = tts
+    from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler
+
+    # context >= the tiny config's sliding window (8) so vocoder output is
+    # chunk-boundary invariant: concurrent joins shift chunk groupings
+    single = qwen3_tts.Qwen3TTS(params=params, cfg=cfg, chunk_frames=8, context_frames=12)
+    texts = ["first session", "a second one"]
+    wants = [
+        np.concatenate([c for c, _ in single.stream(t, max_new_tokens=6, speaker_id=i)])
+        for i, t in enumerate(texts)
+    ]
+    sched = BatchedTTSScheduler(params, cfg, n_slots=2, max_t=128, context_frames=12)
+    results: dict[int, np.ndarray] = {}
+
+    def worker(i):
+        tokens, _ = single._encode_text(texts[i])
+        spk = params["speakers"][jnp.asarray([i])]
+        results[i] = np.concatenate([c for c, _ in sched.stream(np.asarray(tokens), spk, 6)])
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(2):
+            assert len(results[i]) == len(wants[i])  # gap-free: exactly n*upsample
+            np.testing.assert_allclose(results[i], wants[i], atol=2e-3)
+    finally:
+        sched.shutdown()

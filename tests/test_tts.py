@@ -265,3 +265,24 @@ def test_all_tts_backends_registered():
     from s2s_tpu.registry import TTS_BACKENDS
 
     assert set(TTS_BACKENDS) == {"qwen3", "kokoro", "facebookMMS", "pocket", "chatTTS"}
+
+
+def test_qwen3_handler_batched_shared_engine():
+    """Handler with a shared BatchedTTSScheduler streams through the fused
+    multi-slot path and produces audio chunks."""
+    from s2s_tpu.models.qwen3_tts import Qwen3TTS, Qwen3TTSConfig
+    from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler
+
+    model = Qwen3TTS(cfg=Qwen3TTSConfig.tiny(), chunk_frames=4)
+    sched = BatchedTTSScheduler(model.params, model.cfg, n_slots=2, max_t=128, context_frames=4)
+    handler = Qwen3TTSHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(model=model, shared_tts=sched, streaming_chunk_size=4, max_new_tokens=6),
+    )
+    try:
+        chunks = list(handler.process(tts_input("Hello there.")))
+        assert chunks and all(len(c) == 512 for c in chunks)
+        done = list(handler.process(EndOfResponse(turn_id="t1", turn_revision=0)))
+        assert done == [AUDIO_RESPONSE_DONE]
+    finally:
+        sched.shutdown()
