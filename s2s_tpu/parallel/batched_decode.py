@@ -102,13 +102,14 @@ def hidden_step_multi(params, cfg: DecoderLMConfig, embeds, state: MultiDecodeSt
         return h, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], state.caches.k, state.caches.v))
-    keep = active[None, :, None, None, None]  # (1, B, 1, 1, 1) over (L, B, H, T, D)
-    new_caches = KVCache(
-        jnp.where(keep, new_k, state.caches.k),
-        jnp.where(keep, new_v, state.caches.v),
-    )
+    # Idle rows (active=False) still wrote this step's k/v at their frozen
+    # ``pos`` — that entry is garbage but invisible: nothing reads a row
+    # while it is idle, and the row's next REAL step writes its true k/v at
+    # the same ``pos`` before attending.  Masking the caches with a full
+    # ``jnp.where`` copy instead costs ~3x the whole cache in HBM traffic
+    # per step at 1.7B scale, so we deliberately skip it.
     new_pos = jnp.where(active, state.pos + 1, state.pos)
-    return x[:, 0], MultiDecodeState(new_caches, new_pos)
+    return x[:, 0], MultiDecodeState(KVCache(new_k, new_v), new_pos)
 
 
 def decode_step_multi(params, cfg: DecoderLMConfig, tokens, state: MultiDecodeState, active=None):
