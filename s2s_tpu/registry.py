@@ -343,7 +343,9 @@ def _make_mms_tts(config, ctx: HandlerContext):
     from s2s_tpu.tts.mms_handler import MMSTTSHandler
 
     model = ctx.model_cache.get(
-        ("mms_vits", config.checkpoint), lambda: VitsTTS(params=_load_checkpoint(config.checkpoint))
+        ("mms_vits", config.checkpoint),
+        lambda: VitsTTS(params=_load_checkpoint(config.checkpoint),
+                        vocab=_load_vocab_sidecar(config.checkpoint)),
     )
     return MMSTTSHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,
@@ -410,6 +412,20 @@ def _make_chattts(config, ctx: HandlerContext):
             blocksize=config.blocksize,
         ),
     )
+
+
+def _load_vocab_sidecar(path: str | None):
+    """MMS per-language char vocab written by the converter next to the npz."""
+    if not path:
+        return None
+    import json
+    import os
+
+    sidecar = path + ".vocab.json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return json.load(f)
+    return None
 
 
 def _load_checkpoint(path: str | None):

@@ -45,9 +45,11 @@ class ChatTTSHandler(BaseTTSHandler):
                 logger.warning("ChatTTSHandler: random-init weights (no checkpoint provided)")
                 model = VitsTTS()
             self.model = model
-            rng = random.Random(seed)
-            # random speaker: pick a random conditioning row for this session
-            self._speaker_lang = rng.choice(list(range(self.model.cfg.n_languages)))
+            # "random speaker": a per-session noise seed sampled once — the
+            # VITS prior/duration noise is exactly what varies speaker
+            # character in ChatTTS's sampled-embedding scheme (reference
+            # TTS/chatTTS_handler.py draws rand_spk per session)
+            self._noise_seed = random.Random(seed).randrange(2**31)
             if warmup:
                 self.model.synthesize("Warm up.")
 
@@ -55,11 +57,10 @@ class ChatTTSHandler(BaseTTSHandler):
         if self._synthesize_fn is not None:
             yield from self._synthesize_fn(text, language)
             return
-        from s2s_tpu.models.vits import MMS_LANGUAGES
-
-        lang = MMS_LANGUAGES[self._speaker_lang % len(MMS_LANGUAGES)]
+        noise = dict(noise_scale=0.667, noise_scale_duration=0.8,
+                     noise_seed=self._noise_seed)
         if self.stream_mode:
-            yield from self.model.stream(text, language=lang)
+            yield from self.model.stream(text, language=language, **noise)
         else:
-            audio = self.model.synthesize(text, language=lang)
+            audio = self.model.synthesize(text, language=language, **noise)
             yield audio, 16000

@@ -1,8 +1,9 @@
 """Facebook-MMS-style TTS stage handler (reference
 ``TTS/facebookmms_handler.py``): per-language VITS voices, non-streaming
 synthesis then chunked emission.  The reference reloads a whole
-``facebook/mms-tts-<lang>`` model on language change; here the language is
-conditioning on one weight set (per-language checkpoints convert into rows)."""
+``facebook/mms-tts-<lang>`` model on language change; here per-language
+converted checkpoints register as parameter sets on one compiled program
+(``VitsTTS.add_language``) so a switch is a weight swap, not a reload."""
 
 from __future__ import annotations
 

@@ -53,7 +53,7 @@ def main() -> None:
                         choices=["smollm2-1.7b", "smollm2-360m", "whisper-tiny", "whisper-base",
                                  "whisper-small", "whisper-large-v3", "distil-large-v3", "silero-vad",
                                  "parakeet-tdt-0.6b-v2", "parakeet-tdt-0.6b-v3",
-                                 "qwen3-tts-12hz-1.7b", "smart-turn"])
+                                 "qwen3-tts-12hz-1.7b", "smart-turn", "mms-vits"])
     parser.add_argument("--pred-layers", type=int, default=1,
                         help="parakeet prediction-network LSTM layers (per the checkpoint)")
     parser.add_argument("--src", required=True)
@@ -84,6 +84,24 @@ def main() -> None:
         from s2s_tpu.models import qwen3_tts
 
         params = qwen3_tts.convert_state_dict(sd, qwen3_tts.Qwen3TTSConfig.qwen3_tts_12hz_1_7b())
+    elif args.family == "mms-vits":
+        import json
+        import os
+
+        from s2s_tpu.models import vits
+
+        sd = {k[5:] if k.startswith("vits.") else k: v for k, v in sd.items()}
+        vocab_size = sd["text_encoder.embed_tokens.weight"].shape[0]
+        from dataclasses import replace as _replace
+
+        params = vits.convert_hf_state_dict(sd, _replace(vits.VitsConfig(), vocab_size=vocab_size))
+        vocab_path = os.path.join(os.path.dirname(args.src) or ".", "vocab.json")
+        if os.path.exists(vocab_path):
+            with open(vocab_path) as f:
+                vocab = json.load(f)
+            with open(args.out + ".vocab.json", "w") as f:
+                json.dump(vocab, f, ensure_ascii=False)
+            print(f"wrote {args.out}.vocab.json ({len(vocab)} symbols)")
     elif args.family == "smart-turn":
         from s2s_tpu.vad import smart_turn
 

@@ -241,6 +241,46 @@ def make_parakeet_fixture(path: str = "tests/data/parakeet_parity.npz") -> None:
     )
 
 
+def make_vits_fixture(path: str = "tests/data/vits_parity.npz") -> None:
+    """Tiny transformers VitsModel (the real MMS architecture), deterministic
+    (noise scales 0), TWO exact-length batch-1 runs of different lengths —
+    the JAX test replays both through one padded bucket to prove the masked
+    bucketed execution is bit-identical to exact-length torch."""
+    from transformers import VitsConfig, VitsModel
+
+    torch.manual_seed(0)
+    cfg = VitsConfig(
+        vocab_size=40, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        window_size=4, ffn_dim=64, ffn_kernel_size=3, flow_size=8, spectrogram_bins=9,
+        depth_separable_num_layers=2, duration_predictor_num_flows=2,
+        prior_encoder_num_flows=2, prior_encoder_num_wavenet_layers=2,
+        posterior_encoder_num_wavenet_layers=1, wavenet_kernel_size=5,
+        upsample_rates=[4, 2], upsample_kernel_sizes=[8, 4], upsample_initial_channel=32,
+        resblock_kernel_sizes=[3, 7], resblock_dilation_sizes=[[1, 3], [1, 3]],
+        num_speakers=1, use_stochastic_duration_prediction=True,
+        sampling_rate=16000, hidden_act="relu",
+    )
+    model = VitsModel(cfg).eval()
+    model.noise_scale = 0.0
+    model.noise_scale_duration = 0.0
+
+    ids_a = torch.randint(1, 40, (1, 9), generator=torch.Generator().manual_seed(3))
+    ids_b = torch.randint(1, 40, (1, 6), generator=torch.Generator().manual_seed(4))
+    with torch.no_grad():
+        out_a = model(ids_a)
+        out_b = model(ids_b)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()
+          if not k.startswith("posterior_encoder.")}
+    np.savez_compressed(
+        path,
+        ids_a=ids_a.numpy(), ids_b=ids_b.numpy(),
+        wav_a=out_a.waveform.numpy(), wav_b=out_b.waveform.numpy(),
+        spec_a=out_a.spectrogram.numpy(), spec_b=out_b.spectrogram.numpy(),
+        len_a=out_a.sequence_lengths.numpy(), len_b=out_b.sequence_lengths.numpy(),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
 def make_qwen3tts_fixture(path: str = "tests/data/qwen3tts_parity.npz") -> None:
     """Tiny Qwen3-Omni Code2Wav vocoder + talker code predictor — the codec
     stack our Qwen3-TTS implements (same 12.5 Hz codec family)."""
@@ -315,4 +355,6 @@ if __name__ == "__main__":
         make_parakeet_fixture()
     if only in (None, "qwen3tts"):
         make_qwen3tts_fixture()
+    if only in (None, "vits"):
+        make_vits_fixture()
     print("fixtures written to tests/data/")

@@ -231,11 +231,19 @@ def test_vits_model_synthesizes():
 
     from s2s_tpu.models.vits import VitsConfig, VitsTTS
 
+    import jax
+
+    from s2s_tpu.models import vits as vits_mod
+
     tts = VitsTTS(cfg=VitsConfig.test_tiny())
     audio_en = tts.synthesize("Hello there.", language="en")
-    audio_fr = tts.synthesize("Hello there.", language="fr")
     assert len(audio_en) > 0 and np.all(np.isfinite(audio_en))
-    assert not np.array_equal(audio_en, audio_fr)  # language conditioning
+    # the real MMS ships one checkpoint per language: language switching is
+    # a per-language param set (reference TTS/facebookmms_handler.py reloads
+    # facebook/mms-tts-<lang> on change)
+    tts.add_language("fr", vits_mod.init_params(jax.random.PRNGKey(7), tts.cfg))
+    audio_fr = tts.synthesize("Hello there.", language="fr")
+    assert not np.array_equal(audio_en, audio_fr)
 
 
 def test_alternate_backends_registered():

@@ -213,6 +213,59 @@ def test_code_predictor_matches_torch():
     assert got_codes == list(io["cp_codes"]), (got_codes, list(io["cp_codes"]))
 
 
+VITS_FIXTURE = "tests/data/vits_parity.npz"
+
+
+def test_vits_matches_torch():
+    """Full MMS/VITS synthesis (rel-window text encoder, spline duration
+    flow in reverse, coupling flow, HiFi-GAN) vs transformers VitsModel at
+    noise 0.  Two different-length inputs run through ONE padded bucket —
+    the masked bucketed program must be bit-identical to torch's
+    exact-length execution."""
+    from s2s_tpu.models import vits
+
+    sd, io = load_fixture(VITS_FIXTURE)
+    cfg = vits.VitsConfig.test_tiny()
+    params = vits.convert_hf_state_dict(sd, cfg)
+
+    lens = {"a": io["ids_a"].shape[1], "b": io["ids_b"].shape[1]}
+    tokens = np.zeros((2, cfg.max_tokens), np.int32)
+    tokens[0, : lens["a"]] = io["ids_a"][0]
+    tokens[1, : lens["b"]] = io["ids_b"][0]
+    n_valid = jnp.asarray([lens["a"], lens["b"]], jnp.int32)
+
+    wav, n_samples = vits.synthesize(
+        params, cfg, jnp.asarray(tokens), n_valid, jnp.asarray(1.0)
+    )
+    wav = np.asarray(wav)
+    # torch sequence_lengths are already in samples (frames * upsample)
+    assert int(n_samples[0]) == int(io["len_a"][0])
+    assert int(n_samples[1]) == int(io["len_b"][0])
+    np.testing.assert_allclose(
+        wav[0, : int(n_samples[0])], io["wav_a"][0], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        wav[1, : int(n_samples[1])], io["wav_b"][0], atol=2e-4
+    )
+    # beyond each row's length the masked decoder emits exact zeros
+    assert np.all(wav[1, int(n_samples[1]) :] == 0.0)
+
+
+def test_vits_tokenizer_matches_reference_behavior():
+    """Lowercase + strip-out-of-vocab + blank interspersal
+    (transformers tokenization_vits.py:115-217)."""
+    from s2s_tpu.models.vits import VitsTokenizer
+
+    vocab = {c: i for i, c in enumerate("_abcdefghijklmnopqrstuvwxyz ", start=0)}
+    tok = VitsTokenizer(vocab)
+    ids = tok.encode("Hello, World!")
+    # "hello world" chars interspersed with blank 0
+    chars = "hello world"
+    want = [0] * (2 * len(chars) + 1)
+    want[1::2] = [vocab[c] for c in chars]
+    assert ids == want
+
+
 def test_decoder_lm_matches_torch_llama():
     from s2s_tpu.models import decoder_lm
 

@@ -253,7 +253,7 @@ def test_chattts_handler_random_speaker():
     model = VitsTTS(cfg=VitsConfig.test_tiny())
     # random weights synthesize near-silence (legitimately trimmed by the
     # handler); scale the output layer so the wiring is observable
-    model.params["voc_out"] = model.params["voc_out"] * 200.0
+    model.params["dec"]["post_w"] = model.params["dec"]["post_w"] * 200.0
     handler = ChatTTSHandler(
         threading.Event(), Queue(), Queue(), setup_kwargs=dict(model=model, seed=3)
     )
