@@ -11,8 +11,12 @@ local LLM, **Qwen3-TTS 12.5 Hz (1.7B talker)** — at full configuration
 4. TTS   — Qwen3-TTS prefill + frame loop (talker + 15-step MTP code
            predictor per frame) + Code2Wav vocoder for a 5 s reply.
 
-RTFx = (input audio + output audio seconds) / total compute seconds;
-baseline target >= 20x per chip => ``vs_baseline = RTFx / 20``.
+Headline = BASELINE.md's "aggregate RTFx per chip": 8 concurrent sessions
+share one weight set (int8 weight-only decode — the serving config);
+LLM/TTS decode through one batched dispatch stream, VAD/STT per session.
+RTFx = (input+output audio seconds x sessions) / compute seconds; target
+>= 20x per chip => ``vs_baseline = RTFx / 20``.  Single-session bf16 and
+int8 stage times are in ``detail``.
 
 voice_to_voice = speech-stop -> first audible chunk: STT final (2 s bucket)
 + LLM first sentence (12 tokens) + TTS first streamed chunk (8 codec frames
@@ -120,35 +124,27 @@ def build_llm():
     params = _device_init(lambda k: decoder_lm.init_params(k, cfg), jax.random.PRNGKey(0))
     prompt = jnp.ones((1, PROMPT_BUCKET), jnp.int32)
     cache_len = 512
+    holder = {"params": params}
 
     def turn(n_tokens: int) -> float:
         t0 = time.perf_counter()
         state = decoder_lm.init_decode_state(cfg, 1, max_t=cache_len)
-        logits, state = decoder_lm.jit_prefill(params, cfg, prompt, state, PROMPT_BUCKET)
+        logits, state = decoder_lm.jit_prefill(holder["params"], cfg, prompt, state, PROMPT_BUCKET)
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         toks, flags, token, state = decoder_lm.jit_decode_chunk(
-            params, cfg, token, state, n_tokens, 0
+            holder["params"], cfg, token, state, n_tokens, 0
         )
         _ = np.asarray(toks)  # value fetch = true sync
         return time.perf_counter() - t0
 
-    def int8_turn(n_tokens: int) -> float:
+    def to_int8() -> None:
+        """Switch the serving weights to int8 (frees the bf16 copy)."""
         from s2s_tpu.ops.quant import quantize_tree
 
-        qparams = jax.jit(quantize_tree)(params)
-        jax.block_until_ready(qparams)
-
-        def run() -> float:
-            t0 = time.perf_counter()
-            state = decoder_lm.init_decode_state(cfg, 1, max_t=cache_len)
-            logits, state = decoder_lm.jit_prefill(qparams, cfg, prompt, state, PROMPT_BUCKET)
-            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            toks, _f, _t, state = decoder_lm.jit_decode_chunk(qparams, cfg, token, state, n_tokens, 0)
-            _ = np.asarray(toks)
-            return time.perf_counter() - t0
-
-        run()  # warm
-        return min(run() for _ in range(3))
+        qparams = jax.jit(quantize_tree)(holder["params"])
+        jax.block_until_ready(jax.tree_util.tree_leaves(qparams)[0])
+        holder["params"] = qparams
+        gc.collect()
 
     turn(FIRST_SENTENCE_TOKENS)  # warm both programs
     turn(REPLY_TOKENS)
@@ -158,6 +154,7 @@ def build_llm():
         through ONE dispatch stream (the --num_pipelines replacement)."""
         from s2s_tpu.parallel import batched_decode as bd
 
+        params = holder["params"]
         state = bd.init_multi_state(cfg, n_slots, max_t=cache_len)
         tokens = jnp.zeros((n_slots,), jnp.int32)
         for s in range(n_slots):
@@ -179,7 +176,7 @@ def build_llm():
         _ = np.asarray(toks)
         return time.perf_counter() - t0
 
-    return turn, batched_chunk, int8_turn, params
+    return turn, batched_chunk, to_int8
 
 
 def build_tts():
@@ -191,6 +188,13 @@ def build_tts():
     params = _device_init(lambda k: qwen3_tts.init_params(k, cfg), jax.random.PRNGKey(0))
     tts = qwen3_tts.Qwen3TTS(params=params, cfg=cfg, chunk_frames=TTS_CHUNK_FRAMES)
     text = "This is a representative assistant reply used to benchmark synthesis."
+
+    def to_int8() -> None:
+        """Switch the serving weights to int8 (frees the bf16 copy)."""
+        qparams = jax.jit(qwen3_tts.quantize_params)(tts.params)
+        jax.block_until_ready(jax.tree_util.tree_leaves(qparams)[0])
+        tts.params = qparams
+        gc.collect()
 
     def first_chunk() -> float:
         t0 = time.perf_counter()
@@ -213,7 +217,8 @@ def build_tts():
 
         n_frames = int(out_seconds * qwen3_tts.FRAMES_PER_SECOND)
         tokens, _ = tts._encode_text(text)
-        spk = params["speakers"][jnp.asarray([0])]
+        p = tts.params
+        spk = p["speakers"][jnp.asarray([0])]
 
         def run() -> float:
             state = bd.init_multi_state(cfg.lm, n_slots, max_t=512)
@@ -221,7 +226,7 @@ def build_tts():
             embeds = []
             for s in range(n_slots):
                 bos, state = qwen3_tts.jit_prefill_tts_slot(
-                    params, cfg, tokens, spk, state, jnp.asarray(s, jnp.int32)
+                    p, cfg, tokens, spk, state, jnp.asarray(s, jnp.int32)
                 )
                 embeds.append(bos)
             embeds = jnp.stack(embeds)
@@ -231,7 +236,7 @@ def build_tts():
             while done < n_frames:
                 n = min(TTS_CHUNK_FRAMES, n_frames - done)
                 audio, _eos, embeds, state, contexts = qwen3_tts.jit_decode_chunk_audio_multi(
-                    params, cfg, embeds, state, contexts, n, active
+                    p, cfg, embeds, state, contexts, n, active
                 )
                 _ = np.asarray(audio[:, :8])  # per-chunk host sync (streaming shape)
                 done += n
@@ -242,7 +247,7 @@ def build_tts():
 
     first_chunk()  # warm streaming programs
     full(OUT_SECONDS)  # warm one-shot program
-    return first_chunk, full, batched, params
+    return first_chunk, full, batched, to_int8
 
 
 def main() -> None:
@@ -255,15 +260,18 @@ def main() -> None:
     stt_final, _ = build_stt(2.0, params=stt_params)
     gc.collect()
 
-    llm_turn, llm_batched, llm_int8, _llm_params = build_llm()
-    t_llm = min(llm_turn(REPLY_TOKENS) for _ in range(3))
-    t_llm_b4 = min(llm_batched(4) for _ in range(3))
+    llm_turn, llm_batched, llm_to_int8 = build_llm()
+    t_llm_bf16 = min(llm_turn(REPLY_TOKENS) for _ in range(3))
+    llm_to_int8()  # serving config: int8 weight-only decode
+    t_llm = min(llm_turn(REPLY_TOKENS) for _ in range(2))
+    llm_turn(FIRST_SENTENCE_TOKENS)  # warm the first-sentence program on int8
     t_llm_b8 = min(llm_batched(8) for _ in range(3))
-    t_llm_q = llm_int8(REPLY_TOKENS)
 
-    tts_first, tts_full, tts_batched, _tts_params = build_tts()
-    t_tts = min(tts_full(OUT_SECONDS) for _ in range(3))
-    t_tts_b4 = tts_batched(4, OUT_SECONDS)
+    tts_first, tts_full, tts_batched, tts_to_int8 = build_tts()
+    t_tts_bf16 = min(tts_full(OUT_SECONDS) for _ in range(2))
+    tts_to_int8()  # serving config: int8 talker + code predictor
+    t_tts = min(tts_full(OUT_SECONDS) for _ in range(2))
+    tts_first()  # warm streaming programs on int8
     t_tts_b8 = tts_batched(8, OUT_SECONDS)
 
     # voice-to-voice latency chain at real sizes, all models resident
@@ -279,36 +287,36 @@ def main() -> None:
     v2v_p50 = statistics.median(times)
     v2v_p95 = times[min(len(times) - 1, int(round(0.95 * (len(times) - 1))))]
 
-    total = t_vad + t_stt + t_llm + t_tts
-    rtfx = (IN_SECONDS + OUT_SECONDS) / total
+    # BASELINE.md headline: aggregate RTFx per chip on the full cascade —
+    # 8 concurrent sessions sharing one weight set, batched LLM decode and
+    # batched TTS frame decode+vocode, per-session VAD/STT
+    aggregate = 8 * (IN_SECONDS + OUT_SECONDS) / (
+        t_vad * 8 + t_stt * 8 + t_llm_b8 + t_tts_b8
+    )
+    single = (IN_SECONDS + OUT_SECONDS) / (t_vad + t_stt + t_llm + t_tts)
     result = {
-        "metric": "cascade_rtfx",
-        "value": round(rtfx, 2),
+        "metric": "aggregate_cascade_rtfx_per_chip",
+        "value": round(aggregate, 2),
         "unit": "x_realtime",
-        "vs_baseline": round(rtfx / 20.0, 3),
+        "vs_baseline": round(aggregate / 20.0, 3),
         "detail": {
-            "workload": "parakeet-0.6b + smollm2-1.7b + qwen3-tts-1.7b (full configs, random weights)",
+            "workload": (
+                "parakeet-0.6b + smollm2-1.7b + qwen3-tts-1.7b (full configs, "
+                "random weights; serving config = int8 weight-only decode, "
+                "8 sessions/chip)"
+            ),
             "vad_s": round(t_vad, 4),
             "stt_s": round(t_stt, 4),
             "llm_s": round(t_llm, 4),
+            "llm_s_bf16": round(t_llm_bf16, 4),
             "llm_tokens_per_s": round(REPLY_TOKENS / t_llm, 1),
             "llm_tokens_per_s_batch8": round(8 * REPLY_TOKENS / t_llm_b8, 1),
-            "llm_tokens_per_s_int8": round(REPLY_TOKENS / t_llm_q, 1),
             "tts_s": round(t_tts, 4),
-            "tts_rtf_batch4": round(4 * OUT_SECONDS / t_tts_b4, 2),
+            "tts_s_bf16": round(t_tts_bf16, 4),
+            "tts_rtf_single": round(OUT_SECONDS / t_tts, 2),
             "tts_rtf_batch8": round(8 * OUT_SECONDS / t_tts_b8, 2),
             "audio_s": IN_SECONDS + OUT_SECONDS,
-            # aggregate serving RTFx: N concurrent sessions, batched LLM+TTS
-            "aggregate_rtfx_batch4": round(
-                4 * (IN_SECONDS + OUT_SECONDS)
-                / (t_vad * 4 + t_stt * 4 + t_llm_b4 + t_tts_b4),
-                2,
-            ),
-            "aggregate_rtfx_batch8": round(
-                8 * (IN_SECONDS + OUT_SECONDS)
-                / (t_vad * 8 + t_stt * 8 + t_llm_b8 + t_tts_b8),
-                2,
-            ),
+            "single_session_rtfx": round(single, 2),
             "voice_to_voice_p50_s": round(v2v_p50, 4),
             "voice_to_voice_p95_s": round(v2v_p95, 4),
             "voice_to_voice_turns": V2V_TURNS,

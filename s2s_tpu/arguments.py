@@ -162,6 +162,7 @@ class KokoroTTSArgs:
     voice: Optional[str] = None
     speed: float = 1.0
     checkpoint: Optional[str] = None
+    voicepack: Optional[str] = None  # converted (N, 256) style table .npz
     blocksize: int = 512
 
 

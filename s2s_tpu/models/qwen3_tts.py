@@ -398,6 +398,23 @@ def code2wav(params, cfg: Code2WavConfig, codes):
 # ---------------------------------------------------------------------------
 
 
+def quantize_params(params: Params) -> Params:
+    """int8 weight-only quantization of the decode-loop weights.
+
+    The frame loop is HBM-bound: the talker streams its ~1.5B layer weights
+    once per frame and the code predictor re-reads its 5 layers on each of
+    the 15 MTP steps (~15x its size per frame) — together ~85% of the
+    per-frame bytes.  Quantizing just those two subtrees halves that
+    traffic; heads/embeds/vocoder stay exact (they are gathered, used raw,
+    or amortized per chunk)."""
+    from s2s_tpu.ops.quant import quantize_tree
+
+    out = dict(params)
+    out["talker"] = quantize_tree(params["talker"])
+    out["cp"] = quantize_tree(params["cp"])
+    return out
+
+
 class TalkerState(NamedTuple):
     lm_state: DecodeState
     next_embed: jax.Array  # (B, D) input embedding for the next frame step
@@ -627,9 +644,12 @@ class Qwen3TTS:
         chunk_frames: int = DEFAULT_CHUNK_FRAMES,
         context_frames: int = VOCODER_CONTEXT_FRAMES,
         ramp_chunks: tuple[int, ...] = (1, 2, 4),
+        int8: bool = False,
     ) -> None:
         self.cfg = cfg or Qwen3TTSConfig()
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), self.cfg)
+        if int8:
+            self.params = jax.jit(quantize_params)(self.params)
         self.chunk_frames = chunk_frames
         self.context_frames = context_frames
         #: TTFA ramp: the first chunk is 1 frame (80 ms of audio at ~1/8 the

@@ -320,9 +320,14 @@ def _make_kokoro_tts(config, ctx: HandlerContext):
     from s2s_tpu.models.kokoro import KokoroTTS
     from s2s_tpu.tts.kokoro_handler import KokoroTTSHandler
 
-    model = ctx.model_cache.get(
-        ("kokoro", config.checkpoint), lambda: KokoroTTS(params=_load_checkpoint(config.checkpoint))
-    )
+    def build():
+        model = KokoroTTS(params=_load_checkpoint(config.checkpoint))
+        if config.voicepack:
+            pack = _load_checkpoint(config.voicepack)
+            model.add_voice(config.voice or "default", pack["pack"])
+        return model
+
+    model = ctx.model_cache.get(("kokoro", config.checkpoint, config.voicepack), build)
     return KokoroTTSHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,
         setup_kwargs=dict(

@@ -56,7 +56,7 @@ class PocketTTSHandler(BaseTTSHandler):
                 from s2s_tpu.ops.mel import log_mel_spectrogram
 
                 mel = np.asarray(log_mel_spectrogram(np.asarray(voice_ref_audio, np.float32), 80))
-                self._voice_id = int(abs(mel.mean() * 1000)) % self.model.cfg.n_voices
+                self._voice_id = int(abs(mel.mean() * 1000)) % len(self.model.params["voices"])
             if warmup:
                 self.model.synthesize("Warm up.", voice_id=self._voice_id)
 

@@ -31,7 +31,17 @@ def load_state_dict(path: str) -> dict:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    return {k: v.numpy() for k, v in sd.items()}
+    if isinstance(sd, torch.Tensor):  # e.g. a kokoro voicepack .pt
+        return {"pack": sd.numpy()}
+    flat = {}
+    for k, v in sd.items():
+        if isinstance(v, dict):  # kokoro-v1_0.pth: {module: state_dict} nesting
+            for k2, v2 in v.items():
+                k2 = k2[7:] if k2.startswith("module.") else k2
+                flat[f"{k}.{k2}"] = v2.numpy()
+        else:
+            flat[k] = v.numpy()
+    return flat
 
 
 def flatten(tree, prefix="") -> dict[str, np.ndarray]:
@@ -53,7 +63,8 @@ def main() -> None:
                         choices=["smollm2-1.7b", "smollm2-360m", "whisper-tiny", "whisper-base",
                                  "whisper-small", "whisper-large-v3", "distil-large-v3", "silero-vad",
                                  "parakeet-tdt-0.6b-v2", "parakeet-tdt-0.6b-v3",
-                                 "qwen3-tts-12hz-1.7b", "smart-turn", "mms-vits"])
+                                 "qwen3-tts-12hz-1.7b", "smart-turn", "mms-vits",
+                                 "kokoro", "kokoro-voice"])
     parser.add_argument("--pred-layers", type=int, default=1,
                         help="parakeet prediction-network LSTM layers (per the checkpoint)")
     parser.add_argument("--src", required=True)
@@ -102,6 +113,14 @@ def main() -> None:
             with open(args.out + ".vocab.json", "w") as f:
                 json.dump(vocab, f, ensure_ascii=False)
             print(f"wrote {args.out}.vocab.json ({len(vocab)} symbols)")
+    elif args.family == "kokoro":
+        from s2s_tpu.models import kokoro
+
+        params = kokoro.convert_state_dict(sd, kokoro.KokoroConfig())
+    elif args.family == "kokoro-voice":
+        # a voicepack .pt: (510, 1, 2*style) length-indexed style table
+        pack = next(iter(sd.values())) if isinstance(sd, dict) and len(sd) == 1 else sd
+        params = {"pack": np.asarray(pack, np.float32).reshape(-1, 256)}
     elif args.family == "smart-turn":
         from s2s_tpu.vad import smart_turn
 

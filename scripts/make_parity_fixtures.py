@@ -281,6 +281,51 @@ def make_vits_fixture(path: str = "tests/data/vits_parity.npz") -> None:
     )
 
 
+def make_kokoro_fixture(path: str = "tests/data/kokoro_parity.npz") -> None:
+    """Tiny Kokoro KModel twin (scripts/_kokoro_torch_twin.py — the real
+    StyleTTS2/iSTFTNet structure with the kokoro-v1_0.pth key layout),
+    deterministic harmonic source.  Saves the flattened state dict + one
+    exact-length run (wav, per-token durations)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from _kokoro_torch_twin import KModelTwin
+
+    torch.manual_seed(0)
+    model = KModelTwin(
+        n_token=20,
+        plbert_cfg=dict(embedding_size=16, hidden_size=32, num_attention_heads=2,
+                        intermediate_size=64, num_hidden_layers=2,
+                        max_position_embeddings=64,
+                        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+                        classifier_dropout_prob=0.0),
+        hidden_dim=32, style_dim=16, n_layer=2, max_dur=10,
+        istftnet=dict(
+            resblock_kernel_sizes=[3, 7], upsample_rates=[4, 2],
+            upsample_initial_channel=32, resblock_dilation_sizes=[[1, 3], [1, 3]],
+            upsample_kernel_sizes=[8, 4], gen_istft_n_fft=8, gen_istft_hop_size=2),
+    ).eval()
+    # random init leaves F0 near zero -> an all-unvoiced (zero) harmonic
+    # source, which makes the generator's InstanceNorms normalize pure
+    # numerical noise (degenerate, unlike any real checkpoint).  Bias F0
+    # into the voiced range so the fixture exercises the harmonic path.
+    with torch.no_grad():
+        model.predictor.F0_proj.bias += 80.0
+    ids = torch.randint(1, 20, (1, 7), generator=torch.Generator().manual_seed(5))
+    ref_s = torch.randn(1, 32, generator=torch.Generator().manual_seed(6)) * 0.5
+    with torch.no_grad():
+        wav, pred_dur = model(ids, ref_s, speed=1.0)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()
+          if not k.startswith("bert.pooler")}
+    dbg = {f"dbg__{k}": v.numpy() for k, v in
+           {**model.decoder.debug, **model.decoder.generator.debug}.items()}
+    np.savez_compressed(
+        path, ids=ids.numpy(), ref_s=ref_s.numpy(), wav=wav.numpy(),
+        pred_dur=pred_dur.numpy(), **dbg,
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
 def make_qwen3tts_fixture(path: str = "tests/data/qwen3tts_parity.npz") -> None:
     """Tiny Qwen3-Omni Code2Wav vocoder + talker code predictor — the codec
     stack our Qwen3-TTS implements (same 12.5 Hz codec family)."""
@@ -357,4 +402,6 @@ if __name__ == "__main__":
         make_qwen3tts_fixture()
     if only in (None, "vits"):
         make_vits_fixture()
+    if only in (None, "kokoro"):
+        make_kokoro_fixture()
     print("fixtures written to tests/data/")

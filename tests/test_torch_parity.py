@@ -266,6 +266,56 @@ def test_vits_tokenizer_matches_reference_behavior():
     assert ids == want
 
 
+KOKORO_FIXTURE = "tests/data/kokoro_parity.npz"
+
+
+def test_kokoro_matches_torch():
+    """Full Kokoro synthesis (PL-BERT, duration encoder with masked-carry
+    BiLSTMs, AdaIN F0/N branches, iSTFTNet decoder with harmonic source)
+    vs the torch twin at exact frame length; phase A additionally run at a
+    padded token bucket to prove pack_padded-equivalent masking."""
+    from s2s_tpu.models import kokoro
+
+    sd, io = load_fixture(KOKORO_FIXTURE)
+    cfg = kokoro.KokoroConfig.test_tiny()
+    params = kokoro.convert_state_dict(sd, cfg)
+
+    n = io["ids"].shape[1]
+    ref_s = jnp.asarray(io["ref_s"])
+    speed = jnp.asarray(1.0)
+
+    def run_phase_a(bucket):
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :n] = io["ids"][0]
+        return kokoro.encode_text(
+            params, cfg, jnp.asarray(tokens), jnp.asarray([n], jnp.int32), ref_s, speed)
+
+    pred_dur, d, t_en = run_phase_a(n)
+    assert list(np.asarray(pred_dur[0])) == list(io["pred_dur"]), (
+        np.asarray(pred_dur[0]), io["pred_dur"])
+
+    # padded token bucket must give identical durations/encodings (masked
+    # BiLSTM == pack_padded_sequence)
+    pred_dur_p, d_p, t_en_p = run_phase_a(n + 5)
+    assert np.array_equal(np.asarray(pred_dur_p[0, :n]), np.asarray(pred_dur[0]))
+    np.testing.assert_allclose(np.asarray(d_p[:, :n]), np.asarray(d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_en_p[:, :n]), np.asarray(t_en), atol=1e-5)
+
+    total = int(np.sum(io["pred_dur"]))
+    en = kokoro.align(d, pred_dur, total)
+    asr = kokoro.align(t_en, pred_dur, total)
+    wav = kokoro.vocode(params, cfg, en, asr, ref_s)
+    want = io["wav"].reshape(-1)
+    assert wav.shape[1] == want.shape[-1], (wav.shape, want.shape)
+    # the exp/sin iSTFT head amplifies op-order float noise (torch's oneDNN
+    # itself is order-dependent); every stage up to the generator input is
+    # pinned at <=1e-5 above, so end-to-end gets an accumulation budget
+    got = np.asarray(wav[0])
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    rel_rms = np.sqrt(np.mean((got - want) ** 2)) / np.sqrt(np.mean(want ** 2))
+    assert rel_rms < 1e-3, rel_rms
+
+
 def test_decoder_lm_matches_torch_llama():
     from s2s_tpu.models import decoder_lm
 

@@ -165,7 +165,7 @@ def test_estimate_respects_cap():
 def test_kokoro_jax_synthesizes():
     from s2s_tpu.models.kokoro import KokoroConfig, KokoroTTS
 
-    tts = KokoroTTS(cfg=KokoroConfig.tiny())
+    tts = KokoroTTS(cfg=KokoroConfig.test_tiny())
     audio = tts.synthesize("Hello world.")
     assert audio.dtype == np.float32 and len(audio) > 0
     assert np.all(np.isfinite(audio))
@@ -237,8 +237,7 @@ def test_pocket_handler_streams_per_sentence():
     from s2s_tpu.models.kokoro import KokoroConfig, KokoroTTS
     from s2s_tpu.tts.pocket_handler import PocketTTSHandler
 
-    model = KokoroTTS(cfg=KokoroConfig.tiny())
-    model.params["mag_w"] = model.params["mag_w"] * 3.0  # audible random output
+    model = KokoroTTS(cfg=KokoroConfig.test_tiny())
     handler = PocketTTSHandler(
         threading.Event(), Queue(), Queue(), setup_kwargs=dict(model=model)
     )
