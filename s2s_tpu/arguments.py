@@ -153,6 +153,7 @@ class Qwen3TTSArgs:
     blocksize: int = 512
     #: cross-session batched synthesis slots over ONE weight set; 0/1 = single
     batched_slots: int = 0
+    quantize: Optional[str] = None  # int8 weight-only talker+code-predictor
 
 
 @dataclass

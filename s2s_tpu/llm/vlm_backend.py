@@ -62,7 +62,8 @@ class VisionLocalJAXLLMHandler(LocalJAXLLMHandler):
         prefixes = []
         for url in image_urls[:4]:  # bound the vision prefix
             try:
-                pixels = vision.preprocess_image(image_url_to_pil(url))
+                pixels = vision.preprocess_image(
+                    image_url_to_pil(url), size=self.vision_cfg.image_size)
             except Exception:
                 logger.exception("Failed to decode input_image; skipping")
                 continue

@@ -247,6 +247,18 @@ def forward(params, cfg: DecoderLMConfig, tokens, positions=None):
     return _logits(x, params, cfg)
 
 
+def forward_embeds(params, cfg: DecoderLMConfig, embeds):
+    """Full-sequence causal forward over precomputed embeddings (B, T, D)
+    — the multimodal splice path. Returns float32 logits (B, T, V)."""
+    b, t, _ = embeds.shape
+    x = embeds.astype(cfg.dtype)
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    cos, sin = cos_full[:t], sin_full[:t]
+    mask = causal_mask(t, t, 0)
+    x, _ = _scan_blocks(x, params, cfg, None, None, cos, sin, mask)
+    return _logits(x, params, cfg)
+
+
 def _hidden_prefill(params, cfg: DecoderLMConfig, x, state: DecodeState, prompt_len):
     b, t, _ = x.shape
     cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)

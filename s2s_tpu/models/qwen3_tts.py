@@ -398,7 +398,7 @@ def code2wav(params, cfg: Code2WavConfig, codes):
 # ---------------------------------------------------------------------------
 
 
-def quantize_params(params: Params) -> Params:
+def quantize_params(params: Params, min_size: int | None = None) -> Params:
     """int8 weight-only quantization of the decode-loop weights.
 
     The frame loop is HBM-bound: the talker streams its ~1.5B layer weights
@@ -407,11 +407,12 @@ def quantize_params(params: Params) -> Params:
     per-frame bytes.  Quantizing just those two subtrees halves that
     traffic; heads/embeds/vocoder stay exact (they are gathered, used raw,
     or amortized per chunk)."""
-    from s2s_tpu.ops.quant import quantize_tree
+    from s2s_tpu.ops.quant import _MIN_SIZE, quantize_tree
 
+    min_size = _MIN_SIZE if min_size is None else min_size
     out = dict(params)
-    out["talker"] = quantize_tree(params["talker"])
-    out["cp"] = quantize_tree(params["cp"])
+    out["talker"] = quantize_tree(params["talker"], min_size=min_size)
+    out["cp"] = quantize_tree(params["cp"], min_size=min_size)
     return out
 
 

@@ -68,8 +68,9 @@ def quantize_tree(params, min_size: int = _MIN_SIZE):
     def convert(path, leaf):
         if isinstance(leaf, QuantWeight) or not hasattr(leaf, "dtype"):
             return leaf
-        if any("embed" in str(getattr(k, "key", k)) for k in path):
-            return leaf
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "embed" in path_str or "norm" in path_str or "scale" in path_str:
+            return leaf  # gather tables / norm vectors / layer scales stay exact
         if not jnp.issubdtype(leaf.dtype, jnp.floating) or leaf.size < min_size:
             return leaf
         if leaf.ndim == 2:

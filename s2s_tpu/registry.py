@@ -266,11 +266,12 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
         "1.7b": Qwen3TTSConfig.qwen3_tts_12hz_1_7b,
         "tiny": Qwen3TTSConfig.tiny,
     }[config.model_size]()
+    int8 = getattr(config, "quantize", None) == "int8"
     model = ctx.model_cache.get(
-        ("qwen3_tts", config.model_size, config.checkpoint, config.streaming_chunk_size),
+        ("qwen3_tts", config.model_size, config.checkpoint, config.streaming_chunk_size, int8),
         lambda: Qwen3TTS(
             params=_load_checkpoint(config.checkpoint), cfg=cfg,
-            chunk_frames=config.streaming_chunk_size,
+            chunk_frames=config.streaming_chunk_size, int8=int8,
         ),
     )
     shared_tts = None

@@ -64,7 +64,7 @@ def main() -> None:
                                  "whisper-small", "whisper-large-v3", "distil-large-v3", "silero-vad",
                                  "parakeet-tdt-0.6b-v2", "parakeet-tdt-0.6b-v3",
                                  "qwen3-tts-12hz-1.7b", "smart-turn", "mms-vits",
-                                 "kokoro", "kokoro-voice"])
+                                 "kokoro", "kokoro-voice", "smolvlm-vision"])
     parser.add_argument("--pred-layers", type=int, default=1,
                         help="parakeet prediction-network LSTM layers (per the checkpoint)")
     parser.add_argument("--src", required=True)
@@ -113,6 +113,10 @@ def main() -> None:
             with open(args.out + ".vocab.json", "w") as f:
                 json.dump(vocab, f, ensure_ascii=False)
             print(f"wrote {args.out}.vocab.json ({len(vocab)} symbols)")
+    elif args.family == "smolvlm-vision":
+        from s2s_tpu.models import vision
+
+        params = vision.convert_hf_state_dict(sd, vision.VisionConfig())
     elif args.family == "kokoro":
         from s2s_tpu.models import kokoro
 

@@ -281,6 +281,46 @@ def make_vits_fixture(path: str = "tests/data/vits_parity.npz") -> None:
     )
 
 
+def make_smolvlm_fixture(path: str = "tests/data/smolvlm_parity.npz") -> None:
+    """Tiny SmolVLM (SigLIP tower + pixel-shuffle connector + Llama text):
+    save the vision+connector image features AND full merged-forward logits
+    so the splice semantics (image tokens replaced by image embeddings) are
+    pinned end to end."""
+    from transformers import SmolVLMConfig, SmolVLMForConditionalGeneration
+    from transformers.models.smolvlm import SmolVLMVisionConfig
+
+    torch.manual_seed(0)
+    cfg = SmolVLMConfig(
+        vision_config=SmolVLMVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=8, num_channels=3),
+        text_config=dict(
+            model_type="llama", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=True,
+            pad_token_id=0),
+        scale_factor=2, image_token_id=127,
+        attn_implementation="eager",
+    )
+    model = SmolVLMForConditionalGeneration(cfg).eval()
+    pixels = torch.randn(1, 3, 32, 32, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        img_feats = model.model.get_image_features(pixel_values=pixels[None])
+    n_img = img_feats.shape[1] if img_feats.ndim == 3 else img_feats.shape[0]
+    ids = torch.randint(1, 126, (1, 12), generator=torch.Generator().manual_seed(2))
+    ids[0, 2: 2 + n_img] = 127  # image token span
+    with torch.no_grad():
+        out = model(input_ids=ids, pixel_values=pixels[None])
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    np.savez_compressed(
+        path, pixels=pixels.numpy(), ids=ids.numpy(),
+        img_feats=img_feats.reshape(1, n_img, -1).numpy(),
+        logits=out.logits.numpy(),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
 def make_kokoro_fixture(path: str = "tests/data/kokoro_parity.npz") -> None:
     """Tiny Kokoro KModel twin (scripts/_kokoro_torch_twin.py — the real
     StyleTTS2/iSTFTNet structure with the kokoro-v1_0.pth key layout),
@@ -404,4 +444,6 @@ if __name__ == "__main__":
         make_vits_fixture()
     if only in (None, "kokoro"):
         make_kokoro_fixture()
+    if only in (None, "smolvlm"):
+        make_smolvlm_fixture()
     print("fixtures written to tests/data/")

@@ -266,6 +266,41 @@ def test_vits_tokenizer_matches_reference_behavior():
     assert ids == want
 
 
+SMOLVLM_FIXTURE = "tests/data/smolvlm_parity.npz"
+
+
+def test_smolvlm_vision_matches_torch():
+    """SigLIP tower + pixel-shuffle connector vs transformers SmolVLM, then
+    the full merged forward: image features spliced at the image-token span
+    through our Llama decoder reproduce the torch logits."""
+    from s2s_tpu.models import decoder_lm, vision
+
+    sd, io = load_fixture(SMOLVLM_FIXTURE)
+    cfg = vision.VisionConfig.test_tiny()
+    params = vision.convert_hf_state_dict(sd, cfg)
+
+    pixels = jnp.asarray(io["pixels"].transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    feats = vision.encode_image(params, cfg, pixels)
+    np.testing.assert_allclose(np.asarray(feats), io["img_feats"], atol=2e-4)
+
+    # text side: llama converter over the text_model keys
+    text_sd = {k.replace("model.text_model.", "model."): v for k, v in sd.items()
+               if k.startswith("model.text_model.")}
+    lm_cfg = decoder_lm.DecoderLMConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128,
+        max_seq_len=128, rope_theta=10000.0, rms_eps=1e-5, tie_embeddings=True,
+        dtype=jnp.float32)
+    lm = decoder_lm.convert_hf_state_dict(text_sd, lm_cfg)
+
+    ids = np.asarray(io["ids"])
+    embeds = np.asarray(lm["embed"])[ids[0]][None].astype(np.float32)
+    span = np.where(ids[0] == 127)[0]
+    embeds[0, span] = np.asarray(feats[0])  # splice image tokens
+    logits = decoder_lm.forward_embeds(lm, lm_cfg, jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(logits), io["logits"], atol=3e-3)
+    assert np.array_equal(np.argmax(np.asarray(logits), -1), np.argmax(io["logits"], -1))
+
+
 KOKORO_FIXTURE = "tests/data/kokoro_parity.npz"
 
 

@@ -285,3 +285,21 @@ def test_qwen3_handler_batched_shared_engine():
         assert done == [AUDIO_RESPONSE_DONE]
     finally:
         sched.shutdown()
+
+
+def test_qwen3_int8_streams_chunks():
+    """int8 weight-only serving config: quantized talker/code-predictor
+    stream through the same fused programs."""
+    from s2s_tpu.models.qwen3_tts import Qwen3TTS, Qwen3TTSConfig
+    from s2s_tpu.ops.quant import QuantWeight
+
+    from s2s_tpu.models import qwen3_tts as q
+
+    tts = Qwen3TTS(cfg=Qwen3TTSConfig.tiny(), chunk_frames=4)
+    tts.params = q.quantize_params(tts.params, min_size=4096)  # tiny dims < default floor
+    import jax
+    leaves = jax.tree_util.tree_leaves(
+        tts.params["talker"], is_leaf=lambda x: isinstance(x, QuantWeight))
+    assert any(isinstance(l, QuantWeight) for l in leaves)
+    chunks = list(tts.stream("Hi.", max_new_tokens=8))
+    assert chunks and all(np.all(np.isfinite(a)) for a, _ in chunks)

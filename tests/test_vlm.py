@@ -25,16 +25,17 @@ def png_data_url(color=(255, 0, 0)):
 def test_vision_encoder_shapes():
     cfg = vision.VisionConfig.test_tiny()
     params = vision.init_params(jax.random.PRNGKey(0), cfg)
-    pixels = jnp.zeros((1, 224, 224, 3))
+    pixels = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
     out = vision.encode_image(params, cfg, pixels)
-    assert out.shape == (1, cfg.n_prefix_tokens, cfg.d_out)
+    assert out.shape == (1, cfg.n_image_tokens, cfg.d_out)
 
 
 def test_vision_encoder_sensitive_to_input():
     cfg = vision.VisionConfig.test_tiny()
     params = vision.init_params(jax.random.PRNGKey(0), cfg)
-    a = vision.encode_image(params, cfg, jnp.zeros((1, 224, 224, 3)))
-    b = vision.encode_image(params, cfg, jnp.ones((1, 224, 224, 3)))
+    s = cfg.image_size
+    a = vision.encode_image(params, cfg, jnp.zeros((1, s, s, 3)))
+    b = vision.encode_image(params, cfg, jnp.ones((1, s, s, 3)))
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
