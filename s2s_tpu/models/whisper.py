@@ -128,6 +128,48 @@ def _init_block(key, cfg: WhisperConfig, cross: bool) -> Params:
     return p
 
 
+def param_shardings(cfg: WhisperConfig) -> Params:
+    """Megatron-style PartitionSpecs over a ("data", "model") mesh: QKV and
+    mlp_w1 column-sharded (heads split across chips), wo/mlp_w2 row-sharded
+    — XLA inserts the ICI all-reduces.  Stacked blocks carry a leading
+    replicated layer axis."""
+    from jax.sharding import PartitionSpec as P
+
+    def attn():
+        return {
+            "wq": P(None, None, "model"), "bq": P(None, "model"),
+            "wk": P(None, None, "model"),
+            "wv": P(None, None, "model"), "bv": P(None, "model"),
+            "wo": P(None, "model", None), "bo": P(None, None),
+        }
+
+    def block(cross: bool):
+        p = {
+            "ln1_w": P(None, None), "ln1_b": P(None, None),
+            "attn": attn(),
+            "ln2_w": P(None, None), "ln2_b": P(None, None),
+            "mlp_w1": P(None, None, "model"), "mlp_b1": P(None, "model"),
+            "mlp_w2": P(None, "model", None), "mlp_b2": P(None, None),
+        }
+        if cross:
+            p["lnx_w"] = P(None, None)
+            p["lnx_b"] = P(None, None)
+            p["xattn"] = attn()
+        return p
+
+    return {
+        "conv1_w": P(), "conv1_b": P(),
+        "conv2_w": P(), "conv2_b": P(),
+        "enc_pos": P(),
+        "enc_blocks": block(cross=False),
+        "enc_ln_w": P(), "enc_ln_b": P(),
+        "tok_emb": P("model", None),
+        "dec_pos": P(),
+        "dec_blocks": block(cross=True),
+        "dec_ln_w": P(), "dec_ln_b": P(),
+    }
+
+
 def init_params(key, cfg: WhisperConfig) -> Params:
     ks = jax.random.split(key, cfg.n_enc_layers + cfg.n_dec_layers + 4)
     d, dtype = cfg.d_model, cfg.dtype
