@@ -35,15 +35,19 @@ class ParaformerSTTHandler(WhisperSTTHandler):
             logger.warning("ParaformerSTTHandler: random-init weights (no checkpoint provided)")
             params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
         self._paraformer_cfg, self._paraformer_params, self._tokenizer = cfg, params, tokenizer
+        n_mels = cfg.input_size // paraformer.LFR_M
 
         def transcribe(audio: np.ndarray) -> DecodeResult:
             seconds = len(audio) / self.sample_rate
             target = int(bucket_duration(max(seconds, 0.5)) * self.sample_rate)
             padded = np.zeros(target, np.float32)
             padded[: min(len(audio), target)] = audio[:target]
-            mel = log_mel_spectrogram(padded, cfg.n_mels)[None]
-            n_frames = max(4, int(len(audio) / self.sample_rate * 100))
-            tokens = paraformer.transcribe_tokens(params, cfg, mel, n_frames)
+            # fbank (T, n_mels) -> LFR stack + CMVN (FunASR frontend)
+            fbank = np.asarray(log_mel_spectrogram(padded, n_mels)).T
+            feats = paraformer.lfr_cmvn(
+                fbank, np.asarray(params["cmvn_mean"]), np.asarray(params["cmvn_scale"]))
+            n_valid = max(2, int(len(audio) / self.sample_rate * 100 / paraformer.LFR_N))
+            tokens = paraformer.transcribe_tokens(params, cfg, feats, n_valid)
             if self._tokenizer is not None:
                 text = self._tokenizer.decode(tokens).strip()
             else:

@@ -57,6 +57,20 @@ def flatten(tree, prefix="") -> dict[str, np.ndarray]:
     return flat
 
 
+def parse_kaldi_mvn(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """FunASR am.mvn (Kaldi nnet text): <AddShift> vector = -mean,
+    <Rescale> vector = 1/std.  Returns (add_shift, rescale)."""
+    import re
+
+    text = open(path).read()
+    vectors = re.findall(r"\[([^\]]+)\]", text)
+    arrays = [np.fromstring(v, sep=" ", dtype=np.float32) for v in vectors]
+    arrays = [a for a in arrays if a.size > 1]
+    if len(arrays) < 2:
+        raise ValueError(f"Could not find AddShift/Rescale vectors in {path}")
+    return arrays[0], arrays[1]
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--family", required=True,
@@ -64,7 +78,10 @@ def main() -> None:
                                  "whisper-small", "whisper-large-v3", "distil-large-v3", "silero-vad",
                                  "parakeet-tdt-0.6b-v2", "parakeet-tdt-0.6b-v3",
                                  "qwen3-tts-12hz-1.7b", "smart-turn", "mms-vits",
-                                 "kokoro", "kokoro-voice", "smolvlm-vision"])
+                                 "kokoro", "kokoro-voice", "smolvlm-vision",
+                                 "paraformer-large"])
+    parser.add_argument("--mvn", default=None,
+                        help="paraformer: FunASR am.mvn (Kaldi text) for CMVN")
     parser.add_argument("--pred-layers", type=int, default=1,
                         help="parakeet prediction-network LSTM layers (per the checkpoint)")
     parser.add_argument("--src", required=True)
@@ -113,6 +130,15 @@ def main() -> None:
             with open(args.out + ".vocab.json", "w") as f:
                 json.dump(vocab, f, ensure_ascii=False)
             print(f"wrote {args.out}.vocab.json ({len(vocab)} symbols)")
+    elif args.family == "paraformer-large":
+        from s2s_tpu.models import paraformer
+
+        cfg = paraformer.ParaformerConfig()
+        params = paraformer.convert_state_dict(sd, cfg)
+        if args.mvn:
+            mean, scale = parse_kaldi_mvn(args.mvn)
+            params["cmvn_mean"] = mean
+            params["cmvn_scale"] = scale
     elif args.family == "smolvlm-vision":
         from s2s_tpu.models import vision
 

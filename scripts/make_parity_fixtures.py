@@ -281,6 +281,33 @@ def make_vits_fixture(path: str = "tests/data/vits_parity.npz") -> None:
     )
 
 
+def make_paraformer_fixture(path: str = "tests/data/paraformer_parity.npz") -> None:
+    """Tiny FunASR-layout Paraformer twin (scripts/_paraformer_torch_twin.py):
+    SAN-M encoder, CIF v2 with sequential integrate-and-fire, NAR SAN-M
+    decoder.  Saves enc/acoustic/logits + token count."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from _paraformer_torch_twin import ParaformerTwin
+
+    torch.manual_seed(0)
+    model = ParaformerTwin(input_size=28, size=16, n_head=2, d_ff=32,
+                           n_enc=2, n_dec=2, vocab=40,
+                           enc_kernel=11, dec_kernel=11).eval()
+    # bias alphas upward so the random-init CIF actually fires a few tokens
+    with torch.no_grad():
+        model.predictor.cif_output.bias += 0.8
+    feats = torch.randn(1, 20, 28, generator=torch.Generator().manual_seed(7)) * 0.3
+    with torch.no_grad():
+        enc, acoustic, logits, token_num = model(feats)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    np.savez_compressed(
+        path, feats=feats.numpy(), enc=enc.numpy(), acoustic=acoustic.numpy(),
+        logits=logits.numpy(), token_num=token_num.numpy(),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
 def make_smolvlm_fixture(path: str = "tests/data/smolvlm_parity.npz") -> None:
     """Tiny SmolVLM (SigLIP tower + pixel-shuffle connector + Llama text):
     save the vision+connector image features AND full merged-forward logits
@@ -446,4 +473,6 @@ if __name__ == "__main__":
         make_kokoro_fixture()
     if only in (None, "smolvlm"):
         make_smolvlm_fixture()
+    if only in (None, "paraformer-sanm"):
+        make_paraformer_fixture()
     print("fixtures written to tests/data/")

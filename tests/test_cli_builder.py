@@ -221,8 +221,8 @@ def test_paraformer_model_nar_forward():
 
     cfg = paraformer.ParaformerConfig.test_tiny()
     params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
-    mel = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.n_mels, 64))
-    tokens = paraformer.transcribe_tokens(params, cfg, mel, n_frames=64)
+    feats = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (20, cfg.input_size)))
+    tokens = paraformer.transcribe_tokens(params, cfg, feats, n_frames=20)
     assert isinstance(tokens, list) and len(tokens) <= cfg.max_tokens
 
 

@@ -266,6 +266,46 @@ def test_vits_tokenizer_matches_reference_behavior():
     assert ids == want
 
 
+PARAFORMER_FIXTURE = "tests/data/paraformer_parity.npz"
+
+
+def test_paraformer_matches_torch():
+    """SAN-M encoder, dense CIF integrate-and-fire (== the sequential fire
+    loop for per-frame alpha < 1), and the NAR SAN-M decoder vs the
+    FunASR-layout torch twin."""
+    from s2s_tpu.models import paraformer
+
+    sd, io = load_fixture(PARAFORMER_FIXTURE)
+    cfg = paraformer.ParaformerConfig.test_tiny()
+    params = paraformer.convert_state_dict(sd, cfg)
+
+    feats = jnp.asarray(io["feats"])
+    t = feats.shape[1]
+    mask = jnp.ones((1, t, 1), jnp.float32)
+    enc = paraformer.encode(params, cfg, feats, mask)
+    np.testing.assert_allclose(np.asarray(enc), io["enc"], atol=3e-5)
+
+    alphas = paraformer.cif_alphas(params, cfg, enc, mask)
+    acoustic, n_tokens = paraformer.cif_fire(enc, alphas, cfg)
+    n_ref = io["acoustic"].shape[1]
+    assert int(n_tokens[0]) == n_ref
+    np.testing.assert_allclose(np.asarray(acoustic[:, :n_ref]), io["acoustic"], atol=3e-5)
+
+    tgt_mask = (jnp.arange(cfg.max_tokens)[None, :] < n_tokens[:, None]).astype(jnp.float32)[..., None]
+    logits = paraformer.decode(params, cfg, acoustic * tgt_mask, tgt_mask, enc, mask)
+    np.testing.assert_allclose(np.asarray(logits[:, :n_ref]), io["logits"], atol=2e-4)
+    assert np.array_equal(np.argmax(np.asarray(logits[:, :n_ref]), -1),
+                          np.argmax(io["logits"], -1))
+
+    # padded frame bucket must not change the result (masked execution)
+    buf = np.zeros((1, cfg.max_frames, cfg.input_size), np.float32)
+    buf[0, :t] = io["feats"][0]
+    ids, n2 = paraformer.forward(params, cfg, jnp.asarray(buf),
+                                 jnp.asarray([t], jnp.int32))
+    assert int(n2[0]) == n_ref
+    assert np.array_equal(np.asarray(ids[0, :n_ref]), np.argmax(io["logits"], -1)[0])
+
+
 SMOLVLM_FIXTURE = "tests/data/smolvlm_parity.npz"
 
 
