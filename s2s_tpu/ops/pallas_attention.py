@@ -107,7 +107,13 @@ def flash_attention(
 
 def use_flash_for(tq: int, tk: int, d: int) -> bool:
     """Heuristic: flash pays off when the score matrix dwarfs the KV tiles
-    and shapes are tile-aligned (head dims are 64/128 in this model zoo)."""
+    and shapes are tile-aligned (head dims are 64/128 in this model zoo).
+
+    Measured on v5e-1 (in-graph 20-step loop, bf16, bidirectional): flash
+    vs XLA attention is 1.09x @ (8h, 512), 1.16x @ (8h, 1024),
+    0.96x @ (16h, 1536), 0.99x @ (8h, 3072) — XLA's own fusion is already
+    near-flash at encoder shapes; the kernel's remaining value is HBM
+    headroom (the score matrix never materializes) on long buckets."""
     return (
         jax.default_backend() == "tpu"
         and tq % DEFAULT_TQ_TILE == 0

@@ -486,3 +486,96 @@ def test_handler_interruption_threshold_uses_active_speech():
     outputs = feed(handler, 40)
     assert not [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
     assert not [o for o in outputs if isinstance(o, VADAudio)]
+
+
+# ── continuation hysteresis / grace selection / stitching gaps ───────
+
+
+def test_handler_grace_selection_complete_vs_incomplete():
+    """Smart-turn verdict selects the speculative grace window: complete ->
+    the short commit grace; incomplete -> the longer wait."""
+    recorded = {}
+
+    def capture(handler, tracker):
+        orig = tracker.start_reopen_grace
+
+        def spy(turn, rev, grace_s):
+            recorded[handler] = grace_s
+            return orig(turn, rev, grace_s)
+
+        tracker.start_reopen_grace = spy
+
+    h1, _, t1 = build_handler([0.9] * 20 + [0.0] * 20, smart_turn_analyzer=StaticAnalyzer(0.9))
+    capture("complete", t1)
+    feed(h1, 30)
+    h2, _, t2 = build_handler([0.9] * 20 + [0.0] * 20, smart_turn_analyzer=StaticAnalyzer(0.1))
+    capture("incomplete", t2)
+    feed(h2, 30)
+    assert recorded["complete"] < recorded["incomplete"]
+    assert recorded["complete"] == pytest.approx(0.8)   # speculative_reopen_ms
+    assert recorded["incomplete"] == pytest.approx(2.0)  # smart_turn_max_wait_ms
+
+
+def test_handler_entry_bar_unchanged_for_new_speech():
+    """The lower continuation bar applies only to reopens: a NEW burst of
+    224 ms (>= 192 continuation, < 384 entry) never starts a turn."""
+    handler, qtext, _ = build_handler([0.9] * 7 + [0.0] * 20)
+    outputs = feed(handler, 27)
+    assert not [o for o in outputs if isinstance(o, VADAudio)]
+    assert not [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+
+
+def test_handler_continuation_bar_inactive_when_committed():
+    """A committed turn cannot reopen: a 224 ms resumption after commit is
+    neither a reopen (committed) nor a new turn (below the entry bar)."""
+    probs = [0.9] * 20 + [0.0] * 10 + [0.9] * 7 + [0.0] * 20
+    handler, qtext, tracker = build_handler(probs)
+    outputs = []
+    pcm = np.full(CHUNK, 100, dtype=np.int16).tobytes()
+    for i in range(57):
+        outputs.extend(handler.process(pcm))
+        if i == 25:
+            tracker.commit("turn_1", 0)  # assistant started speaking
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 1 and finals[0].turn_revision == 0
+    starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert len(starts) == 1  # no second start for the sub-entry fragment
+
+
+def test_handler_stitching_preserves_silence_gap():
+    """Merged short segments keep the silence between them (the reference
+    stitches raw timeline audio, not concatenated speech)."""
+    # 8 speech, 4 silence, 8 speech: individually below 384 ms, stitched
+    # (with the 128 ms gap) they cross it
+    probs = [0.9] * 8 + [0.0] * 4 + [0.9] * 8 + [0.0] * 20
+    handler, qtext, _ = build_handler(probs, short_segment_merge_ms=500)
+    outputs = feed(handler, 40)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 1
+    # >= 16 speech chunks plus the 4-chunk gap worth of samples
+    assert len(finals[0].audio) >= 20 * CHUNK
+
+
+def test_handler_final_replaces_queued_progressive_same_revision():
+    """An unconsumed progressive for the same (turn, revision) is dropped
+    from the output queue when the final is emitted (the final supersedes
+    it; STT must not decode both)."""
+    handler, qtext, _ = build_handler(
+        [0.9] * 20 + [0.0] * 20,
+        enable_realtime_transcription=True,
+        realtime_processing_pause=0.0,
+    )
+    pcm = np.full(CHUNK, 100, dtype=np.int16).tobytes()
+    for _ in range(40):
+        for out in handler.process(pcm):
+            handler.before_emit_output(out)  # as the run loop does
+            handler.queue_out.put(out)
+    items = drain(handler.queue_out)
+    finals = [o for o in items if isinstance(o, VADAudio) and o.mode == "final"]
+    progressive = [o for o in items if isinstance(o, VADAudio) and o.mode == "progressive"]
+    assert len(finals) == 1
+    # every progressive still queued is for a DIFFERENT (older) revision or
+    # none at all — same-revision progressives were purged by the final
+    same_rev = [p for p in progressive
+                if (p.turn_id, p.turn_revision) == (finals[0].turn_id, finals[0].turn_revision)]
+    assert same_rev == []
