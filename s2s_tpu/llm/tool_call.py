@@ -104,6 +104,10 @@ def signature_from_schema(schema: Any) -> inspect.Signature:
                 default=default, annotation=_annotation(spec),
             )
         )
+    # a schema may list an optional property before a required one; Python
+    # signatures forbid non-default-after-default, so required params sort
+    # first (stable within each group)
+    params.sort(key=lambda p: p.default is not inspect.Parameter.empty)
     return inspect.Signature(params)
 
 
