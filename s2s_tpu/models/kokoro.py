@@ -927,6 +927,10 @@ class KokoroTTS:
         return jnp.asarray(voices[vid % len(voices)][None])
 
     def _encode(self, text: str) -> list[int]:
+        """With a converted vocab sidecar the input is a PHONEME string (the
+        reference's KPipeline runs misaki G2P before this map; supply
+        phonemized text or plug a G2P upstream); without one, a byte-level
+        fallback keeps random-init serving/tests running."""
         if self.vocab is not None:
             return [self.vocab[c] for c in text if c in self.vocab]
         return [1 + (b % (self.cfg.n_token - 1)) for b in text.encode("utf-8")]

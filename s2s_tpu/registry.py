@@ -322,7 +322,8 @@ def _make_kokoro_tts(config, ctx: HandlerContext):
     from s2s_tpu.tts.kokoro_handler import KokoroTTSHandler
 
     def build():
-        model = KokoroTTS(params=_load_checkpoint(config.checkpoint))
+        model = KokoroTTS(params=_load_checkpoint(config.checkpoint),
+                          vocab=_load_vocab_sidecar(config.checkpoint))
         if config.voicepack:
             pack = _load_checkpoint(config.voicepack)
             model.add_voice(config.voice or "default", pack["pack"])

@@ -144,9 +144,21 @@ def main() -> None:
 
         params = vision.convert_hf_state_dict(sd, vision.VisionConfig())
     elif args.family == "kokoro":
+        import json
+        import os
+
         from s2s_tpu.models import kokoro
 
         params = kokoro.convert_state_dict(sd, kokoro.KokoroConfig())
+        # hexgrad/Kokoro-82M ships the phoneme vocab in config.json
+        cfg_path = os.path.join(os.path.dirname(args.src) or ".", "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                vocab = json.load(f).get("vocab")
+            if vocab:
+                with open(args.out + ".vocab.json", "w") as f:
+                    json.dump(vocab, f, ensure_ascii=False)
+                print(f"wrote {args.out}.vocab.json ({len(vocab)} phonemes)")
     elif args.family == "kokoro-voice":
         # a voicepack .pt: (510, 1, 2*style) length-indexed style table
         pack = next(iter(sd.values())) if isinstance(sd, dict) and len(sd) == 1 else sd
