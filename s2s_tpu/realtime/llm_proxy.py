@@ -27,12 +27,30 @@ logger = logging.getLogger(__name__)
 
 
 class ProxyUsage(BaseModel):
+    """Replica-local counters, surfaced as the ``llm_proxy`` section of
+    ``GET /v1/usage``.  429 gets its own bucket (never double-counted under
+    4xx) so a quota-melting client is visible at a glance (reference
+    ``llm_proxy.py:43-104``)."""
+
     requests: int = 0
     streamed_requests: int = 0
+    responses_2xx: int = 0
+    responses_4xx: int = 0
+    responses_429: int = 0
+    responses_5xx: int = 0
     input_tokens: int = 0
     output_tokens: int = 0
     upstream_errors: int = 0
-    rate_limited: int = 0  # dedicated 429 bucket
+
+    def record_status(self, status: int) -> None:
+        if status == 429:
+            self.responses_429 += 1
+        elif 200 <= status < 300:
+            self.responses_2xx += 1
+        elif 400 <= status < 500:
+            self.responses_4xx += 1
+        elif status >= 500:
+            self.responses_5xx += 1
 
 
 class LLMProxy:
@@ -84,12 +102,18 @@ class LLMProxy:
                 try:
                     body = json.loads(self.rfile.read(length) or b"{}")
                 except json.JSONDecodeError:
+                    body = None
+                if not isinstance(body, dict):
+                    # valid-but-non-object JSON (lists, strings) is as
+                    # unforwardable as a parse error: 400, never upstream
                     self.send_response(400)
                     self.end_headers()
+                    self.wfile.write(b'{"error": "request body must be a JSON object"}')
                     return
                 proxy._forward(self, path, body)
 
         self._server = ThreadingHTTPServer((host, port), Handler)
+        port = self._server.server_address[1]  # resolve port=0 → bound port
         threading.Thread(target=self._server.serve_forever, daemon=True, name="llm-proxy").start()
         logger.info("LLM proxy on http://%s:%d%s", host, port, self.supported_path)
         return port
@@ -114,18 +138,16 @@ class LLMProxy:
                 if stream:
                     self.usage.streamed_requests += 1
                     with client.stream("POST", path.removeprefix("/v1"), json=body, headers=headers) as resp:
+                        self.usage.record_status(resp.status_code)
                         handler.send_response(resp.status_code)
                         handler.send_header("Content-Type", "text/event-stream")
                         handler.end_headers()
-                        if resp.status_code == 429:
-                            self.usage.rate_limited += 1
                         for line in resp.iter_lines():
                             handler.wfile.write((line + "\n").encode())
                             self._count_sse(line)
                 else:
                     resp = client.post(path.removeprefix("/v1"), json=body, headers=headers)
-                    if resp.status_code == 429:
-                        self.usage.rate_limited += 1
+                    self.usage.record_status(resp.status_code)
                     handler.send_response(resp.status_code)
                     handler.send_header("Content-Type", "application/json")
                     handler.end_headers()
@@ -133,6 +155,7 @@ class LLMProxy:
                     self._count_json(resp)
         except Exception:
             self.usage.upstream_errors += 1
+            self.usage.record_status(502)
             logger.exception("LLM proxy upstream failure")
             try:
                 handler.send_response(502)
