@@ -79,12 +79,32 @@ class PlaybackBuffer:
 
 @dataclass
 class TranscriptRenderer:
-    """Terminal transcript: USER partials/finals + ASSISTANT text."""
+    """Terminal transcript: USER partials/finals + streamed ASSISTANT text.
+
+    Assistant deltas accumulate per *stream* — the ``(response_id, item_id,
+    output_index, content_index)`` identity — so interleaved responses each
+    get their own line, ``…transcript.done`` never reprints text that was
+    already streamed live, and servers that only send done-events (no
+    deltas) still render a full line (reference ``audio_client.py:170-244``).
+    """
 
     show: bool = True
     _partial: str = ""
     lines: list[str] = field(default_factory=list)
+    _live_stream: Optional[tuple] = None
+    _live_text: str = ""
+    _streamed: set = field(default_factory=set)
 
+    @staticmethod
+    def _stream_key(event: dict) -> tuple:
+        return (
+            event.get("response_id"),
+            event.get("item_id"),
+            event.get("output_index"),
+            event.get("content_index"),
+        )
+
+    # ── user side ────────────────────────────────────────────────────
     def on_user_partial(self, delta: str) -> None:
         self._partial = delta
         if self.show:
@@ -96,13 +116,74 @@ class TranscriptRenderer:
         if self.show:
             print(f"\rUSER: {transcript}")
 
-    def on_assistant(self, delta: str) -> None:
-        self.lines.append(f"ASSISTANT: {delta}")
+    def on_user_cancelled(self) -> None:
+        """Input discarded (reopen/cancel): drop the live partial without
+        duplicating it as a final line."""
+        self._partial = ""
+
+    # ── assistant side ───────────────────────────────────────────────
+    def on_assistant_delta(self, event: dict) -> None:
+        delta = event.get("delta") or ""
+        if not delta:
+            return
+        key = self._stream_key(event)
+        if self._live_stream != key:
+            self._finish_live_assistant()
+            delta = delta.lstrip()
+            if not delta:
+                return
+            self._live_stream = key
+            if self.show:
+                print("ASSISTANT: ", end="", flush=True)
+        self._streamed.add(key)
+        self._live_text += delta
         if self.show:
-            print(f"ASSISTANT: {delta}")
+            print(delta, end="", flush=True)
+
+    def on_assistant_done(self, event: dict) -> None:
+        key = self._stream_key(event)
+        if self._live_stream == key:
+            self._finish_live_assistant()
+        if key in self._streamed:
+            self._streamed.discard(key)  # streamed live — never reprint
+            return
+        # legacy done-only server: the transcript arrives only here
+        transcript = event.get("transcript") or event.get("text") or ""
+        if transcript:
+            self._finish_live_assistant()
+            self.lines.append(f"ASSISTANT: {transcript}")
+            if self.show:
+                print(f"ASSISTANT: {transcript}", flush=True)
+
+    def on_response_done(self, response_id: Optional[str]) -> None:
+        if self._live_stream is not None and self._live_stream[0] == response_id:
+            self._finish_live_assistant()
+        self._streamed = {k for k in self._streamed if k[0] != response_id}
+
+    def _finish_live_assistant(self) -> None:
+        if self._live_stream is None:
+            return
+        if self._live_text.rstrip():
+            self.lines.append(f"ASSISTANT: {self._live_text.rstrip()}")
+        if self.show:
+            print("", flush=True)
+        self._live_stream = None
+        self._live_text = ""
+
+    # backward-compatible single-delta entry point
+    def on_assistant(self, delta: str) -> None:
+        self.on_assistant_delta({"delta": delta})
+
+
+SUPPORTED_PCM_RATES = (16000, 24000)
 
 
 def build_session_update(instructions: Optional[str], voice: Optional[str], rate: int) -> dict[str, Any]:
+    if rate not in SUPPORTED_PCM_RATES:
+        raise ValueError(
+            f"Unsupported PCM rate {rate}: the realtime protocol carries "
+            f"{' or '.join(str(r) for r in SUPPORTED_PCM_RATES)} Hz"
+        )
     session: dict[str, Any] = {
         "type": "realtime",
         "audio": {
@@ -187,9 +268,12 @@ async def run_wav_client(
                     renderer.on_user_partial(event["delta"])
                 elif etype == "conversation.item.input_audio_transcription.completed":
                     renderer.on_user_final(event["transcript"])
-                elif etype == "response.output_audio_transcript.delta":
-                    renderer.on_assistant(event["delta"])
+                elif etype in ("response.output_audio_transcript.delta", "response.output_text.delta"):
+                    renderer.on_assistant_delta(event)
+                elif etype in ("response.output_audio_transcript.done", "response.output_text.done"):
+                    renderer.on_assistant_done(event)
                 elif etype == "response.done":
+                    renderer.on_response_done((event.get("response") or {}).get("id"))
                     if send_task.done():
                         break
         finally:
@@ -283,7 +367,21 @@ async def run_live_client(
             await asyncio.sleep(0.5)
 
     mic_stream = audio_io.open_input(sample_rate, CHUNK_SAMPLES, on_mic)
-    spk_stream = audio_io.open_output(sample_rate, CHUNK_SAMPLES, playback.take)
+    try:
+        spk_stream = audio_io.open_output(sample_rate, CHUNK_SAMPLES, playback.take)
+    except Exception:
+        # never leave the mic held open (or the WS half-connected) when the
+        # speaker fails to come up
+        for meth in ("stop", "close"):
+            try:
+                getattr(mic_stream, meth)()
+            except Exception:  # noqa: BLE001
+                pass
+        try:
+            await ws.close()
+        except Exception:  # noqa: BLE001
+            pass
+        raise
     try:
         await ws.send(json.dumps(build_session_update(instructions, voice, sample_rate)))
 
@@ -319,8 +417,18 @@ async def run_live_client(
                     renderer.on_user_partial(event["delta"])
                 elif etype == "conversation.item.input_audio_transcription.completed":
                     renderer.on_user_final(event["transcript"])
-                elif etype == "response.output_audio_transcript.delta":
-                    renderer.on_assistant(event["delta"])
+                elif etype in ("response.output_audio_transcript.delta", "response.output_text.delta"):
+                    renderer.on_assistant_delta(event)
+                elif etype in ("response.output_audio_transcript.done", "response.output_text.done"):
+                    renderer.on_assistant_done(event)
+                elif etype == "response.done":
+                    response = event.get("response") or {}
+                    renderer.on_response_done(response.get("id"))
+                    if response.get("status") == "cancelled":
+                        # cancelled mid-flight: anything unplayed is stale
+                        dropped = playback.clear()
+                        if dropped:
+                            logger.debug("cancelled response: cleared %d unplayed samples", dropped)
         finally:
             send_task.cancel()
             try:
