@@ -181,7 +181,9 @@ class MMSTTSArgs:
 class PocketTTSArgs:
     prefix = "tts"
 
+    voice: Optional[str] = None  # named voice from the converted catalog
     ref_audio: Optional[str] = None
+    ref_spk: Optional[str] = None  # converted pocket-voice embedding (.npz)
     speed: float = 1.0
     checkpoint: Optional[str] = None
     blocksize: int = 512

@@ -370,12 +370,22 @@ def _make_mms_tts(config, ctx: HandlerContext):
 
 
 def _make_pocket_tts(config, ctx: HandlerContext):
-    from s2s_tpu.models.kokoro import KokoroTTS
+    from s2s_tpu.models.pocket_tts import PocketTTS
     from s2s_tpu.tts.pocket_handler import PocketTTSHandler
 
-    model = ctx.model_cache.get(
-        ("kokoro", config.checkpoint), lambda: KokoroTTS(params=_load_checkpoint(config.checkpoint))
-    )
+    def build():
+        model = PocketTTS(params=_load_checkpoint(config.checkpoint))
+        # named voice prefixes: --tts_ref_spk <converted pocket-voice .npz>
+        # (one file -> voice name = file stem)
+        if getattr(config, "ref_spk", None):
+            import os
+
+            tree = _load_checkpoint(config.ref_spk)
+            voice = tree.get("voice") if isinstance(tree, dict) else tree
+            model.add_voice(os.path.splitext(os.path.basename(config.ref_spk))[0], voice)
+        return model
+
+    model = ctx.model_cache.get(("pocket-tts", config.checkpoint, getattr(config, "ref_spk", None)), build)
     ref = None
     if config.ref_audio:
         import wave
@@ -384,6 +394,7 @@ def _make_pocket_tts(config, ctx: HandlerContext):
 
         with wave.open(config.ref_audio) as w:
             ref = np.frombuffer(w.readframes(w.getnframes()), np.int16).astype(np.float32) / 32768.0
+    voice = getattr(config, "voice", None) or (sorted(model.voices)[0] if model.voices else None)
     return PocketTTSHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,
         setup_kwargs=dict(
@@ -392,6 +403,7 @@ def _make_pocket_tts(config, ctx: HandlerContext):
             device_scheduler=ctx.device_scheduler,
             should_listen=ctx.should_listen,
             model=model,
+            voice=voice,
             voice_ref_audio=ref,
             speed=config.speed,
             blocksize=config.blocksize,

@@ -1,11 +1,13 @@
-"""Pocket-class streaming TTS handler (reference ``TTS/pocket_tts_handler.py``
-— Kyutai Pocket TTS: CPU-friendly streaming with voice cloning).
+"""Pocket TTS streaming handler (reference ``TTS/pocket_tts_handler.py`` —
+Kyutai Pocket TTS: CPU-friendly delayed-streams TTS with voice cloning).
 
-Archetype implementation over the JAX Kokoro model: text is synthesized
-sentence-by-sentence (true incremental emission, unlike the one-shot MMS
-path), a reference-audio embedding picks the voice, and the base class's
-stateful re-chunking handles the resample-aware block sizing the reference
-implements by hand (``pocket_tts_handler.py:131-227``)."""
+Drives the checkpoint-faithful JAX Pocket model
+(:mod:`s2s_tpu.models.pocket_tts`: Moshi-family backbone + depformer over
+Mimi codec frames): true incremental emission in 640 ms codec chunks, a
+named voice from the Kyutai ``tts-voices`` catalog (converted embedding
+prefixes), and the base class's stateful re-chunking standing in for the
+reference's hand-rolled resample-aware block sizing
+(``pocket_tts_handler.py:131-227``)."""
 
 from __future__ import annotations
 
@@ -15,7 +17,6 @@ from typing import Iterator, Optional
 import numpy as np
 
 from s2s_tpu.tts.base import BaseTTSHandler
-from s2s_tpu.utils.sentences import split_sentences
 
 logger = logging.getLogger(__name__)
 
@@ -28,11 +29,12 @@ class PocketTTSHandler(BaseTTSHandler):
         device_scheduler=None,
         should_listen=None,
         blocksize: int = 512,
-        voice_ref_audio: np.ndarray | None = None,
+        voice: str | None = None,
         speed: float = 1.0,
         synthesize_fn=None,
         model=None,
         warmup: bool = False,
+        voice_ref_audio: np.ndarray | None = None,
     ) -> None:
         self.setup_base(
             cancel_scope=cancel_scope,
@@ -43,29 +45,37 @@ class PocketTTSHandler(BaseTTSHandler):
         )
         self.speed = speed
         self._synthesize_fn = synthesize_fn
-        self._voice_id = 0
+        self.voice = voice
         if synthesize_fn is None:
             if model is None:
-                from s2s_tpu.models.kokoro import KokoroTTS
+                from s2s_tpu.models.pocket_tts import PocketTTS
 
                 logger.warning("PocketTTSHandler: random-init weights (no checkpoint provided)")
-                model = KokoroTTS()
+                model = PocketTTS()
             self.model = model
             if voice_ref_audio is not None:
-                # voice cloning: pool the reference's mel into a voice choice
-                from s2s_tpu.ops.mel import log_mel_spectrogram
-
-                mel = np.asarray(log_mel_spectrogram(np.asarray(voice_ref_audio, np.float32), 80))
-                self._voice_id = int(abs(mel.mean() * 1000)) % len(self.model.params["voices"])
+                # cloning from raw audio needs the Mimi ENCODER (not part of
+                # the decode path) — reference clones via the pocket_tts
+                # package; here converted voice embeddings are the supported
+                # route (scripts/convert_checkpoint.py --family pocket-voice)
+                logger.warning(
+                    "PocketTTSHandler: --tts_ref_audio cloning requires a converted "
+                    "voice-embedding file (pocket-voice); using the default voice"
+                )
+            if self.voice is not None and self.voice not in self.model.voices:
+                logger.warning("PocketTTSHandler: unknown voice %r (have %s); using default",
+                               self.voice, sorted(self.model.voices) or "none")
+                self.voice = None
             if warmup:
-                self.model.synthesize("Warm up.", voice_id=self._voice_id)
+                for _ in self.model.stream("Warm up.", voice=self.voice):
+                    break
 
     def _synthesize(self, text: str, language: Optional[str], runtime_config, response) -> Iterator:
         if self._synthesize_fn is not None:
             yield from self._synthesize_fn(text, language)
             return
-        # sentence-by-sentence incremental emission (streaming archetype)
-        for sentence in split_sentences(text) or [text]:
-            audio = self.model.synthesize(sentence, voice_id=self._voice_id, speed=self.speed)
-            if len(audio):
-                yield audio, 24000
+        voice = self.voice
+        session_voice = self._session_voice(runtime_config, response)
+        if session_voice and session_voice in self.model.voices:
+            voice = session_voice
+        yield from self.model.stream(text, voice=voice)

@@ -79,7 +79,8 @@ def main() -> None:
                                  "parakeet-tdt-0.6b-v2", "parakeet-tdt-0.6b-v3",
                                  "qwen3-tts-12hz-1.7b", "smart-turn", "mms-vits",
                                  "kokoro", "kokoro-voice", "smolvlm-vision",
-                                 "paraformer-large"])
+                                 "paraformer-large", "mimi", "pocket-tts",
+                                 "pocket-voice"])
     parser.add_argument("--mvn", default=None,
                         help="paraformer: FunASR am.mvn (Kaldi text) for CMVN")
     parser.add_argument("--pred-layers", type=int, default=1,
@@ -163,6 +164,18 @@ def main() -> None:
         # a voicepack .pt: (510, 1, 2*style) length-indexed style table
         pack = next(iter(sd.values())) if isinstance(sd, dict) and len(sd) == 1 else sd
         params = {"pack": np.asarray(pack, np.float32).reshape(-1, 256)}
+    elif args.family == "mimi":
+        from s2s_tpu.models import mimi
+
+        params = mimi.convert_state_dict(sd, mimi.MimiConfig())
+    elif args.family == "pocket-tts":
+        from s2s_tpu.models import pocket_tts
+
+        params = pocket_tts.convert_state_dict(sd, pocket_tts.PocketTTSConfig())
+    elif args.family == "pocket-voice":
+        # a kyutai tts-voices embedding file: (T_v, d_model) prefix rows
+        arr = next(iter(sd.values())) if isinstance(sd, dict) and len(sd) == 1 else sd
+        params = {"voice": np.asarray(arr, np.float32)}
     elif args.family == "smart-turn":
         from s2s_tpu.vad import smart_turn
 

@@ -348,6 +348,60 @@ def make_smolvlm_fixture(path: str = "tests/data/smolvlm_parity.npz") -> None:
     )
 
 
+def make_mimi_fixture(path: str = "tests/data/mimi_parity.npz") -> None:
+    """Tiny Mimi decoder twin (scripts/_mimi_torch_twin.py — the moshi-style
+    MimiModel decoder layout): codes -> waveform, plus the flattened state
+    dict for the converter."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from _mimi_torch_twin import MimiDecoderTwin, state_dict_with_moshi_names
+
+    torch.manual_seed(0)
+    twin = MimiDecoderTwin(
+        n_q=4, codebook_size=64, codebook_dim=16, dim=32, t_layers=2,
+        t_heads=4, t_ff=64, t_context=16, n_filters=4, ratios=(4, 3),
+        kernel=5, last_kernel=3,
+    ).eval()
+    # LayerScale at its 0.01 init makes the transformer a near-identity;
+    # bump it so the fixture actually exercises attention + MLP numerics
+    with torch.no_grad():
+        for layer in twin.decoder_transformer.layers:
+            layer.layer_scale_1.scale += 0.5
+            layer.layer_scale_2.scale += 0.5
+    codes = torch.randint(0, 64, (2, 10, 4), generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        wav = twin(codes)
+    sd = {k: v.detach().numpy() for k, v in state_dict_with_moshi_names(twin).items()}
+    np.savez_compressed(
+        path, codes=codes.numpy(), wav=wav.numpy(),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
+def make_pocket_fixture(path: str = "tests/data/pocket_parity.npz") -> None:
+    """Tiny Pocket-TTS delayed-streams twin (scripts/_pocket_torch_twin.py —
+    moshi-style LM layout): full generation loop (codes + backbone hiddens),
+    with and without a voice prefix."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from _pocket_torch_twin import PocketTwin
+
+    torch.manual_seed(0)
+    twin = PocketTwin().eval()
+    text = torch.randint(4, 64, (1, 6), generator=torch.Generator().manual_seed(2))
+    codes, hiddens = twin.generate(text, 12)
+    voice = torch.randn(1, 3, 32, generator=torch.Generator().manual_seed(7)) * 0.3
+    codes_v, _ = twin.generate(text, 12, voice_prefix=voice)
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    np.savez_compressed(
+        path, text=text.numpy(), codes=codes.numpy(), hiddens=hiddens.numpy(),
+        voice=voice.numpy(), codes_v=codes_v.numpy(),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
 def make_kokoro_fixture(path: str = "tests/data/kokoro_parity.npz") -> None:
     """Tiny Kokoro KModel twin (scripts/_kokoro_torch_twin.py — the real
     StyleTTS2/iSTFTNet structure with the kokoro-v1_0.pth key layout),
@@ -471,6 +525,10 @@ if __name__ == "__main__":
         make_vits_fixture()
     if only in (None, "kokoro"):
         make_kokoro_fixture()
+    if only in (None, "mimi"):
+        make_mimi_fixture()
+    if only in (None, "pocket"):
+        make_pocket_fixture()
     if only in (None, "smolvlm"):
         make_smolvlm_fixture()
     if only in (None, "paraformer-sanm"):

@@ -233,11 +233,16 @@ def test_istft_reconstructs_sine():
     assert err.max() < 5e-2 and err.mean() < 1e-2
 
 
-def test_pocket_handler_streams_per_sentence():
-    from s2s_tpu.models.kokoro import KokoroConfig, KokoroTTS
+def test_pocket_handler_streams_through_real_model():
+    import jax.numpy as jnp
+
+    from s2s_tpu.models.pocket_tts import PocketTTS, PocketTTSConfig
     from s2s_tpu.tts.pocket_handler import PocketTTSHandler
 
-    model = KokoroTTS(cfg=KokoroConfig.test_tiny())
+    model = PocketTTS(cfg=PocketTTSConfig.tiny())
+    # random weights synthesize near-silence (legitimately trimmed by the
+    # handler); scale the Mimi output conv so the wiring is observable
+    model.params["mimi"]["final_conv"]["w"] = model.params["mimi"]["final_conv"]["w"] * 2000.0
     handler = PocketTTSHandler(
         threading.Event(), Queue(), Queue(), setup_kwargs=dict(model=model)
     )
