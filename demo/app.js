@@ -5,6 +5,7 @@
 import { ChatUI } from "./chat.js";
 import { WSClient } from "./ws-client.js";
 import { RTCClient } from "./rtc-client.js";
+import { Orb } from "./orb.js";
 
 const statusEl = document.getElementById("status");
 const transcriptEl = document.getElementById("transcript");
@@ -14,6 +15,7 @@ const textInput = document.getElementById("text-input");
 const sendBtn = document.getElementById("send-text");
 
 const chat = new ChatUI(transcriptEl, statusEl, usageEl);
+const orb = new Orb(document.getElementById("orb"));
 let client = null;
 
 async function start() {
@@ -21,12 +23,30 @@ async function start() {
   const url = document.getElementById("url").value;
   const instructions = document.getElementById("instructions").value || undefined;
   const voice = document.getElementById("voice").value || undefined;
-  client = transport === "webrtc" ? new RTCClient(chat) : new WSClient(chat);
+  client = transport === "webrtc" ? new RTCClient(chat, orb) : new WSClient(chat, orb);
   chat.status(`connecting (${transport})…`);
   await client.start(url, { instructions, voice });
   startBtn.textContent = "Stop";
   startBtn.classList.add("stop");
 }
+
+/* live VAD knobs -> session.update (the server applies turn-detection
+ * changes mid-session) */
+function bindVadSlider(id, valId, fmt, build) {
+  const el = document.getElementById(id);
+  const val = document.getElementById(valId);
+  el.addEventListener("input", () => {
+    val.textContent = fmt(el.value);
+    client?.updateSession({
+      type: "realtime",
+      audio: { input: { turn_detection: build(parseFloat(el.value)) } },
+    });
+  });
+}
+bindVadSlider("vad-thresh", "vad-thresh-val", (v) => Number(v).toFixed(2),
+  (v) => ({ type: "server_vad", threshold: v }));
+bindVadSlider("vad-silence", "vad-silence-val", (v) => `${v} ms`,
+  (v) => ({ type: "server_vad", silence_duration_ms: v }));
 
 function stop() {
   client?.stop();

@@ -6,12 +6,30 @@
 import { routeServerEvent } from "./chat.js";
 
 export class RTCClient {
-  constructor(chat) {
+  constructor(chat, orb = null) {
     this.chat = chat;
+    this.orb = orb;
     this.pc = null;
     this.channel = null;
     this.mediaStream = null;
     this.audioEl = null;
+    this._analysers = [];
+  }
+
+  _attachAnalyser(ctx, source, setLevel) {
+    /* WebAudio analyser-driven orb levels (RTP audio never surfaces PCM
+     * frames to JS, unlike the WS worklet path). */
+    const analyser = ctx.createAnalyser();
+    analyser.fftSize = 512;
+    source.connect(analyser);
+    const buf = new Float32Array(analyser.fftSize);
+    const timer = setInterval(() => {
+      analyser.getFloatTimeDomainData(buf);
+      let acc = 0;
+      for (let i = 0; i < buf.length; i++) acc += buf[i] * buf[i];
+      setLevel(Math.sqrt(acc / buf.length));
+    }, 50);
+    this._analysers.push({ timer, ctx });
   }
 
   async start(callsUrl, { instructions, voice } = {}) {
@@ -26,8 +44,19 @@ export class RTCClient {
     this.audioEl = new Audio();
     this.audioEl.autoplay = true;
     this.pc.ontrack = (evt) => {
-      this.audioEl.srcObject = evt.streams[0] ?? new MediaStream([evt.track]);
+      const stream = evt.streams[0] ?? new MediaStream([evt.track]);
+      this.audioEl.srcObject = stream;
+      if (this.orb) {
+        const ctx = new AudioContext();
+        this._attachAnalyser(ctx, ctx.createMediaStreamSource(stream),
+          (v) => this.orb.setAssistantLevel(v));
+      }
     };
+    if (this.orb) {
+      const ctx = new AudioContext();
+      this._attachAnalyser(ctx, ctx.createMediaStreamSource(this.mediaStream),
+        (v) => this.orb.setUserLevel(v));
+    }
 
     this.channel = this.pc.createDataChannel("oai-events", { ordered: true });
     this.channel.onmessage = (m) => routeServerEvent(JSON.parse(m.data), this.chat, {});
@@ -58,6 +87,11 @@ export class RTCClient {
     this.chat.status("WebRTC connected — speak!");
   }
 
+  updateSession(session) {
+    if (this.channel?.readyState !== "open") return;
+    this.channel.send(JSON.stringify({ type: "session.update", session }));
+  }
+
   sendText(text) {
     if (this.channel?.readyState !== "open") return;
     this.channel.send(
@@ -70,6 +104,11 @@ export class RTCClient {
   }
 
   stop() {
+    for (const { timer, ctx } of this._analysers) {
+      clearInterval(timer);
+      ctx.close();
+    }
+    this._analysers = [];
     this.mediaStream?.getTracks().forEach((t) => t.stop());
     this.channel?.close();
     this.pc?.close();

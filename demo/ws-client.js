@@ -4,6 +4,7 @@
  * clear. */
 
 import { routeServerEvent } from "./chat.js";
+import { rmsLevel } from "./orb.js";
 
 const RATE = 16000;
 
@@ -26,8 +27,9 @@ function b64ToInt16(b64) {
 }
 
 export class WSClient {
-  constructor(chat) {
+  constructor(chat, orb = null) {
     this.chat = chat;
+    this.orb = orb;
     this.ws = null;
     this.audioCtx = null;
     this.mediaStream = null;
@@ -40,8 +42,11 @@ export class WSClient {
     this.ws.onmessage = (m) =>
       routeServerEvent(JSON.parse(m.data), this.chat, {
         onBargeIn: () => this.playbackNode?.port.postMessage({ clear: true }),
-        onAudioDelta: (b64) =>
-          this.playbackNode?.port.postMessage({ pcm: b64ToInt16(b64), rate: RATE }),
+        onAudioDelta: (b64) => {
+          const pcm = b64ToInt16(b64);
+          this.orb?.setAssistantLevel(rmsLevel(pcm));
+          this.playbackNode?.port.postMessage({ pcm, rate: RATE });
+        },
       });
     this.ws.onclose = () => this.chat.status("disconnected");
     await new Promise((ok, bad) => {
@@ -64,6 +69,7 @@ export class WSClient {
       this.captureNode = new AudioWorkletNode(this.audioCtx, "s2s-capture");
       srcNode.connect(this.captureNode);
       this.captureNode.port.onmessage = (m) => {
+        this.orb?.setUserLevel(rmsLevel(m.data));
         if (this.ws?.readyState !== WebSocket.OPEN) return;
         this.ws.send(
           JSON.stringify({ type: "input_audio_buffer.append", audio: int16ToB64(m.data) })
@@ -85,6 +91,12 @@ export class WSClient {
     };
     if (instructions) session.instructions = instructions;
     if (voice) session.audio.output.voice = voice;
+    this.ws.send(JSON.stringify({ type: "session.update", session }));
+  }
+
+  updateSession(session) {
+    /* live mid-session settings: VAD knobs, voice, instructions */
+    if (this.ws?.readyState !== WebSocket.OPEN) return;
     this.ws.send(JSON.stringify({ type: "session.update", session }));
   }
 
