@@ -308,3 +308,45 @@ def test_qwen3_int8_streams_chunks():
     assert any(isinstance(l, QuantWeight) for l in leaves)
     chunks = list(tts.stream("Hi.", max_new_tokens=8))
     assert chunks and all(np.all(np.isfinite(a)) for a, _ in chunks)
+
+
+def test_estimate_cjk_speaking_rate_dominates():
+    """CJK text budgets more audio seconds per character than latin text of
+    the same character count (reference CJK_CHARS_PER_SECOND rate)."""
+    from s2s_tpu.tts.qwen3_handler import estimate_max_new_tokens
+
+    latin = "a" * 40  # one 40-char word
+    cjk = "你" * 40
+    assert estimate_max_new_tokens(cjk, cap=10_000) > estimate_max_new_tokens(latin, cap=10_000)
+
+
+def test_estimate_cap_can_be_raised_above_default():
+    from s2s_tpu.tts.qwen3_handler import (
+        DEFAULT_MAX_NEW_TOKENS,
+        estimate_max_new_tokens,
+    )
+
+    long_text = "word " * 2000
+    assert estimate_max_new_tokens(long_text) == DEFAULT_MAX_NEW_TOKENS
+    assert estimate_max_new_tokens(long_text, cap=5 * DEFAULT_MAX_NEW_TOKENS) \
+        > DEFAULT_MAX_NEW_TOKENS
+
+
+def test_estimate_punctuation_adds_pause_budget():
+    from s2s_tpu.tts.qwen3_handler import estimate_max_new_tokens
+
+    plain = "hello there my friend how are you doing today"
+    punctuated = "hello, there, my, friend, how, are, you, doing, today?"
+    assert estimate_max_new_tokens(punctuated, cap=10_000) \
+        >= estimate_max_new_tokens(plain, cap=10_000)
+
+
+def test_session_voice_override_supported_speaker(monkeypatch):
+    """session.audio.output.voice selects a preset speaker when supported;
+    unknown names fall back to the default speaker id (reference
+    apply_session_voice_override semantics)."""
+    from s2s_tpu.tts.qwen3_handler import _SPEAKER_IDS, PRESET_SPEAKERS
+
+    known = PRESET_SPEAKERS[0]
+    assert _SPEAKER_IDS.get(known.lower()) is not None
+    assert _SPEAKER_IDS.get("definitely-not-a-speaker", 0) == 0
