@@ -245,6 +245,22 @@ class BaseLLMHandler(BaseHandler):
         for piece in piece_iter:
             if self._check_stop(gen, ctx):
                 break
+            if isinstance(piece, FunctionToolCall):
+                # native provider tool call: flush any lead-in text FIRST so
+                # TTS speaks it before the tool event, then forward the call
+                lead_in = ctx.sentence_batch
+                ctx.sentence_batch = []
+                if ctx.printable.strip():
+                    lead_in.append(ctx.printable.strip())
+                    ctx.printable = ""
+                if not self._turn_output_allowed(ctx.turn_id, ctx.turn_revision):
+                    ctx.cancelled = True
+                    break
+                if lead_in:
+                    yield self._chunk(" ".join(lead_in), ctx, language_code, runtime_config, response)
+                ctx.tools.append(piece)
+                yield self._chunk("", ctx, language_code, runtime_config, response, tools=[piece])
+                continue
             ctx.raw_text += piece
             clean = piece if not wants_audio else remove_unspeechable(piece)
             ctx.clean_text += clean

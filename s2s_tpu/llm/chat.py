@@ -603,7 +603,10 @@ def build_active_chat(original_chat: Chat, response: ResponseCreateParams | None
     if response is not None and response.input is not None:
         fresh = Chat(original_chat.size)
         for raw in response.input:
-            item = parse_item(raw) if isinstance(raw, dict) else raw
+            try:
+                item = parse_item(raw) if isinstance(raw, dict) else raw
+            except Exception as exc:  # malformed item -> caller's rejection path
+                raise ChatItemError(f"Unsupported response.input item: {exc}") from exc
             add_supported_item(fresh, item)
         return fresh
     return original_chat.copy()

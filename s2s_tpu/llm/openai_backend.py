@@ -168,6 +168,13 @@ class RemoteLLMHandler(BaseLLMHandler):
     # ── request serialization (shape-specific) ───────────────────────
 
     def _request_events(self, chat: Chat, tools, tool_choice, max_tokens) -> Iterator[ProviderEvent]:
+        if not chat.buffer and chat.system_message is None:
+            # fail fast with a clear message instead of a provider 400 (the
+            # base turns this into a failed EndOfResponse)
+            raise RuntimeError(
+                "Cannot generate a response from an empty context: the "
+                "conversation has no messages and no instructions."
+            )
         if self.api_shape == "responses":
             yield from self._responses_request(chat, tools, tool_choice, max_tokens)
         else:
@@ -286,7 +293,10 @@ class RemoteLLMHandler(BaseLLMHandler):
                                 slot["name"] += fn["name"]
                             if fn.get("arguments"):
                                 slot["arguments"] += fn["arguments"]
-                        if choice.get("finish_reason") == "tool_calls":
+                        if choice.get("finish_reason"):
+                            # flush accumulated calls on ANY finish marker —
+                            # providers that interleave text after a call
+                            # finish with "stop", not "tool_calls"
                             for idx in sorted(tool_acc):
                                 slot = tool_acc[idx]
                                 yield ToolCall(
@@ -303,6 +313,16 @@ class RemoteLLMHandler(BaseLLMHandler):
                             input_tokens=usage.get("prompt_tokens", 0),
                             output_tokens=usage.get("completion_tokens", 0),
                         )
+                # stream ended without a finish marker: don't drop the calls
+                for idx in sorted(tool_acc):
+                    slot = tool_acc[idx]
+                    yield ToolCall(
+                        call=FunctionToolCall(
+                            name=slot["name"], arguments=slot["arguments"],
+                            call_id=generate_id("call"), id=generate_id("fc"),
+                            status="in_progress",
+                        )
+                    )
         else:
             resp = self.client.post("/chat/completions", json=body)
             resp.raise_for_status()
@@ -373,7 +393,9 @@ class RemoteLLMHandler(BaseLLMHandler):
                 elif isinstance(event, ToolCall):
                     # Eager history record: a fast client may send the tool
                     # output before EndOfResponse; its FC must already exist.
-                    ctx.tools.append(event.call)
+                    # The call itself is forwarded through the stream so the
+                    # base flushes lead-in text first and emits the tool
+                    # chunk in order (ctx.tools is appended there).
                     if original_chat is not None:
                         from s2s_tpu.realtime.types import FunctionCallItem
 
@@ -385,6 +407,7 @@ class RemoteLLMHandler(BaseLLMHandler):
                             )
                         )
                         self._provisional_calls.add(event.call.call_id)
+                    yield event.call
                 elif isinstance(event, Usage):
                     ctx.input_tokens = event.input_tokens
                     ctx.output_tokens = event.output_tokens

@@ -41,8 +41,28 @@ def dequantize(qw: QuantWeight, dtype=jnp.bfloat16):
 
 
 def quantized_linear(x, qw: QuantWeight, b=None):
-    """x @ dequant(qw): the int8 -> bf16 cast + scale fuse into the matmul
-    operand read, so HBM traffic is the int8 bytes."""
+    """x @ dequant(qw) with HBM traffic = the int8 bytes.
+
+    On TPU, decode-shaped calls (small leading batch, aligned dims, bf16
+    activations) route to the pallas kernel in
+    :mod:`s2s_tpu.ops.int8_matmul` — XLA's own lowering materialises the
+    dequantised bf16 weight into scratch HBM (int8 read + bf16 write +
+    bf16 read ~ 2.5x the bytes), which the kernel avoids by converting in
+    VMEM.  Everything else (CPU tests, prefill-sized batches, odd dims)
+    keeps the einsum path."""
+    import numpy as _np
+
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = qw.q.shape[1]
+    bsz = int(_np.prod(lead)) if lead else 1
+    if x.dtype == jnp.bfloat16 and qw.q.ndim == 2:
+        from s2s_tpu.ops import int8_matmul as _mm
+
+        if _mm.supports(bsz, k, n) and _mm.kernel_available():
+            out = _mm.int8_matmul(x.reshape(bsz, k), qw.q, qw.scale,
+                                  out_dtype=x.dtype).reshape(*lead, n)
+            return out + b if b is not None else out
     w = qw.q.astype(x.dtype)
     out = jnp.einsum("...d,df->...f", x, w, preferred_element_type=jnp.float32)
     out = (out * qw.scale[None, :]).astype(x.dtype)

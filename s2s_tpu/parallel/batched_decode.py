@@ -188,6 +188,122 @@ def decode_chunk_multi(
     return toks, emitted, tok, state, active
 
 
+# ── fused-attention chunk decode (the TPU serving path) ─────────────
+#
+# The scan-over-stacked-layers structure above makes XLA slice each
+# layer's cache out of the stack and restack the updated copy every step
+# — 2 full cache passes beyond the attention read.  The fused path keeps
+# per-layer caches as SEPARATE arrays carried through the step scan
+# (layers python-unrolled: 24 bodies is a normal forward pass) and runs
+# attention+update through the in-place pallas kernel
+# (:mod:`s2s_tpu.ops.decode_attention`) when available, so each cache is
+# read once and written one slot per step.  CPU/test fallback uses the
+# same per-layer structure with the vmapped-DUS + jnp attention math —
+# numerics identical (tests/test_batched_decode.py pins fused == legacy).
+
+
+class FusedDecodeState(NamedTuple):
+    """Per-layer cache tuples + per-slot positions."""
+
+    kcaches: tuple
+    vcaches: tuple
+    pos: jax.Array  # (B,) int32
+
+
+def init_fused_state(cfg: DecoderLMConfig, batch: int, max_t: int | None = None) -> FusedDecodeState:
+    max_t = max_t or cfg.max_seq_len
+    shape = (batch, cfg.n_kv_heads, max_t, cfg.head_dim)
+    return FusedDecodeState(
+        tuple(jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)),
+        tuple(jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)),
+        jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def fused_state_from_multi(state: MultiDecodeState) -> FusedDecodeState:
+    n_layers = state.caches.k.shape[0]
+    return FusedDecodeState(
+        tuple(state.caches.k[l] for l in range(n_layers)),
+        tuple(state.caches.v[l] for l in range(n_layers)),
+        state.pos,
+    )
+
+
+def _block_fused(x, lp, cfg: DecoderLMConfig, cache_k, cache_v, pos, cos_b, sin_b,
+                 use_kernel: bool):
+    """One unrolled block for a (B, 1, D) step with per-row positions and
+    per-layer (B, KV, T, hd) caches."""
+    b = x.shape[0]
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+    q = linear(h, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+    k = linear(h, lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = linear(h, lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = jax.vmap(lambda qq, c, s: apply_rope(qq[None], c, s)[0])(q, cos_b, sin_b)
+    k = jax.vmap(lambda kk, c, s: apply_rope(kk[None], c, s)[0])(k, cos_b, sin_b)
+    if use_kernel:
+        from s2s_tpu.ops.decode_attention import decode_attention
+
+        attn_h, cache_k, cache_v = decode_attention(q[:, :, 0, :], k, v, cache_k, cache_v, pos)
+        attn = attn_h[:, :, None, :]
+    else:
+        cache_k = _row_update(cache_k, k, pos)
+        cache_v = _row_update(cache_v, v, pos)
+        max_t = cache_k.shape[2]
+        mask = (jnp.arange(max_t)[None, :] <= pos[:, None])[:, None, None, :]
+        attn = attention(q, cache_k, cache_v, mask)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.n_heads * cfg.head_dim)
+    x = x + linear(attn, lp["wo"])
+    h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+    x = x + swiglu(h, lp["w_gate"], lp["w_up"], lp["w_down"])
+    return x, cache_k, cache_v
+
+
+def decode_chunk_fused(
+    params, cfg: DecoderLMConfig, tokens, state: FusedDecodeState, n_tokens: int,
+    eos_id: int, active, use_kernel: bool = False,
+):
+    """Greedy chunk decode over the fused per-layer-cache layout; same
+    contract as :func:`decode_chunk_multi`."""
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    layer_params = [
+        jax.tree.map(lambda a: a[l], params["layers"]) for l in range(cfg.n_layers)
+    ]
+
+    def step(carry, _):
+        tok, kcs, vcs, pos, act = carry
+        x = params["embed"][tok][:, None, :].astype(cfg.dtype)
+        cos_b = cos_full[pos][:, None, :]
+        sin_b = sin_full[pos][:, None, :]
+        new_kcs, new_vcs = [], []
+        for lp, ck, cv in zip(layer_params, kcs, vcs):
+            x, ck, cv = _block_fused(x, lp, cfg, ck, cv, pos, cos_b, sin_b, use_kernel)
+            new_kcs.append(ck)
+            new_vcs.append(cv)
+        hidden = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        logits = _logits(hidden, params, cfg)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(act, nxt, tok)
+        act_next = act & (tok != eos_id)
+        pos_next = jnp.where(act, pos + 1, pos)
+        return (nxt, tuple(new_kcs), tuple(new_vcs), pos_next, act_next), (tok, act)
+
+    (tok, kcs, vcs, pos, active), (toks, emitted) = jax.lax.scan(
+        step, (tokens, state.kcaches, state.vcaches, state.pos, active),
+        None, length=n_tokens,
+    )
+    return toks, emitted, tok, FusedDecodeState(kcs, vcs, pos), active
+
+
+jit_decode_chunk_fused = partial(
+    jax.jit, static_argnums=(1, 4, 5, 7), donate_argnums=(3,)
+)(decode_chunk_fused)
+
+
 jit_prefill_slot = partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))(prefill_slot)
 jit_prefill_slot_embeds = partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))(
     prefill_slot_embeds

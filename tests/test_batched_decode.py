@@ -79,3 +79,78 @@ def test_jit_decode_step_multi_with_donation():
         logits, state = jit_decode_step_multi(params, cfg, tokens, state, active)
         tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     assert state.pos.tolist() == [3, 0, 3]  # idle slot never advanced
+
+
+def test_fused_chunk_matches_legacy_multi_chunk():
+    """The fused per-layer-cache chunk decode (CPU fallback math) must emit
+    exactly the tokens of the stacked-scan path, including eos deactivation
+    and per-row positions."""
+    from s2s_tpu.parallel import batched_decode as bd
+
+    cfg = DecoderLMConfig.tiny()
+    params = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray([1, 2, 3], jnp.int32)
+    active = jnp.ones((3,), bool)
+
+    m_state = bd.init_multi_state(cfg, 3, max_t=32)
+    m_toks, m_emitted, m_tok, m_state, m_active = bd.decode_chunk_multi(
+        params, cfg, tokens, m_state, 8, 0, active)
+
+    f_state = bd.init_fused_state(cfg, 3, max_t=32)
+    f_toks, f_emitted, f_tok, f_state, f_active = bd.decode_chunk_fused(
+        params, cfg, tokens, f_state, 8, 0, active)
+
+    assert np.array_equal(np.asarray(m_toks), np.asarray(f_toks))
+    assert np.array_equal(np.asarray(m_emitted), np.asarray(f_emitted))
+    assert np.array_equal(np.asarray(m_tok), np.asarray(f_tok))
+    assert np.array_equal(np.asarray(m_active), np.asarray(f_active))
+    assert np.array_equal(np.asarray(m_state.pos), np.asarray(f_state.pos))
+    # caches agree layer by layer
+    for l in range(cfg.n_layers):
+        np.testing.assert_allclose(
+            np.asarray(m_state.caches.k[l]), np.asarray(f_state.kcaches[l]), atol=1e-5)
+
+
+def test_fused_state_from_multi_roundtrip():
+    from s2s_tpu.parallel import batched_decode as bd
+
+    cfg = DecoderLMConfig.tiny()
+    params = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+    state = bd.init_multi_state(cfg, 2, max_t=32)
+    # prefill one slot so the converted state carries real content
+    prompt = jnp.ones((1, 4), jnp.int32)
+    tok, state = bd.prefill_slot(params, cfg, prompt, jnp.asarray(4, jnp.int32),
+                                 state, jnp.asarray(0, jnp.int32))
+    fused = bd.fused_state_from_multi(state)
+    assert fused.pos.tolist() == state.pos.tolist()
+    np.testing.assert_allclose(
+        np.asarray(fused.kcaches[0]), np.asarray(state.caches.k[0]), atol=0)
+
+
+def test_fused_kernel_path_matches_fallback_interpret():
+    """decode_attention (interpret) inside the fused block == the vmapped
+    DUS + jnp attention fallback."""
+    from s2s_tpu.ops.decode_attention import decode_attention
+    from s2s_tpu.parallel import batched_decode as bd
+
+    cfg = DecoderLMConfig.tiny()
+    b, kv, t, hd = 2, cfg.n_kv_heads, 16, cfg.head_dim
+    h = cfg.n_heads
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (b, h, 1, hd), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(6), (b, kv, 1, hd), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(7), (b, kv, 1, hd), jnp.float32)
+    ck = jax.random.normal(jax.random.PRNGKey(8), (b, kv, t, hd), jnp.float32)
+    cv = jax.random.normal(jax.random.PRNGKey(9), (b, kv, t, hd), jnp.float32)
+    pos = jnp.asarray([2, 9], jnp.int32)
+
+    from s2s_tpu.models.common import attention
+
+    ck2 = bd._row_update(ck, k, pos)
+    cv2 = bd._row_update(cv, v, pos)
+    mask = (jnp.arange(t)[None, :] <= pos[:, None])[:, None, None, :]
+    ref = attention(q, ck2, cv2, mask)[:, :, 0, :]
+
+    out, k_out, v_out = decode_attention(q[:, :, 0, :], k, v, ck, cv, pos, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_out), np.asarray(ck2), atol=0)

@@ -1,0 +1,66 @@
+"""Pallas int8 weight-only matmul kernel: correctness in interpret mode
+(CPU), alignment contract, and the quantized_linear dispatch gate."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2s_tpu.ops.int8_matmul import TILE_N, int8_matmul, supports
+from s2s_tpu.ops.quant import QuantWeight, quantize_weight, quantized_linear
+
+
+def _ref(x, q, s):
+    return x.astype(jnp.float32) @ (q.astype(jnp.float32) * s[None, :])
+
+
+@pytest.mark.parametrize("b,k,n", [(1, 128, 128), (8, 256, 512), (3, 128, 384), (17, 512, 256)])
+def test_kernel_matches_reference(b, k, n):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, k), jnp.float32).astype(jnp.bfloat16)
+    q = jax.random.randint(key, (k, n), -127, 127, jnp.int8)
+    s = jax.random.uniform(key, (n,), jnp.float32, 0.001, 0.02)
+    out = int8_matmul(x, q, s, out_dtype=jnp.float32, interpret=True)
+    ref = _ref(x, q, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=1e-3)
+
+
+def test_batch_padding_rows_are_dropped():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (2, 128), jnp.bfloat16)
+    q = jax.random.randint(key, (128, 128), -127, 127, jnp.int8)
+    s = jnp.ones((128,), jnp.float32)
+    out = int8_matmul(x, q, s, interpret=True)
+    assert out.shape == (2, 128)
+
+
+def test_supports_contract():
+    assert supports(8, 2048, 6144)
+    assert supports(1, 2048, 49152)  # lm head: tiles the N axis
+    assert not supports(8, 100, 128)   # unaligned K
+    assert not supports(8, 128, 100)   # unaligned N
+    assert not supports(128, 2048, 2048)  # not a decode batch
+    assert not supports(8, 1 << 16, TILE_N)  # block would blow VMEM
+
+
+def test_quantized_linear_cpu_path_unchanged():
+    """On CPU (no kernel) quantized_linear keeps the einsum path and its
+    numerics."""
+    key = jax.random.PRNGKey(2)
+    w = jax.random.normal(key, (256, 512), jnp.float32)
+    qw = quantize_weight(w)
+    x = jax.random.normal(key, (4, 256), jnp.float32)
+    out = quantized_linear(x, qw)
+    dq = qw.q.astype(jnp.float32) * qw.scale[None, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x @ dq), rtol=1e-4, atol=1e-4)
+
+
+def test_quantized_linear_3d_leading_dims():
+    key = jax.random.PRNGKey(3)
+    w = jax.random.normal(key, (128, 256), jnp.float32)
+    qw = QuantWeight(*quantize_weight(w))
+    x = jax.random.normal(key, (2, 3, 128), jnp.float32)
+    out = quantized_linear(x, qw)
+    assert out.shape == (2, 3, 256)
