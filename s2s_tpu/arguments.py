@@ -375,6 +375,8 @@ def parse_arguments(argv: list[str] | None = None) -> ParsedArguments:
     if unknown:
         raise SystemExit(f"Unknown arguments: {unknown}")
 
+    _validate_capabilities(sel.stt, sel.llm_backend)
+
     return ParsedArguments(
         module=_extract(ModuleArgs, ns),
         server=_extract(RealtimeServerArgs, ns),
@@ -383,6 +385,23 @@ def parse_arguments(argv: list[str] | None = None) -> ParsedArguments:
         llm_config=_extract(llm_cls, ns, prefix="llm", extra_gen=gen_extra),
         tts_config=_extract(tts_cls, ns, prefix="tts"),
     )
+
+
+def _validate_capabilities(stt: str, llm_backend: str) -> None:
+    """Capability validation at parse time (registry flags, not backend
+    names): a direct-audio STT ('none') sends raw audio to the LLM, so the
+    selected LLM backend must declare ``supports_audio_input``."""
+    from s2s_tpu.registry import get_backend
+
+    stt_spec = get_backend("stt", stt)
+    llm_spec = get_backend("llm", llm_backend)
+    if stt_spec.capabilities.bypasses_transcription_notifier \
+            and not llm_spec.capabilities.supports_audio_input:
+        raise SystemExit(
+            f"--stt {stt} sends audio directly to the LLM, but --llm_backend "
+            f"{llm_backend} does not support audio input; use an audio-capable "
+            "backend (responses-api, chat-completions)."
+        )
 
 
 def _parse_config_file(path: Path) -> ParsedArguments:

@@ -54,6 +54,13 @@ def _row_update(cache_bhtd, new_bh1d, pos_b):
     return jax.vmap(one)(cache_bhtd, new_bh1d, pos_b)
 
 
+import os as _os
+
+#: opt-in experiment flag: route batched decode attention through the
+#: in-place pallas kernel (s2s_tpu.ops.decode_attention)
+_USE_DECODE_ATTENTION_KERNEL = _os.environ.get("S2S_DECODE_ATTENTION_KERNEL", "0") == "1"
+
+
 def _block_multi(x, lp, cfg: DecoderLMConfig, cache_k, cache_v, pos, cos_b, sin_b, mask):
     """One block for a (B, 1, D) step with per-row positions."""
     b = x.shape[0]
@@ -69,6 +76,15 @@ def _block_multi(x, lp, cfg: DecoderLMConfig, cache_k, cache_v, pos, cos_b, sin_
     # per-row rope: cos_b/sin_b are (B, 1, hd/2)
     q = jax.vmap(lambda qq, c, s: apply_rope(qq[None], c, s)[0])(q, cos_b, sin_b)
     k = jax.vmap(lambda kk, c, s: apply_rope(kk[None], c, s)[0])(k, cos_b, sin_b)
+    if _USE_DECODE_ATTENTION_KERNEL:
+        from s2s_tpu.ops.decode_attention import decode_attention
+
+        attn_h, cache_k, cache_v = decode_attention(q[:, :, 0, :], k, v, cache_k, cache_v, pos)
+        attn = attn_h[:, :, None, :]
+        x = x + linear(attn.transpose(0, 2, 1, 3).reshape(b, 1, -1), lp["wo"])
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        x = x + swiglu(h, lp["w_gate"], lp["w_up"], lp["w_down"])
+        return x, cache_k, cache_v
     cache_k = _row_update(cache_k, k, pos)
     cache_v = _row_update(cache_v, v, pos)
     attn = attention(q, cache_k, cache_v, mask)
