@@ -17,7 +17,18 @@ read, updated-slice write, attention read).  This kernel does the minimum:
 Caches are aliased input->output (true in-place), so the caller's decode
 carry keeps working donation-style.  GQA is supported (H a multiple of
 KV).  Numerics: f32 scores/softmax, bf16 elsewhere — identical math to
-``models.common.attention`` (pinned by tests/test_decode_attention.py).
+``models.common.attention`` (pinned by tests/test_batched_decode.py).
+
+STATUS — experimental, opt-in (``S2S_DECODE_ATTENTION_KERNEL=1``), not
+wired into the default serving path, for two measured reasons:
+(1) on-chip ablation showed XLA's scan + dynamic_update_slice path is NOT
+copy-bound (an unrolled-layer variant was slower: 10.0 vs 7.8 ms/step at
+B=8/cache=256 on SmolLM2-1.7B int8), so the kernel's single-pass cache
+read has little left to win; (2) current Mosaic rejects the
+arbitrary-position slot write ("index in dimension 1 is a multiple of 8")
+— landing it would need a lane-aligned cache layout or a masked-store
+patch.  Interpret-mode numerics are exact; revisit if the serving batch
+or cache sizes grow enough to make the attention read dominant.
 """
 
 from __future__ import annotations

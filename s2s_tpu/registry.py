@@ -412,11 +412,12 @@ def _make_pocket_tts(config, ctx: HandlerContext):
 
 
 def _make_chattts(config, ctx: HandlerContext):
-    from s2s_tpu.models.vits import VitsTTS
+    from s2s_tpu.models.chattts import ChatTTSModel
     from s2s_tpu.tts.chattts_handler import ChatTTSHandler
 
     model = ctx.model_cache.get(
-        ("mms_vits", config.checkpoint), lambda: VitsTTS(params=_load_checkpoint(config.checkpoint))
+        ("chattts", config.checkpoint),
+        lambda: ChatTTSModel(params=_load_checkpoint(config.checkpoint)),
     )
     return ChatTTSHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,

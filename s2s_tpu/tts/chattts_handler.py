@@ -1,8 +1,11 @@
-"""ChatTTS-class handler (reference ``TTS/chatTTS_handler.py``): a random
+"""ChatTTS handler (reference ``TTS/chatTTS_handler.py``): a random
 speaker embedding drawn per session, stream-or-batch emission.
 
-Archetype implementation over the VITS model with a per-handler random
-language/voice row standing in for ChatTTS's sampled speaker embedding."""
+Drives the checkpoint-faithful JAX ChatTTS
+(:mod:`s2s_tpu.models.chattts`: Llama audio-token GPT + GFSQ DVAE decoder
++ Vocos): the per-session speaker is a real ``N(spk_mean, spk_std)`` draw
+spliced into the ``[spk_emb]`` position — exactly the reference's sampled
+``rand_spk`` scheme."""
 
 from __future__ import annotations
 
@@ -40,27 +43,38 @@ class ChatTTSHandler(BaseTTSHandler):
         self._synthesize_fn = synthesize_fn
         if synthesize_fn is None:
             if model is None:
-                from s2s_tpu.models.vits import VitsTTS
+                from s2s_tpu.models.chattts import ChatTTSModel
 
                 logger.warning("ChatTTSHandler: random-init weights (no checkpoint provided)")
-                model = VitsTTS()
+                model = ChatTTSModel()
             self.model = model
-            # "random speaker": a per-session noise seed sampled once — the
-            # VITS prior/duration noise is exactly what varies speaker
-            # character in ChatTTS's sampled-embedding scheme (reference
-            # TTS/chatTTS_handler.py draws rand_spk per session)
-            self._noise_seed = random.Random(seed).randrange(2**31)
+            # one speaker per session, resampled on SESSION_END (reference
+            # draws rand_spk once per Chat instance)
+            self._seed_rng = random.Random(seed)
+            self._resample_speaker()
             if warmup:
-                self.model.synthesize("Warm up.")
+                self.model.synthesize("Warm up.", speaker=self._speaker)
+
+    def _resample_speaker(self) -> None:
+        import jax
+
+        from s2s_tpu.models.chattts import sample_speaker
+
+        self._speaker = sample_speaker(
+            self.model.params, jax.random.PRNGKey(self._seed_rng.randrange(2**31))
+        )
+
+    def on_session_end(self) -> None:
+        super().on_session_end()
+        if self._synthesize_fn is None:
+            self._resample_speaker()
 
     def _synthesize(self, text: str, language: Optional[str], runtime_config, response) -> Iterator:
         if self._synthesize_fn is not None:
             yield from self._synthesize_fn(text, language)
             return
-        noise = dict(noise_scale=0.667, noise_scale_duration=0.8,
-                     noise_seed=self._noise_seed)
         if self.stream_mode:
-            yield from self.model.stream(text, language=language, **noise)
+            yield from self.model.stream(text, speaker=self._speaker)
         else:
-            audio = self.model.synthesize(text, language=language, **noise)
-            yield audio, 16000
+            audio = self.model.synthesize(text, speaker=self._speaker)
+            yield audio, 24000

@@ -80,7 +80,7 @@ def main() -> None:
                                  "qwen3-tts-12hz-1.7b", "smart-turn", "mms-vits",
                                  "kokoro", "kokoro-voice", "smolvlm-vision",
                                  "paraformer-large", "mimi", "pocket-tts",
-                                 "pocket-voice"])
+                                 "pocket-voice", "chattts"])
     parser.add_argument("--mvn", default=None,
                         help="paraformer: FunASR am.mvn (Kaldi text) for CMVN")
     parser.add_argument("--pred-layers", type=int, default=1,
@@ -172,6 +172,10 @@ def main() -> None:
         from s2s_tpu.models import pocket_tts
 
         params = pocket_tts.convert_state_dict(sd, pocket_tts.PocketTTSConfig())
+    elif args.family == "chattts":
+        from s2s_tpu.models import chattts
+
+        params = chattts.convert_state_dict(sd, chattts.ChatTTSConfig())
     elif args.family == "pocket-voice":
         # a kyutai tts-voices embedding file: (T_v, d_model) prefix rows
         arr = next(iter(sd.values())) if isinstance(sd, dict) and len(sd) == 1 else sd

@@ -402,6 +402,41 @@ def make_pocket_fixture(path: str = "tests/data/pocket_parity.npz") -> None:
     )
 
 
+def make_chattts_fixture(path: str = "tests/data/chattts_parity.npz") -> None:
+    """Tiny ChatTTS twins (scripts/_chattts_torch_twin.py — GPT.pt /
+    Decoder.pt / Vocos.pt layouts): greedy codes, DVAE mel, Vocos spec."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from _chattts_torch_twin import ChatTTSTwin, DVAETwin, VocosTwin
+
+    torch.manual_seed(0)
+    gpt = ChatTTSTwin().eval()
+    # random-init logit gaps swamp a unit-scale speaker splice; widen the
+    # speaker stat so conditioning visibly flips argmax codes in the fixture
+    with torch.no_grad():
+        gpt.spk_std += 24.0
+    dvae = DVAETwin().eval()
+    vocos = VocosTwin().eval()
+    text = torch.randint(6, 64, (1, 7), generator=torch.Generator().manual_seed(2))
+    text[0, 0] = 5  # [spk_emb] position
+    # large scale so the spliced speaker flips argmax codes at tiny dims
+    spk = torch.randn(32, generator=torch.Generator().manual_seed(4)) * 6.0
+    codes = gpt.generate(text, spk, 10)
+    codes_nospk = gpt.generate(text, None, 10)
+    with torch.no_grad():
+        mel = dvae(codes.permute(1, 0, 2))
+        spec = vocos(mel)
+    sd = {}
+    for twin in (gpt, dvae, vocos):
+        sd.update({k: v.detach().numpy() for k, v in twin.state_dict().items()})
+    np.savez_compressed(
+        path, text=text.numpy(), spk=spk.numpy(), codes=codes.numpy(),
+        codes_nospk=codes_nospk.numpy(), mel=mel.numpy(), spec=spec.numpy(),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
 def make_kokoro_fixture(path: str = "tests/data/kokoro_parity.npz") -> None:
     """Tiny Kokoro KModel twin (scripts/_kokoro_torch_twin.py — the real
     StyleTTS2/iSTFTNet structure with the kokoro-v1_0.pth key layout),
@@ -529,6 +564,8 @@ if __name__ == "__main__":
         make_mimi_fixture()
     if only in (None, "pocket"):
         make_pocket_fixture()
+    if only in (None, "chattts"):
+        make_chattts_fixture()
     if only in (None, "smolvlm"):
         make_smolvlm_fixture()
     if only in (None, "paraformer-sanm"):

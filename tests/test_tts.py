@@ -251,13 +251,13 @@ def test_pocket_handler_streams_through_real_model():
 
 
 def test_chattts_handler_random_speaker():
-    from s2s_tpu.models.vits import VitsConfig, VitsTTS
+    from s2s_tpu.models.chattts import ChatTTSConfig, ChatTTSModel
     from s2s_tpu.tts.chattts_handler import ChatTTSHandler
 
-    model = VitsTTS(cfg=VitsConfig.test_tiny())
+    model = ChatTTSModel(cfg=ChatTTSConfig.tiny())
     # random weights synthesize near-silence (legitimately trimmed by the
-    # handler); scale the output layer so the wiring is observable
-    model.params["dec"]["post_w"] = model.params["dec"]["post_w"] * 200.0
+    # handler); scale the vocoder head so the wiring is observable
+    model.params["vocos"]["head"]["w"] = model.params["vocos"]["head"]["w"] * 50.0
     handler = ChatTTSHandler(
         threading.Event(), Queue(), Queue(), setup_kwargs=dict(model=model, seed=3)
     )
