@@ -71,6 +71,9 @@ class VADArgs:
     smart_turn_checkpoint: Optional[str] = None  # converted whisper-encoder+head npz
     smart_turn_max_wait_ms: int = 2000
     smart_turn_incomplete_delay_ms: int = 600
+    # optional DeepFilterNet-method enhancement of VAD-final audio
+    # (converted checkpoint npz; absent = no enhancement, like the reference)
+    enhancer_checkpoint: Optional[str] = None
 
 
 @dataclass

@@ -88,6 +88,7 @@ def build_pipeline_unit(
             smart_turn_checkpoint=args.vad.smart_turn_checkpoint,
             smart_turn_max_wait_ms=args.vad.smart_turn_max_wait_ms,
             smart_turn_incomplete_delay_ms=args.vad.smart_turn_incomplete_delay_ms,
+            enhancer=_build_enhancer(args),
         ),
     )
 
@@ -165,6 +166,21 @@ def build_pipeline(args: ParsedArguments, stop_event: threading.Event) -> tuple[
     all_handlers.append(server)
     manager = ThreadManager(all_handlers)
     return manager, server
+
+
+def _build_enhancer(args: ParsedArguments):
+    """Optional DeepFilterNet-method noise suppression on VAD-final audio
+    (reference ``vad_handler.py:44-50,799-821``): built only when a
+    converted checkpoint is given; shared across units via the cache."""
+    path = getattr(args.vad, "enhancer_checkpoint", None)
+    if not path:
+        return None
+    from s2s_tpu.models.deepfilter import DeepFilterEnhancer
+    from s2s_tpu.registry import GLOBAL_MODEL_CACHE, _load_checkpoint
+
+    return GLOBAL_MODEL_CACHE.get(
+        ("deepfilter", path), lambda: DeepFilterEnhancer(params=_load_checkpoint(path))
+    )
 
 
 def _build_llm_proxy(args: ParsedArguments):

@@ -80,7 +80,7 @@ def main() -> None:
                                  "qwen3-tts-12hz-1.7b", "smart-turn", "mms-vits",
                                  "kokoro", "kokoro-voice", "smolvlm-vision",
                                  "paraformer-large", "mimi", "pocket-tts",
-                                 "pocket-voice", "chattts"])
+                                 "pocket-voice", "chattts", "deepfilter"])
     parser.add_argument("--mvn", default=None,
                         help="paraformer: FunASR am.mvn (Kaldi text) for CMVN")
     parser.add_argument("--pred-layers", type=int, default=1,
@@ -176,6 +176,10 @@ def main() -> None:
         from s2s_tpu.models import chattts
 
         params = chattts.convert_state_dict(sd, chattts.ChatTTSConfig())
+    elif args.family == "deepfilter":
+        from s2s_tpu.models import deepfilter
+
+        params = deepfilter.convert_state_dict(sd, deepfilter.DeepFilterConfig())
     elif args.family == "pocket-voice":
         # a kyutai tts-voices embedding file: (T_v, d_model) prefix rows
         arr = next(iter(sd.values())) if isinstance(sd, dict) and len(sd) == 1 else sd

@@ -437,6 +437,38 @@ def make_chattts_fixture(path: str = "tests/data/chattts_parity.npz") -> None:
     )
 
 
+def make_deepfilter_fixture(path: str = "tests/data/deepfilter_parity.npz") -> None:
+    """Tiny DeepFilterNet-style twin: complex frames in, enhanced frames +
+    gains + DF coefficients out, plus the state dict for the converter."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    sys.path.insert(0, ".")
+    from _deepfilter_torch_twin import DeepFilterTwin
+
+    from s2s_tpu.models.deepfilter import DeepFilterConfig, erb_filterbank
+
+    torch.manual_seed(0)
+    cfg = DeepFilterConfig.tiny()
+    twin = DeepFilterTwin(
+        erb_filterbank(cfg), n_bins=cfg.n_bins, erb_bands=cfg.erb_bands,
+        df_bins=cfg.df_bins, df_order=cfg.df_order, conv_ch=cfg.conv_ch,
+        emb_dim=cfg.emb_dim, alpha=cfg.norm_alpha, min_db=cfg.min_db,
+    ).eval()
+    gen = torch.Generator().manual_seed(3)
+    spec = torch.complex(torch.randn(12, cfg.n_bins, generator=gen),
+                         torch.randn(12, cfg.n_bins, generator=gen))
+    out, gains, coefs = twin.enhance_frames(spec)
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()
+          if k != "erb_fb"}
+    np.savez_compressed(
+        path, spec_re=spec.real.numpy(), spec_im=spec.imag.numpy(),
+        out_re=out.real.numpy(), out_im=out.imag.numpy(),
+        gains=gains.numpy(), coefs=coefs.numpy(),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+
+
 def make_kokoro_fixture(path: str = "tests/data/kokoro_parity.npz") -> None:
     """Tiny Kokoro KModel twin (scripts/_kokoro_torch_twin.py — the real
     StyleTTS2/iSTFTNet structure with the kokoro-v1_0.pth key layout),
@@ -566,6 +598,8 @@ if __name__ == "__main__":
         make_pocket_fixture()
     if only in (None, "chattts"):
         make_chattts_fixture()
+    if only in (None, "deepfilter"):
+        make_deepfilter_fixture()
     if only in (None, "smolvlm"):
         make_smolvlm_fixture()
     if only in (None, "paraformer-sanm"):
