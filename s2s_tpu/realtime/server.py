@@ -133,9 +133,9 @@ class RealtimeServer:
                     self.end_headers()
                     self.wfile.write(b"Missing SDP offer\n")
                     return
-                future = asyncio.run_coroutine_threadsafe(manager.handle_offer(offer_sdp), loop)
+                future = asyncio.run_coroutine_threadsafe(manager.handle_call(offer_sdp), loop)
                 try:
-                    answer = future.result(timeout=30)
+                    call_id, answer = future.result(timeout=30)
                 except PoolBusyError as exc:
                     self.send_response(503)
                     self.end_headers()
@@ -151,8 +151,29 @@ class RealtimeServer:
                 self.send_response(201)
                 self.send_header("content-type", "application/sdp")
                 self.send_header("content-length", str(len(data)))
+                # hang-up handle: DELETE this location ends the call
+                self.send_header("location", f"/v1/realtime/calls/{call_id}")
                 self.end_headers()
                 self.wfile.write(data)
+
+            def do_DELETE(self) -> None:  # noqa: N802
+                path = self.path.split("?")[0]
+                prefix = "/v1/realtime/calls/"
+                if not path.startswith(prefix):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                call_id = path[len(prefix):]
+                future = asyncio.run_coroutine_threadsafe(manager.hangup(call_id), loop)
+                try:
+                    found = future.result(timeout=10)
+                except Exception:  # noqa: BLE001
+                    logger.exception("WebRTC hangup failed")
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                self.send_response(200 if found else 404)
+                self.end_headers()
 
         port = self.webrtc_port if self.webrtc_port is not None else 0
         self._webrtc_http = ThreadingHTTPServer((self.host, port), CallsHandler)

@@ -281,6 +281,10 @@ class WebRTCCallManager:
         self.connect_timeout_s = connect_timeout_s
         self.ice_servers = ice_servers or []
         self._tasks: set = set()
+        #: live calls by id: the POST response's Location header names one,
+        #: DELETE /v1/realtime/calls/{id} hangs it up (reference
+        #: websocket_router.py:579-720 call lifecycle)
+        self.calls: dict = {}
 
     def _pc_config(self):
         rtc = self._rtc
@@ -296,7 +300,26 @@ class WebRTCCallManager:
         task.add_done_callback(self._tasks.discard)
 
     async def handle_offer(self, offer_sdp: str) -> str:
-        """Negotiate one call; returns the answer SDP.  Raises
+        """Negotiate one call; returns the answer SDP (id-less variant)."""
+        _, sdp = await self.handle_call(offer_sdp)
+        return sdp
+
+    async def hangup(self, call_id: str) -> bool:
+        """DELETE semantics: close the call's peer connection; the teardown
+        task releases the unit.  Returns False for unknown/finished ids."""
+        entry = self.calls.get(call_id)
+        if entry is None:
+            return False
+        pc, closed = entry
+        closed.set()
+        try:
+            await pc.close()
+        except Exception:  # noqa: BLE001
+            pass
+        return True
+
+    async def handle_call(self, offer_sdp: str) -> tuple[str, str]:
+        """Negotiate one call; returns (call_id, answer SDP).  Raises
         :class:`PoolBusyError` when no unit is free."""
         import asyncio
 
@@ -347,8 +370,18 @@ class WebRTCCallManager:
         await pc.setRemoteDescription(rtc.RTCSessionDescription(sdp=offer_sdp, type="offer"))
         answer = await pc.createAnswer()
         await pc.setLocalDescription(answer)  # aiortc gathers ICE here
-        logger.info("WebRTC call negotiated on pipeline %d (session %s)", unit.index, session_id)
-        return pc.localDescription.sdp
+        call_id = f"rtc_{session_id}"
+        self.calls[call_id] = (pc, closed)
+        self._spawn(self._forget_when_closed(call_id, closed))
+        logger.info(
+            "WebRTC call %s negotiated on pipeline %d (session %s)",
+            call_id, unit.index, session_id,
+        )
+        return call_id, pc.localDescription.sdp
+
+    async def _forget_when_closed(self, call_id, closed) -> None:
+        await closed.wait()
+        self.calls.pop(call_id, None)
 
     async def _pump_channel(self, unit, session_id, transport, inbound, closed) -> None:
         import asyncio

@@ -421,3 +421,38 @@ def test_frame_to_mono_int16_variants():
     f32 = FakeAudioFrame(np.full((1, 480), 0.5, np.float32), 24000)
     arr, rate = frame_to_mono_int16(f32)
     assert rate == 24000 and abs(int(arr[0]) - 16383) <= 1
+
+
+def test_handle_call_returns_location_id_and_delete_hangs_up():
+    """POST returns a call id (the Location header handle); hangup closes
+    the peer connection and releases the unit (reference
+    test_delete_location_hangs_up)."""
+
+    async def scenario():
+        pool = [make_webrtc_unit()]
+        rtc = FakeRTC()
+        manager = WebRTCCallManager(pool, threading.Event(), rtc=rtc, connect_timeout_s=5)
+        call_id, answer = await manager.handle_call("OFFER")
+        assert answer == "answer-to:OFFER"
+        assert call_id in manager.calls
+        pc = rtc.pcs[0]
+        pc.channels[0].open()
+        pc.connect()
+        await _settle()
+        found = await manager.hangup(call_id)
+        assert found
+        await _settle()
+        assert pc.connectionState == "closed"
+        assert call_id not in manager.calls
+        assert await manager.hangup(call_id) is False  # idempotent-ish: gone
+
+    asyncio.run(scenario())
+
+
+def test_hangup_unknown_call_id_returns_false():
+    async def scenario():
+        manager = WebRTCCallManager([make_webrtc_unit()], threading.Event(),
+                                    rtc=FakeRTC(), connect_timeout_s=5)
+        assert await manager.hangup("rtc_nope") is False
+
+    asyncio.run(scenario())
