@@ -9,6 +9,11 @@ and TTFT as JSON.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import statistics
@@ -37,6 +42,13 @@ def build_handler(backend: str, model_size: str, language: str | None):
             stop, Queue(), Queue(),
             setup_kwargs=dict(model_size=model_size, language=language, warmup=False),
         )
+    if backend == "paraformer":
+        from s2s_tpu.stt.paraformer_handler import ParaformerSTTHandler
+
+        return ParaformerSTTHandler(
+            stop, Queue(), Queue(),
+            setup_kwargs=dict(model_size=model_size, language=language, warmup=False),
+        )
     from s2s_tpu.stt.whisper_handler import WhisperSTTHandler
 
     return WhisperSTTHandler(
@@ -47,7 +59,7 @@ def build_handler(backend: str, model_size: str, language: str | None):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--stt", default="whisper", choices=["whisper", "parakeet-tdt"])
+    parser.add_argument("--stt", default="whisper", choices=["whisper", "parakeet-tdt", "paraformer"])
     parser.add_argument("--model_size", default="tiny")
     parser.add_argument("--language", default="en")
     parser.add_argument("--audio", default=None, help="wav file (16 kHz mono); synthetic otherwise")
