@@ -367,9 +367,19 @@ class WebRTCCallManager:
         self._spawn(self._watchdog(pc, unit, session_id, closed))
         self._spawn(self._teardown_when_closed(unit, session_id, closed))
 
-        await pc.setRemoteDescription(rtc.RTCSessionDescription(sdp=offer_sdp, type="offer"))
-        answer = await pc.createAnswer()
-        await pc.setLocalDescription(answer)  # aiortc gathers ICE here
+        try:
+            await pc.setRemoteDescription(rtc.RTCSessionDescription(sdp=offer_sdp, type="offer"))
+            answer = await pc.createAnswer()
+            await pc.setLocalDescription(answer)  # aiortc gathers ICE here
+        except Exception:
+            # invalid offer / negotiation failure AFTER the claim: the unit
+            # must go back to the pool (the teardown task releases it)
+            closed.set()
+            try:
+                await pc.close()
+            except Exception:  # noqa: BLE001
+                pass
+            raise
         call_id = f"rtc_{session_id}"
         self.calls[call_id] = (pc, closed)
         self._spawn(self._forget_when_closed(call_id, closed))

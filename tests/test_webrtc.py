@@ -456,3 +456,32 @@ def test_hangup_unknown_call_id_returns_false():
         assert await manager.hangup("rtc_nope") is False
 
     asyncio.run(scenario())
+
+
+def test_invalid_offer_releases_unit():
+    """A negotiation failure after the unit is claimed must release it
+    (reference test_invalid_offer_releases_unit)."""
+
+    async def scenario():
+        pool = [make_webrtc_unit()]
+        rtc = FakeRTC()
+
+        orig_set_remote = FakePeerConnection.setRemoteDescription
+
+        async def broken(self, desc):
+            raise ValueError("bad sdp")
+
+        FakePeerConnection.setRemoteDescription = broken
+        try:
+            manager = WebRTCCallManager(pool, threading.Event(), rtc=rtc, connect_timeout_s=5)
+            with pytest.raises(ValueError):
+                await manager.handle_call("GARBAGE")
+            await _settle()
+            # the unit entered the release lifecycle (drain -> reclaimable)
+            assert pool[0].session is not None
+            assert pool[0].session.released_at is not None
+            assert manager.calls == {}
+        finally:
+            FakePeerConnection.setRemoteDescription = orig_set_remote
+
+    asyncio.run(scenario())
