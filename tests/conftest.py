@@ -27,3 +27,24 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
 assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {len(jax.devices())}"
+
+
+# ── memory hygiene across the (single-process) suite ─────────────────
+#
+# ~700 tests jit-compile thousands of programs; XLA:CPU executables are
+# never freed while referenced by jax's global caches, and the image has
+# one core + bounded RAM — a full-suite run previously segfaulted inside
+# backend_compile around the 600th test. Dropping the caches between test
+# modules keeps the high-water mark flat (each module re-compiles its own
+# tiny programs in milliseconds).
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
+    gc.collect()
