@@ -294,6 +294,11 @@ TPU_OPTIMAL_DEFAULTS = {
     "llm_backend": "responses-api",
     "tts": "qwen3",
     "tts_streaming_chunk_size": 8,
+    # measured serving optimum on v5e-1: batched decode is weight-bandwidth-
+    # bound, so 16 slots ≈ 1.4x the aggregate throughput of 8 at modest
+    # per-step latency cost (bench.py detail has the sweep)
+    "tts_batched_slots": 16,
+    "tts_quantize": "int8",
     "vad_realtime_processing_pause": 0.5,
 }
 
