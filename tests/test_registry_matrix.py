@@ -105,23 +105,25 @@ class TestExtensibility:
 
     def test_factories_keep_backend_modules_lazy(self):
         """Importing the registry must not import any model/handler module —
-        heavyweight imports happen inside factories only."""
-        loaded_before = {m for m in sys.modules if m.startswith("s2s_tpu.")}
-        # registry is already imported by this test module; assert the
-        # heavyweight modules are NOT pulled in transitively by it
-        import importlib
+        heavyweight imports happen inside factories only.  Checked in a
+        clean subprocess (reloading the registry in-process would fork its
+        global ModelCache away from builder's reference)."""
+        import subprocess
 
-        import s2s_tpu.registry as registry
-
-        importlib.reload(registry)
-        heavy = [
-            "s2s_tpu.models.whisper", "s2s_tpu.models.parakeet",
-            "s2s_tpu.models.qwen3_tts", "s2s_tpu.models.kokoro",
-            "s2s_tpu.models.pocket_tts",
-        ]
-        newly = {m for m in sys.modules if m.startswith("s2s_tpu.")} - loaded_before
-        for mod in heavy:
-            assert mod not in newly, f"registry import pulled in {mod}"
+        code = (
+            "import sys\n"
+            "import s2s_tpu.registry\n"
+            "heavy = ['s2s_tpu.models.whisper', 's2s_tpu.models.parakeet',\n"
+            "         's2s_tpu.models.qwen3_tts', 's2s_tpu.models.kokoro',\n"
+            "         's2s_tpu.models.pocket_tts', 's2s_tpu.models.chattts']\n"
+            "bad = [m for m in heavy if m in sys.modules]\n"
+            "assert not bad, f'registry import pulled in {bad}'\n"
+            "print('lazy-ok')\n"
+        )
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=120)
+        assert out.returncode == 0, out.stderr[-1500:]
+        assert "lazy-ok" in out.stdout
 
 
 def _fake_ctx():
