@@ -579,3 +579,58 @@ def test_handler_final_replaces_queued_progressive_same_revision():
     same_rev = [p for p in progressive
                 if (p.turn_id, p.turn_revision) == (finals[0].turn_id, finals[0].turn_revision)]
     assert same_rev == []
+
+
+def test_handler_smart_turn_analyzes_raw_audio_while_stt_gets_enhanced():
+    """The endpoint analyzer must see RAW audio (the reference re-analyzes
+    resumed turns with raw audio after enhancement) while the STT-bound
+    final carries the ENHANCED signal."""
+    seen_by_analyzer = []
+
+    class RecordingAnalyzer:
+        def predict(self, audio, sample_rate=16000):
+            from s2s_tpu.vad.smart_turn import SmartTurnResult
+
+            seen_by_analyzer.append(np.asarray(audio).copy())
+            return SmartTurnResult(True, 0.9, 0.1)
+
+    def enhancer(audio):
+        return audio * 0.25  # distinctly scaled
+
+    handler, qtext, _ = build_handler(
+        [0.9] * 20 + [0.0] * 20,
+        smart_turn_analyzer=RecordingAnalyzer(),
+        enhancer=enhancer,
+    )
+    outputs = feed(handler, 30)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert finals and seen_by_analyzer
+    raw_peak = np.abs(seen_by_analyzer[0]).max()
+    out_peak = np.abs(finals[0].audio).max()
+    assert raw_peak > 0
+    # enhanced output is the scaled version, analyzer saw the raw one
+    assert out_peak == pytest.approx(raw_peak * 0.25, rel=1e-3)
+
+
+def test_handler_continuation_threshold_clamping():
+    from s2s_tpu.vad.handler import NOISE_FLOOR_MS, VADHandler
+
+    resolve = VADHandler._resolve_continuation_ms
+    assert resolve(384, 0) == 384        # disabled -> full entry bar
+    assert resolve(384, -5) == 384
+    assert resolve(384, 10) == NOISE_FLOOR_MS  # floor clamp
+    assert resolve(384, 900) == 384      # never above the entry bar
+    assert resolve(384, 192) == 192      # in-range passes through
+
+
+def test_handler_no_progressive_when_live_transcription_disabled():
+    handler, qtext, _ = build_handler(
+        [0.9] * 40 + [0.0] * 20,
+        enable_realtime_transcription=False,
+        realtime_processing_pause=0.0,
+    )
+    outputs = feed(handler, 50)
+    progressive = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "progressive"]
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert progressive == []
+    assert finals
