@@ -256,3 +256,61 @@ def test_whisper_jax_path_end_to_end():
     handler = make_handler(None, model_size="tiny", warmup=False, language="en")
     outs = list(handler.process(vad_audio(seconds=0.8)))
     assert len(outs) == 1 and isinstance(outs[0], Transcription)
+
+
+def test_handler_bulk_purges_stale_queued_audio():
+    """should_process_input purges the WHOLE queue of superseded revisions
+    in one pass (reference bulk-drop semantics), not just the head item."""
+    tracker = SpeculativeTurnTracker()
+    tracker.observe("t1", 0)
+    handler = make_handler(lambda a: DecodeResult("x"), tracker=tracker)
+    handler.queue_in.put(vad_audio(mode="progressive", rev=0))
+    handler.queue_in.put(vad_audio(mode="progressive", rev=0))
+    handler.queue_in.put(vad_audio(rev=0))
+    tracker.observe("t1", 2)  # everything queued is now stale
+    # seeing ONE stale item purges the whole stale backlog in that pass
+    assert not handler.should_process_input(vad_audio(rev=0))
+    assert handler.queue_in.qsize() == 0  # bulk purge emptied the backlog
+    assert handler.should_process_input(vad_audio(rev=2))
+
+
+def test_handler_waits_for_pending_reopen_before_processing():
+    """A final whose turn has a PENDING reopen candidate must not process
+    until the candidate resolves."""
+    import threading
+    import time
+
+    tracker = SpeculativeTurnTracker()
+    tracker.observe("t1", 0)
+    candidate = tracker.begin_reopen_candidate("t1", 0)
+    handler = make_handler(lambda a: DecodeResult("x"), tracker=tracker)
+    item = vad_audio(rev=0)
+    item.processing_delay_s = 0.0
+    results = []
+
+    def gate():
+        results.append(handler.should_process_input(item))
+
+    t = threading.Thread(target=gate)
+    t.start()
+    time.sleep(0.15)
+    assert not results, "gate should still be blocked on the pending reopen"
+    tracker.cancel_reopen_candidate("t1", candidate)
+    t.join(timeout=5)
+    assert results == [True]
+
+
+def test_handler_drops_output_that_became_stale_during_processing():
+    """A transcription computed for rev 0 must not emit if rev 1 appeared
+    while the model was running."""
+    tracker = SpeculativeTurnTracker()
+    tracker.observe("t1", 0)
+
+    def slow_decode(audio):
+        tracker.observe("t1", 1)  # reopen lands mid-inference
+        return DecodeResult("outdated words")
+
+    handler = make_handler(slow_decode, tracker=tracker)
+    out = list(handler.process(vad_audio(rev=0)))
+    assert out, "decode ran"
+    assert all(not handler.should_emit_output(o) for o in out)
