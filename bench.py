@@ -335,6 +335,15 @@ def main() -> None:
             "voice_to_voice_p50_s": round(v2v_p50, 4),
             "voice_to_voice_p95_s": round(v2v_p95, 4),
             "voice_to_voice_turns": V2V_TURNS,
+            # derived: first-sentence + first-chunk latency when the chip is
+            # serving 16 concurrent sessions (batched steps are slower per
+            # step than the unloaded single-session chain above)
+            "voice_to_voice_loaded_est_s": round(
+                t_stt
+                + t_llm_b16 * FIRST_SENTENCE_TOKENS / REPLY_TOKENS
+                + t_tts_b16 * TTS_CHUNK_FRAMES / (OUT_SECONDS * 12.5),
+                4,
+            ),
             "voice_to_voice_target_s": 0.3,
         },
     }

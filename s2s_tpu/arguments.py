@@ -187,6 +187,7 @@ class PocketTTSArgs:
     voice: Optional[str] = None  # named voice from the converted catalog
     ref_audio: Optional[str] = None
     ref_spk: Optional[str] = None  # converted pocket-voice embedding (.npz)
+    tokenizer: Optional[str] = None  # sentencepiece vocab.txt (encode side)
     speed: float = 1.0
     checkpoint: Optional[str] = None
     blocksize: int = 512

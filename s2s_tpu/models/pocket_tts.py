@@ -335,19 +335,22 @@ class PocketTTS:
     CONTEXT_FRAMES = 24  # re-vocoded Mimi left context per chunk
 
     def __init__(self, params: Params | None = None, cfg: PocketTTSConfig | None = None,
-                 seed: int = 0, vocab: dict[str, int] | None = None):
+                 seed: int = 0, vocab: dict[str, int] | None = None, tokenizer=None):
         if cfg is None:
             cfg = config_from_params(params) if params is not None else PocketTTSConfig()
         self.cfg = cfg
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), cfg)
         self.params = jax.tree.map(jnp.asarray, self.params)
         self.vocab = vocab
+        self.tokenizer = tokenizer  # SentencePiece-style object with .encode()
         self.voices: dict[str, np.ndarray] = {}
 
     def add_voice(self, name: str, prefix: np.ndarray) -> None:
         self.voices[name] = np.asarray(prefix, np.float32).reshape(1, -1, self.cfg.backbone.d_model)
 
     def _encode(self, text: str) -> list[int]:
+        if self.tokenizer is not None:
+            return [i for i in self.tokenizer.encode(text) if i < self.cfg.text_vocab]
         if self.vocab is not None:
             return [self.vocab[c] for c in text if c in self.vocab]
         lo = self.cfg.text_pad_id + 1

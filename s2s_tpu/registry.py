@@ -374,7 +374,12 @@ def _make_pocket_tts(config, ctx: HandlerContext):
     from s2s_tpu.tts.pocket_handler import PocketTTSHandler
 
     def build():
-        model = PocketTTS(params=_load_checkpoint(config.checkpoint))
+        tokenizer = None
+        if getattr(config, "tokenizer", None):
+            from s2s_tpu.stt.tokenizer import SentencePieceTokenizer
+
+            tokenizer = SentencePieceTokenizer.from_file(config.tokenizer)
+        model = PocketTTS(params=_load_checkpoint(config.checkpoint), tokenizer=tokenizer)
         # named voice prefixes: --tts_ref_spk <converted pocket-voice .npz>
         # (one file -> voice name = file stem)
         if getattr(config, "ref_spk", None):

@@ -87,6 +87,31 @@ class SentencePieceTokenizer:
                 out.append(piece)
         return "".join(out).replace("▁", " ").strip()
 
+    def encode(self, text: str) -> list[int]:
+        """Greedy longest-prefix-match encode over the piece vocabulary
+        (the ``▁`` word-boundary convention).  NOTE: real SentencePiece is a
+        unigram-LM segmentation — greedy matching is a deterministic
+        approximation that differs on ambiguous splits; exact parity needs
+        the upstream ``.model`` scores.  Used by TTS front-ends where a
+        converted vocab.txt is all that ships."""
+        if not hasattr(self, "_piece_ids"):
+            self._piece_ids = {p: i for i, p in enumerate(self.pieces)}
+            self._max_len = max((len(p) for p in self.pieces), default=1)
+        ids: list[int] = []
+        norm = "▁" + text.strip().replace(" ", "▁")
+        pos = 0
+        while pos < len(norm):
+            for length in range(min(self._max_len, len(norm) - pos), 0, -1):
+                piece = norm[pos : pos + length]
+                idx = self._piece_ids.get(piece)
+                if idx is not None:
+                    ids.append(idx)
+                    pos += length
+                    break
+            else:
+                pos += 1  # unknown char: skip (no <unk> guarantee in vocab.txt)
+        return ids
+
     @classmethod
     def from_file(cls, path: str | Path) -> "SentencePieceTokenizer":
         """Load from a NeMo ``vocab.txt`` (one piece per line, id = line

@@ -151,3 +151,27 @@ class TestPocketHandler:
             voice="nonexistent",
         )
         assert h.voice is None
+
+
+class TestTokenizer:
+    def test_sentencepiece_greedy_encode_roundtrips(self):
+        from s2s_tpu.stt.tokenizer import SentencePieceTokenizer
+
+        tok = SentencePieceTokenizer(["<pad>", "▁hel", "lo", "▁wor", "ld", "▁", "a"])
+        ids = tok.encode("hello world")
+        assert ids == [1, 2, 3, 4]
+        assert tok.decode(ids) == "hello world"
+
+    def test_unknown_chars_skipped(self):
+        from s2s_tpu.stt.tokenizer import SentencePieceTokenizer
+
+        tok = SentencePieceTokenizer(["▁hi"])
+        assert tok.encode("hi €") == [0]
+
+    def test_pocket_uses_tokenizer_when_given(self):
+        from s2s_tpu.stt.tokenizer import SentencePieceTokenizer
+
+        cfg = pocket_tts.PocketTTSConfig.tiny()
+        tok = SentencePieceTokenizer(["▁x"] * 4 + ["▁hi", "▁there"])
+        model = pocket_tts.PocketTTS(cfg=cfg, tokenizer=tok)
+        assert model._encode("hi there") == [4, 5]
