@@ -408,3 +408,102 @@ def test_replace_and_remove_unknown_ids_return_false():
     assert chat.replace_user_message_text("msg_nope", "x") is False
     assert chat.remove_user_message("msg_nope") is False
     assert chat.user_turn_count == 1
+
+
+# ── compaction edge matrix (reference test_chat.py compaction section) ─
+
+
+def add_turn(chat, user_text, assistant_text):
+    chat.add_item(make_user_message(user_text))
+    chat.add_item(make_assistant_message(assistant_text))
+
+
+def _wait(cond, timeout=5.0):
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if cond():
+            return True
+        time.sleep(0.01)
+    return False
+
+
+class TestCompactionEdges:
+    def test_no_compaction_when_below_threshold(self):
+        calls = []
+
+        def compactor(snapshot):
+            calls.append(snapshot)
+            return None
+
+        chat = Chat(10)
+        add_turn(chat, "u0", "a0")
+        chat.trim_if_needed(compactor)
+        import time
+
+        time.sleep(0.1)
+        assert calls == []
+
+    def test_compactor_none_falls_back_to_eviction(self):
+        chat = Chat(2)
+        for i in range(5):
+            add_turn(chat, f"u{i}", f"a{i}")
+        chat.trim_if_needed(None)
+        texts = [getattr(i.content[0], "text", "") for i in chat.buffer
+                 if getattr(i, "role", None) == "user"]
+        assert "u0" not in texts  # oldest evicted
+        assert f"u4" in texts
+
+    def test_appends_during_compaction_are_preserved(self):
+        import threading
+
+        release = threading.Event()
+
+        def slow_compactor(snapshot):
+            release.wait(5)
+            from s2s_tpu.llm.compaction import CompactionResult
+
+            return CompactionResult(user_summary="[u]", assistant_summary="[a]")
+
+        chat = Chat(2)
+        for i in range(4):
+            add_turn(chat, f"u{i}", f"a{i}")
+        chat.trim_if_needed(slow_compactor)
+        # a turn lands WHILE the summary is being computed
+        add_turn(chat, "during-u", "during-a")
+        release.set()
+        assert _wait(lambda: chat.buffer and
+                     getattr(chat.buffer[0].content[0], "text", "") == "[u]")
+        texts = [getattr(i.content[0], "text", "") for i in chat.buffer]
+        assert "during-u" in texts and "during-a" in texts
+
+    def test_compactor_exception_leaves_buffer_unchanged(self):
+        def bad_compactor(snapshot):
+            raise RuntimeError("llm down")
+
+        chat = Chat(2)
+        for i in range(4):
+            add_turn(chat, f"u{i}", f"a{i}")
+        before = [getattr(i.content[0], "text", "") for i in chat.buffer]
+        chat.trim_if_needed(bad_compactor)
+        import time
+
+        time.sleep(0.3)
+        after = [getattr(i.content[0], "text", "") for i in chat.buffer]
+        assert after == before
+
+    def test_system_message_unchanged_after_compaction(self):
+        from s2s_tpu.llm.chat import make_system_message
+        from s2s_tpu.llm.compaction import CompactionResult
+
+        chat = Chat(2)
+        chat.add_item(make_system_message("persona prompt"))
+        for i in range(4):
+            add_turn(chat, f"u{i}", f"a{i}")
+        chat.trim_if_needed(
+            lambda s: CompactionResult(user_summary="[u]", assistant_summary="[a]"))
+        assert _wait(lambda: chat.buffer and
+                     getattr(chat.buffer[0].content[0], "text", "") == "[u]")
+        assert chat.system_message is not None
+        assert chat.system_message.content[0].text == "persona prompt"
