@@ -215,7 +215,7 @@ def gfsq_dequantize(params: Params, cfg: DvaeConfig, codes):
     return jnp.concatenate(group_parts, axis=-1)
 
 
-def _causal_pad_conv(x, p, k=None):
+def _causal_pad_conv(x, p):
     """Symmetric ('same') conv over (B, T, C) — DVAE/Vocos convs are
     non-causal same-padded in the reference."""
     w = p["w"]
@@ -244,8 +244,7 @@ def dvae_decode(params: Params, cfg: DvaeConfig, codes):
         x = x + blk["gamma"] * h
     x = _causal_pad_conv(x, params["out_conv"])  # (B, T, n_mels * fpt)
     b, t, _ = x.shape
-    mel = x.reshape(b, t, cfg.frames_per_token, cfg.n_mels)
-    mel = mel.transpose(0, 1, 2, 3).reshape(b, t * cfg.frames_per_token, cfg.n_mels)
+    mel = x.reshape(b, t * cfg.frames_per_token, cfg.n_mels)
     return (mel * params["coef"][None, None, :]).transpose(0, 2, 1)
 
 
@@ -304,18 +303,39 @@ def sample_speaker(params: Params, key) -> jnp.ndarray:
     )
 
 
+def _codes_from_hidden(params: Params, cfg: ChatTTSConfig, h):
+    """All num_vq heads over one normed hidden: (codes (B, nvq), eos (B,))."""
+    codes = []
+    for k in range(cfg.dvae.num_vq):
+        logits = h.astype(jnp.float32) @ params["head_code"][k].astype(jnp.float32)
+        codes.append(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+    codes = jnp.stack(codes, axis=-1)
+    eos = jnp.any(codes == cfg.audio_eos_id, axis=-1)
+    return jnp.clip(codes, 0, cfg.dvae.codebook_size - 1), eos
+
+
 def prefill(params: Params, cfg: ChatTTSConfig, text_tokens, spk_emb, state):
+    """Prefill the text prompt; the FIRST audio frame's codes come from the
+    last text position's heads (the reference decodes frame 0 from the
+    prompt logits, not from a synthetic BOS step).
+    Returns (ChatState, codes0 (B, nvq), eos0 (B,))."""
+    from s2s_tpu.models.common import rms_norm
+
     embeds = apply_spk_emb(params, cfg, text_tokens, spk_emb).astype(cfg.gpt.dtype)
     prompt_len = jnp.sum(text_tokens > 0, axis=1).max()
-    _, lm_state = decoder_lm._hidden_prefill(params["gpt"], cfg.gpt, embeds, state, prompt_len)
-    bos = jnp.zeros((text_tokens.shape[0], cfg.dvae.num_vq), jnp.int32)
-    return ChatState(lm_state, bos)
+    h, lm_state = decoder_lm._hidden_prefill(params["gpt"], cfg.gpt, embeds, state, prompt_len)
+    h = rms_norm(h, params["gpt"]["final_norm"], cfg.gpt.rms_eps)
+    codes0, eos0 = _codes_from_hidden(params, cfg, h)
+    return ChatState(lm_state, codes0), codes0, eos0
 
 
 def generate_codes(params: Params, cfg: ChatTTSConfig, state: ChatState, n_tokens: int):
-    """Greedy AR loop: each step embeds the previous 4 codes (summed),
-    runs one GPT step, and emits argmax from all 4 heads.
+    """Greedy AR loop CONTINUING from the prefill-predicted frame: each step
+    embeds the previous frame's 4 codes (summed), runs one GPT step, and
+    emits argmax from all 4 heads.
     Returns (codes (n, B, num_vq), eos (n, B), state)."""
+    from s2s_tpu.models.common import rms_norm
+
     nvq = cfg.dvae.num_vq
 
     def body(carry, _):
@@ -324,16 +344,8 @@ def generate_codes(params: Params, cfg: ChatTTSConfig, state: ChatState, n_token
         for k in range(nvq):
             emb = emb + params["emb_code"][k][st.prev_codes[:, k]].astype(cfg.gpt.dtype)
         x, lm_state = decoder_lm._hidden_step(params["gpt"], cfg.gpt, emb[:, None, :], st.lm_state)
-        from s2s_tpu.models.common import rms_norm
-
         h = rms_norm(x[:, 0], params["gpt"]["final_norm"], cfg.gpt.rms_eps)
-        codes = []
-        for k in range(nvq):
-            logits = h.astype(jnp.float32) @ params["head_code"][k].astype(jnp.float32)
-            codes.append(jnp.argmax(logits, axis=-1).astype(jnp.int32))
-        codes = jnp.stack(codes, axis=-1)  # (B, nvq)
-        eos = jnp.any(codes == cfg.audio_eos_id, axis=-1)
-        codes = jnp.clip(codes, 0, cfg.dvae.codebook_size - 1)
+        codes, eos = _codes_from_hidden(params, cfg, h)
         return ChatState(lm_state, codes), (codes, eos)
 
     state, (codes, eos) = jax.lax.scan(body, state, None, length=n_tokens)
@@ -346,8 +358,10 @@ def synthesize_utterance(params: Params, cfg: ChatTTSConfig, text_tokens, spk_em
     Returns (audio (B, T_samples), n_valid_tokens)."""
     state = decoder_lm.init_decode_state(
         cfg.gpt, text_tokens.shape[0], max_t=cache_len or cfg.gpt.max_seq_len)
-    cstate = prefill(params, cfg, text_tokens, spk_emb, state)
-    codes, eos, _ = generate_codes(params, cfg, cstate, max_tokens)
+    cstate, codes0, eos0 = prefill(params, cfg, text_tokens, spk_emb, state)
+    rest, eos_rest, _ = generate_codes(params, cfg, cstate, max_tokens - 1)
+    codes = jnp.concatenate([codes0[None], rest], axis=0)
+    eos = jnp.concatenate([eos0[None], eos_rest], axis=0)
     codes_b = codes.transpose(1, 0, 2)  # (B, n, nvq)
     mel = dvae_decode(params["dvae"], cfg.dvae, codes_b)
     audio = vocos_decode(params["vocos"], cfg.vocos, mel)
@@ -552,8 +566,12 @@ class ChatTTSModel:
     def synthesize(self, text: str, speaker=None, seed: int = 0,
                    max_tokens: int | None = None) -> np.ndarray:
         tokens = self._encode(text)
+        # leave room for at least a handful of audio frames in the context
+        max_text = self.cfg.gpt.max_seq_len - 16
+        if tokens.shape[1] > max_text:
+            tokens = tokens[:, :max_text]
         budget = max_tokens or self._budget(text)
-        budget = min(budget, self.cfg.gpt.max_seq_len - tokens.shape[1] - 2)
+        budget = max(1, min(budget, self.cfg.gpt.max_seq_len - tokens.shape[1] - 2))
         if speaker is None:
             speaker = sample_speaker(self.params, jax.random.PRNGKey(seed))
         cache_len = 1 << max(6, int(np.ceil(np.log2(tokens.shape[1] + budget + 2))))

@@ -168,7 +168,7 @@ class DFState(NamedTuple):
     erb_prev1: jax.Array     # (erb_bands//?, ch) previous post-conv0 frame
     df_prev: jax.Array       # (df_bins, 2)
     df_prev1: jax.Array      # (df_bins, ch)
-    spec_hist: jax.Array     # (df_order, n_bins) complex spectrum history
+    spec_hist: jax.Array     # (df_order, df_bins) complex spectrum history
 
 
 def init_state(cfg: DeepFilterConfig) -> DFState:
@@ -181,7 +181,7 @@ def init_state(cfg: DeepFilterConfig) -> DFState:
         erb_prev1=jnp.zeros((cfg.erb_bands, c)),
         df_prev=jnp.zeros((cfg.df_bins, 2)),
         df_prev1=jnp.zeros((cfg.df_bins, c)),
-        spec_hist=jnp.zeros((cfg.df_order, cfg.n_bins), jnp.complex64),
+        spec_hist=jnp.zeros((cfg.df_order, cfg.df_bins), jnp.complex64),
     )
 
 
@@ -222,9 +222,10 @@ def frame_step(params: Params, cfg: DeepFilterConfig, spec, state: DFState):
     )
     y = spec * gain_f
 
-    # stage 2: deep filtering over the noisy-spectrum history (newest last)
-    hist = jnp.concatenate([state.spec_hist[1:], spec[None]], axis=0)
-    y_low = jnp.sum(coefs_c * hist[:, : cfg.df_bins], axis=0)
+    # stage 2: deep filtering over the noisy-spectrum history (newest last;
+    # only the filtered low bins are carried)
+    hist = jnp.concatenate([state.spec_hist[1:], spec[None, : cfg.df_bins]], axis=0)
+    y_low = jnp.sum(coefs_c * hist, axis=0)
     y = y.at[: cfg.df_bins].set(y_low)
 
     new_state = DFState(
@@ -283,9 +284,16 @@ class DeepFilterEnhancer:
         n = len(audio)
         if n == 0:
             return audio
+        hop = self.cfg.hop
         bucket = next((b for b in self.BUCKETS if b >= n), None)
-        padded = np.pad(audio, (0, (bucket or n) - n)) if bucket else audio
+        if bucket is None:
+            # beyond the largest bucket: pad to a hop multiple so the iSTFT
+            # covers the full input (same-length contract of the hook)
+            bucket = -(-n // hop) * hop
+        padded = np.pad(audio, (0, bucket - n))
         out = np.asarray(jit_enhance(self.params, self.cfg, jnp.asarray(padded)))
+        if len(out) < n:
+            out = np.pad(out, (0, n - len(out)))
         return out[:n]
 
 

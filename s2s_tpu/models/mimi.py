@@ -229,8 +229,8 @@ def _transformer(params: Params, cfg: MimiConfig, x):
     freqs = cfg.rope_theta ** (-2.0 * half / hd)
     ang = pos[:, None] * freqs[None, :]
     cos, sin = jnp.cos(ang), jnp.sin(ang)
-    rel = pos[None, :] - pos[:, None]  # tq - tk
-    mask = (rel >= 0) & (rel < cfg.t_context)
+    rel = pos[:, None] - pos[None, :]  # tq - tk: how far BEHIND the key is
+    mask = (rel >= 0) & (rel < cfg.t_context)  # causal sliding window
     mask = mask[None, None, :, :]
 
     def rope(v):  # (B, H, T, hd)

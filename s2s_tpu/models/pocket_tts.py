@@ -258,7 +258,7 @@ def synthesize_utterance(params, cfg: PocketTTSConfig, text_tokens_bt, max_frame
     return audio, n_valid
 
 
-jit_synthesize = partial(jax.jit, static_argnums=(1, 3))(synthesize_utterance)
+jit_synthesize = partial(jax.jit, static_argnums=(1, 3, 5))(synthesize_utterance)
 
 
 def config_from_params(params: Params) -> PocketTTSConfig:
@@ -332,7 +332,6 @@ class PocketTTS:
     """
 
     CHUNK_FRAMES = 8  # 640 ms of audio per fused device program
-    CONTEXT_FRAMES = 24  # re-vocoded Mimi left context per chunk
 
     def __init__(self, params: Params | None = None, cfg: PocketTTSConfig | None = None,
                  seed: int = 0, vocab: dict[str, int] | None = None, tokenizer=None):
@@ -344,6 +343,11 @@ class PocketTTS:
         self.vocab = vocab
         self.tokenizer = tokenizer  # SentencePiece-style object with .encode()
         self.voices: dict[str, np.ndarray] = {}
+        # re-vocoded Mimi left context per chunk: the decoder's receptive
+        # field, so streamed chunks match the one-shot decode exactly (the
+        # Mimi decoder is small — re-decoding ~250 frames of 512-d latents
+        # per 640 ms chunk costs a fraction of one talker frame)
+        self.context_frames = mimi.decode_deficit(self.cfg.mimi)
 
     def add_voice(self, name: str, prefix: np.ndarray) -> None:
         self.voices[name] = np.asarray(prefix, np.float32).reshape(1, -1, self.cfg.backbone.d_model)
@@ -372,11 +376,20 @@ class PocketTTS:
         cfg = self.cfg
         budget = max_frames or self._frame_budget(text)
         text_arr = self._text_array(text)
-        cache_len = 1 << max(6, int(np.ceil(np.log2(budget + text_arr.shape[1] + 8))))
-        state = init_state(cfg, 1, cache_len=cache_len)
+        prefix = None
+        prefix_len = 0
         if voice is not None and voice in self.voices:
+            prefix = jnp.asarray(self.voices[voice])
+            prefix_len = prefix.shape[1]
+        # cache must hold voice prefix + every backbone frame, and rope
+        # tables stop at max_seq_len — clamp the budget to what fits
+        budget = max(1, min(budget, cfg.backbone.max_seq_len - prefix_len - 2))
+        need = budget + prefix_len + 8
+        cache_len = min(1 << max(6, int(np.ceil(np.log2(need)))), cfg.backbone.max_seq_len)
+        state = init_state(cfg, 1, cache_len=cache_len)
+        if prefix is not None:
             state = state._replace(lm_state=jit_prefill_voice(
-                self.params, cfg, jnp.asarray(self.voices[voice]), state.lm_state))
+                self.params, cfg, prefix, state.lm_state))
         history = np.zeros((1, 0, cfg.n_q), np.int64)
         emitted = 0  # audio frames already yielded
         done_at = None
@@ -399,7 +412,7 @@ class PocketTTS:
             aligned = np.stack(
                 [history[0, emitted + cfg.delays[k] : ready + cfg.delays[k], k]
                  for k in range(cfg.n_q)], axis=-1)
-            lo = max(0, emitted - self.CONTEXT_FRAMES)
+            lo = max(0, emitted - self.context_frames)
             ctx = np.stack(
                 [history[0, lo + cfg.delays[k] : emitted + cfg.delays[k], k]
                  for k in range(cfg.n_q)], axis=-1)

@@ -204,8 +204,16 @@ class ChatTTSTwin(nn.Module):
         self.spk_mean = nn.Parameter(torch.zeros(dim))
         self.spk_std = nn.Parameter(torch.ones(dim))
 
+    def _codes_from_hidden(self, h, codebook=625):
+        codes = torch.stack(
+            [self.head_code[k](h).argmax(-1) for k in range(self.num_vq)], dim=-1)
+        return codes.clamp(max=codebook - 1)
+
     @torch.no_grad()
     def generate(self, text_tokens, spk_emb, n_tokens, eos_id=625, codebook=625):
+        """Frame 0 decodes from the LAST TEXT position's heads (the
+        reference predicts the first audio token from the prompt logits);
+        later frames embed the previous frame's codes."""
         emb = self.emb_text(text_tokens)
         if spk_emb is not None:
             norm = spk_emb / (spk_emb.norm() + 1e-8)
@@ -213,17 +221,14 @@ class ChatTTSTwin(nn.Module):
             mask = (text_tokens == self.spk_emb_token)[..., None]
             emb = torch.where(mask, styled[None, None, :], emb)
         cache = self.gpt.new_cache()
-        self.gpt.step(emb, cache)
-        b = text_tokens.shape[0]
-        prev = torch.zeros(b, self.num_vq, dtype=torch.long)
-        out = []
-        for _ in range(n_tokens):
+        x = self.gpt.step(emb, cache)
+        h = self.gpt.norm(x)[:, -1]
+        prev = self._codes_from_hidden(h, codebook)
+        out = [prev]
+        for _ in range(n_tokens - 1):
             step_emb = sum(self.emb_code[k](prev[:, k]) for k in range(self.num_vq))
             x = self.gpt.step(step_emb[:, None, :], cache)
             h = self.gpt.norm(x)[:, 0]
-            codes = torch.stack(
-                [self.head_code[k](h).argmax(-1) for k in range(self.num_vq)], dim=-1)
-            codes = codes.clamp(max=codebook - 1)
-            out.append(codes)
-            prev = codes
+            prev = self._codes_from_hidden(h, codebook)
+            out.append(prev)
         return torch.stack(out)  # (n, B, num_vq)

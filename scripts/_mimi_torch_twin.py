@@ -145,7 +145,7 @@ class MimiTransformer(nn.Module):
         freqs = self.theta ** (-2.0 * half / hd)
         ang = pos[:, None] * freqs[None, :]
         cos, sin = torch.cos(ang), torch.sin(ang)
-        rel = pos[None, :] - pos[:, None]
+        rel = pos[:, None] - pos[None, :]  # tq - tk (causal sliding window)
         mask = (rel >= 0) & (rel < self.context)
         for layer in self.layers:
             hx = layer.norm1(x)

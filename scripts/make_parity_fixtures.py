@@ -415,7 +415,7 @@ def make_chattts_fixture(path: str = "tests/data/chattts_parity.npz") -> None:
     # random-init logit gaps swamp a unit-scale speaker splice; widen the
     # speaker stat so conditioning visibly flips argmax codes in the fixture
     with torch.no_grad():
-        gpt.spk_std += 24.0
+        gpt.spk_std += 7.0
     dvae = DVAETwin().eval()
     vocos = VocosTwin().eval()
     text = torch.randint(6, 64, (1, 7), generator=torch.Generator().manual_seed(2))

@@ -27,15 +27,18 @@ class TestTorchParity:
     def test_gpt_codes_exact_with_speaker(self, fx):
         p, cfg = _params(fx)
         state = decoder_lm.init_decode_state(cfg.gpt, 1, max_t=64)
-        cstate = chattts.prefill(p, cfg, jnp.asarray(fx["text"]), jnp.asarray(fx["spk"]), state)
-        codes, _, _ = chattts.generate_codes(p, cfg, cstate, 10)
+        cstate, codes0, _ = chattts.prefill(
+            p, cfg, jnp.asarray(fx["text"]), jnp.asarray(fx["spk"]), state)
+        rest, _, _ = chattts.generate_codes(p, cfg, cstate, 9)
+        codes = jnp.concatenate([codes0[None], rest], axis=0)
         assert np.array_equal(np.asarray(codes), fx["codes"])
 
     def test_gpt_codes_exact_without_speaker_and_speaker_changes_codes(self, fx):
         p, cfg = _params(fx)
         state = decoder_lm.init_decode_state(cfg.gpt, 1, max_t=64)
-        cstate = chattts.prefill(p, cfg, jnp.asarray(fx["text"]), None, state)
-        codes, _, _ = chattts.generate_codes(p, cfg, cstate, 10)
+        cstate, codes0, _ = chattts.prefill(p, cfg, jnp.asarray(fx["text"]), None, state)
+        rest, _, _ = chattts.generate_codes(p, cfg, cstate, 9)
+        codes = jnp.concatenate([codes0[None], rest], axis=0)
         assert np.array_equal(np.asarray(codes), fx["codes_nospk"])
         assert not np.array_equal(fx["codes"], fx["codes_nospk"])
 
