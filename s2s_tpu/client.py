@@ -262,8 +262,10 @@ async def run_wav_client(
                 if etype == "response.output_audio.delta":
                     playback.append(np.frombuffer(base64.b64decode(event["delta"]), np.int16))
                 elif etype == "input_audio_buffer.speech_started":
-                    playback_len = sum(len(p) for p in playback)
-                    logger.debug("barge-in: clearing %d samples of unplayed audio", playback_len)
+                    dropped = sum(len(p) for p in playback)
+                    playback.clear()  # barge-in: captured output drops unplayed audio
+                    if dropped:
+                        logger.debug("barge-in: cleared %d samples of unplayed audio", dropped)
                 elif etype == "conversation.item.input_audio_transcription.delta":
                     renderer.on_user_partial(event["delta"])
                 elif etype == "conversation.item.input_audio_transcription.completed":

@@ -142,23 +142,36 @@ class BaseLLMHandler(BaseHandler):
         ctx: StreamContext,
         wants_audio: bool,
     ) -> None:
-        if not instructions:
-            return
+        # tools apply even WITHOUT instructions (a session.update can carry
+        # tools alone — dropping them silently broke local tool calling)
         tools = [
             t if isinstance(t, FunctionTool) else FunctionTool.model_validate(t)
             for t in (raw_tools or [])
             if getattr(t, "type", None) == "function" or (isinstance(t, dict) and t.get("type") == "function")
         ]
-        builder = build_voice_system_prompt if wants_audio else build_text_system_prompt
-        if tools and tool_choice != "none":
-            section = build_tool_system_prompt(tools, text_only=not wants_audio)
-            full = builder(instructions, tool_section=section)
+        use_tools = bool(tools) and tool_choice != "none"
+        if use_tools:
             ctx.block_regex = build_block_regex()
             ctx.enter_code, ctx.end_code = ENTER_CODE, END_CODE
+            ctx.function_tools = tools
+        if not instructions and not use_tools:
+            return
+        builder = build_voice_system_prompt if wants_audio else build_text_system_prompt
+        if use_tools:
+            section = build_tool_system_prompt(tools, text_only=not wants_audio)
+            full = builder(instructions or "", tool_section=section)
         else:
-            full = builder(instructions)
+            full = builder(instructions or "")
         chat.add_item(make_system_message(full))
-        ctx.function_tools = tools
+
+    @staticmethod
+    def _drop_unterminated_block(ctx: "StreamContext") -> None:
+        """An opened ``<code>`` block that never closed (max_tokens cut the
+        stream) must not be spoken verbatim — drop from the opener on."""
+        if ctx.enter_code and ctx.enter_code in ctx.printable:
+            kept = ctx.printable[: ctx.printable.index(ctx.enter_code)]
+            logger.warning("Dropping unterminated tool block from LLM output")
+            ctx.printable = kept
 
     # ── sentence batching / tool extraction ──────────────────────────
 
@@ -273,6 +286,7 @@ class BaseLLMHandler(BaseHandler):
             yield from chunks
 
         if ctx.sentence_batch and not ctx.interrupted:
+            self._drop_unterminated_block(ctx)
             if ctx.printable.strip():
                 ctx.sentence_batch.append(ctx.printable.strip())
                 ctx.printable = ""
@@ -355,6 +369,7 @@ class BaseLLMHandler(BaseHandler):
                 original_chat.strip_images(consumed_image_ids)
                 original_chat.trim_if_needed(self.compactor)
 
+            self._drop_unterminated_block(ctx)
             if output_allowed and ctx.printable.strip():
                 yield self._chunk(ctx.printable.strip(), ctx, language_code, runtime_config, response)
 

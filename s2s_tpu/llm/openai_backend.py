@@ -36,7 +36,7 @@ from pydantic import BaseModel
 from s2s_tpu.llm.base_handler import BaseLLMHandler, StreamContext
 from s2s_tpu.llm.chat import Chat, make_user_audio_message
 from s2s_tpu.llm.compaction import build_compactor
-from s2s_tpu.pipeline.messages import GenerateResponseRequest
+from s2s_tpu.pipeline.messages import EndOfResponse, GenerateResponseRequest
 from s2s_tpu.realtime.types import FunctionToolCall, generate_id
 
 logger = logging.getLogger(__name__)
@@ -187,6 +187,9 @@ class RemoteLLMHandler(BaseLLMHandler):
             "stream": self.stream,
             "store": False,
             **self.extra_body,
+            # sampling knobs apply on this shape too (the chat path merges
+            # the same subset)
+            **{k: v for k, v in self.gen_kwargs.items() if k in ("temperature", "top_p")},
         }
         if tools:
             body["tools"] = [
@@ -370,7 +373,22 @@ class RemoteLLMHandler(BaseLLMHandler):
         self._provisional_items: set[str] = set()
         self._provisional_calls: set[str] = set()
         self._had_error = False
-        yield from super().process(request)
+        chat = request.runtime_config.chat if request.runtime_config else None
+        for item in super().process(request):
+            if (
+                isinstance(item, EndOfResponse)
+                and item.error
+                and chat is not None
+                and self._provisional_calls
+            ):
+                # transactional history: a failed generation must not leave
+                # its eagerly-recorded function calls behind
+                chat.rollback_generation(
+                    "", item_ids=set(), call_ids=set(self._provisional_calls)
+                )
+                self._provisional_calls = set()
+                logger.info("Rolled back provisional tool calls after failed generation")
+            yield item
 
     def _generate_stream(self, chat: Chat, ctx: StreamContext, runtime_config, response) -> Iterator[str]:
         tools = ctx.function_tools
@@ -439,6 +457,15 @@ class RemoteLLMHandler(BaseLLMHandler):
             speech_stopped_at_s=request.speech_stopped_at_s,
             cancel_generation=self.cancel_scope.generation if self.cancel_scope else None,
         )
+        # session/response instructions apply to audio turns too — the text
+        # path injects them per generation; without this the upstream model
+        # ran promptless on --stt none sessions
+        response = request.response
+        instructions = (
+            response.instructions if response and response.instructions
+            else runtime_config.session.instructions
+        )
+        self._apply_instructions(active, instructions, None, None, ctx, True)
         messages = active.to_chat_messages()
         # rewrite audio placeholders on the LAST user message into input_audio
         for msg in reversed(messages):

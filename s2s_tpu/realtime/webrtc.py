@@ -66,7 +66,8 @@ class PcmResampler:
         import scipy.signal
 
         if self.src_rate == self.dst_rate:
-            return pcm.astype(np.float32)
+            # same output contract as the resampled path: float32 in ±1.0
+            return pcm.astype(np.float32) / (32768.0 if pcm.dtype == np.int16 else 1.0)
         x = pcm.astype(np.float32) / (32768.0 if pcm.dtype == np.int16 else 1.0)
         buf = np.concatenate([self._tail, x])
         self._consumed += len(x)
@@ -186,15 +187,25 @@ def make_pipeline_track(rtc):
             super().__init__()
             self.buffer = PacedAudioBuffer(rate=RTC_RATE)
             self._timestamp = 0
+            self._t0 = None
 
         async def recv(self):
+            # timestamp-anchored pacing: wait until start + n*20 ms so
+            # per-iteration overhead doesn't accumulate as playout drift
+            import time as _time
+
+            if self._t0 is None:
+                self._t0 = _time.monotonic()
+            target = self._t0 + (self._timestamp / RTC_RATE)
+            delay = target - _time.monotonic()
+            if delay > 0:
+                await asyncio.sleep(delay)
             samples = self.buffer.next_frame()
             frame = rtc.AudioFrame.from_ndarray(samples[None, :], format="s16", layout="mono")
             frame.sample_rate = RTC_RATE
             frame.pts = self._timestamp
             frame.time_base = fractions.Fraction(1, RTC_RATE)
             self._timestamp += len(samples)
-            await asyncio.sleep(FRAME_MS / 1000)
             return frame
 
     return _PipelineAudioTrack()
@@ -216,18 +227,27 @@ class WebRTCTransport:
         self._out16_to_48 = PcmResampler(PIPELINE_RATE, RTC_RATE)
         self._events: "asyncio.Queue[dict]" = asyncio.Queue()
         self._channel_open = asyncio.Event()
+        self._closed = asyncio.Event()
         if getattr(channel, "readyState", None) == "open":
             self._channel_open.set()
         else:
             channel.on("open", self._channel_open.set)
 
     async def run_sender(self) -> None:
-        """Drain queued events to the channel in order, once it opens."""
+        """Drain queued events to the channel in order, once it opens.
+        Exits when the transport closes (no leaked per-call task)."""
+        import asyncio
         import json
 
-        await self._channel_open.wait()
-        while True:
-            event = await self._events.get()
+        while not self._closed.is_set():
+            if self._channel_open.is_set():
+                break
+            await asyncio.sleep(0.05)
+        while not self._closed.is_set():
+            try:
+                event = await asyncio.wait_for(self._events.get(), timeout=0.25)
+            except asyncio.TimeoutError:
+                continue
             try:
                 self.channel.send(json.dumps(event))
             except Exception:  # noqa: BLE001
@@ -252,6 +272,7 @@ class WebRTCTransport:
             logger.info("webrtc: dropped %d unplayed samples (barge-in)", dropped)
 
     async def close(self) -> None:
+        self._closed.set()
         try:
             await self.pc.close()
         except Exception:  # noqa: BLE001
@@ -456,25 +477,36 @@ class WebRTCCallManager:
 
         await closed.wait()
         if unit.session is not None and unit.session.session_id == session_id:
+            transport = unit.session.transport
+            if transport is not None and hasattr(transport, "_closed"):
+                transport._closed.set()  # stop the per-call sender task
             release_session(unit, session_id)
             logger.info("WebRTC call released pipeline %d (session %s)", unit.index, session_id)
 
 
 def frame_to_mono_int16(frame) -> tuple[np.ndarray, int]:
-    """Decode an av.AudioFrame-like object to (mono int16, sample_rate)."""
+    """Decode an av.AudioFrame-like object to (mono int16, sample_rate).
+
+    Handles both layouts av produces: PLANAR (one row per channel — rows
+    are averaged) and PACKED/interleaved (one row of n*channels samples —
+    de-interleaved then averaged).  Normalisation happens ONCE, keyed on
+    the source dtype: float frames are ±1.0, integer frames are already at
+    int16 scale.
+    """
     arr = frame.to_ndarray()
-    if arr.ndim == 2:
-        if arr.shape[0] > 1:  # planar channels
-            arr = arr.mean(axis=0)
-        else:
-            arr = arr[0]
-    if arr.dtype != np.int16:
-        arr = np.clip(arr.astype(np.float32), -1.0, 1.0) * 32767
-        arr = arr.astype(np.int16)
-    # interleaved stereo packed in one row: s16 stereo from av is (1, 2n)
+    is_float = np.issubdtype(np.asarray(arr).dtype, np.floating)
     layout = getattr(frame, "layout", None)
     channels = getattr(layout, "channels", None)
-    n_ch = len(channels) if channels is not None else 1
-    if n_ch > 1:
-        arr = arr.reshape(-1, n_ch).mean(axis=1).astype(np.int16)
-    return arr, int(frame.sample_rate)
+    n_ch = len(channels) if channels is not None else (arr.shape[0] if arr.ndim == 2 else 1)
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 2 and arr.shape[0] > 1:
+        arr = arr.mean(axis=0)  # planar: one row per channel
+    elif arr.ndim == 2:
+        arr = arr[0]
+        if n_ch > 1:  # packed: a single row of interleaved samples
+            arr = arr.reshape(-1, n_ch).mean(axis=1)
+    elif n_ch > 1:
+        arr = arr.reshape(-1, n_ch).mean(axis=1)
+    if is_float:
+        arr = np.clip(arr, -1.0, 1.0) * 32767.0
+    return np.clip(arr, -32768, 32767).astype(np.int16), int(frame.sample_rate)
