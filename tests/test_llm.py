@@ -3,6 +3,7 @@ output processor, local JAX backend, remote API backends over fake transports.""
 
 import json
 import threading
+import time
 from queue import Queue
 
 import httpx
@@ -511,3 +512,84 @@ def test_local_llm_generates_with_bpe_tokenizer(bpe_json):
     rc.chat.add_item(make_user_message("Hi"))
     outs = list(handler.process(GenerateResponseRequest(runtime_config=rc)))
     assert isinstance(outs[-1], EndOfResponse) and outs[-1].error is None
+
+
+def test_processor_stale_end_of_response_not_forwarded():
+    from s2s_tpu.llm.output_processor import LMOutputProcessor
+    from s2s_tpu.pipeline.messages import EndOfResponse
+
+    tracker = SpeculativeTurnTracker()
+    tracker.observe("t1", 1)
+    proc = LMOutputProcessor(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(text_output_queue=Queue(), speculative_turns=tracker),
+    )
+    outs = list(proc.process(EndOfResponse(turn_id="t1", turn_revision=0)))
+    assert outs == []
+    outs = list(proc.process(EndOfResponse(turn_id="t1", turn_revision=1)))
+    assert any(isinstance(o, EndOfResponse) for o in outs)
+
+
+def test_processor_cancel_generation_rides_through_to_tts():
+    from s2s_tpu.llm.output_processor import LMOutputProcessor
+    from s2s_tpu.pipeline.messages import LLMResponseChunk, TTSInput
+
+    proc = LMOutputProcessor(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(text_output_queue=Queue()),
+    )
+    outs = list(proc.process(LLMResponseChunk(
+        text="Hello.", turn_id="t1", turn_revision=0, cancel_generation=7)))
+    tts = [o for o in outs if isinstance(o, TTSInput)]
+    assert tts and tts[0].cancel_generation == 7
+
+
+def test_processor_held_chunk_released_after_cancelled_reopen():
+    from s2s_tpu.llm.output_processor import LMOutputProcessor
+    from s2s_tpu.pipeline.messages import LLMResponseChunk, TTSInput
+
+    tracker = SpeculativeTurnTracker()
+    tracker.observe("t1", 0)
+    candidate = tracker.begin_reopen_candidate("t1", 0)
+    proc = LMOutputProcessor(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(text_output_queue=Queue(), speculative_turns=tracker),
+    )
+    results = []
+
+    def run():
+        results.extend(proc.process(LLMResponseChunk(
+            text="Held.", turn_id="t1", turn_revision=0)))
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(0.15)
+    assert results == []  # held while the reopen is pending
+    tracker.cancel_reopen_candidate("t1", candidate)
+    t.join(timeout=5)
+    assert any(isinstance(o, TTSInput) for o in results)
+
+
+def test_processor_confirmed_reopen_drops_held_chunk():
+    from s2s_tpu.llm.output_processor import LMOutputProcessor
+    from s2s_tpu.pipeline.messages import LLMResponseChunk, TTSInput
+
+    tracker = SpeculativeTurnTracker()
+    tracker.observe("t1", 0)
+    candidate = tracker.begin_reopen_candidate("t1", 0)
+    proc = LMOutputProcessor(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(text_output_queue=Queue(), speculative_turns=tracker),
+    )
+    results = []
+
+    def run():
+        results.extend(proc.process(LLMResponseChunk(
+            text="Superseded.", turn_id="t1", turn_revision=0)))
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(0.1)
+    tracker.confirm_reopen_candidate("t1", 0, candidate)
+    t.join(timeout=5)
+    assert not any(isinstance(o, TTSInput) for o in results)
