@@ -153,6 +153,9 @@ class Qwen3TTSArgs:
     streaming_chunk_size: int = 8
     max_new_tokens: int = 1024
     checkpoint: Optional[str] = None
+    #: path to the checkpoint's ``tokenizer.json`` — real Qwen BPE text ids
+    #: (the reference's GGML runtime bundles this; ``qwen3_tts_handler.py:206-242``)
+    tokenizer: Optional[str] = None
     blocksize: int = 512
     #: cross-session batched synthesis slots over ONE weight set; 0/1 = single
     batched_slots: int = 0
@@ -167,6 +170,10 @@ class KokoroTTSArgs:
     speed: float = 1.0
     checkpoint: Optional[str] = None
     voicepack: Optional[str] = None  # converted (N, 256) style table .npz
+    #: G2P language (espeak-ng code; built-in English rules fall back)
+    lang: str = "en-us"
+    #: input text is already a phoneme string — skip G2P (test/power-user path)
+    phoneme_input: bool = False
     blocksize: int = 512
 
 

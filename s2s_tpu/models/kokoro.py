@@ -907,10 +907,16 @@ class KokoroTTS:
     init uses the per-voice rows in ``params['voices']`` directly."""
 
     def __init__(self, params: Params | None = None, cfg: KokoroConfig = KokoroConfig(),
-                 seed: int = 0, vocab: dict[str, int] | None = None):
+                 seed: int = 0, vocab: dict[str, int] | None = None, g2p=None):
         self.cfg = cfg
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), cfg)
         self.vocab = vocab
+        #: grapheme->phoneme callable (:mod:`s2s_tpu.tts.g2p`); applied before
+        #: the vocab map so plain text reaches a real checkpoint as phoneme
+        #: ids (the reference's KPipeline runs misaki G2P internally,
+        #: ``TTS/kokoro_handler.py:214-249``).  ``None`` = input is already
+        #: a phoneme string (tests, ``--tts_phoneme_input``).
+        self.g2p = g2p
         self.voicepacks: dict[str, np.ndarray] = {}
 
     def add_voice(self, name: str, pack: np.ndarray) -> None:
@@ -931,6 +937,8 @@ class KokoroTTS:
         reference's KPipeline runs misaki G2P before this map; supply
         phonemized text or plug a G2P upstream); without one, a byte-level
         fallback keeps random-init serving/tests running."""
+        if self.g2p is not None and self.vocab is not None:
+            text = self.g2p(text)
         if self.vocab is not None:
             return [self.vocab[c] for c in text if c in self.vocab]
         return [1 + (b % (self.cfg.n_token - 1)) for b in text.encode("utf-8")]

@@ -646,8 +646,15 @@ class Qwen3TTS:
         context_frames: int = VOCODER_CONTEXT_FRAMES,
         ramp_chunks: tuple[int, ...] = (1, 2, 4),
         int8: bool = False,
+        tokenizer=None,
     ) -> None:
         self.cfg = cfg or Qwen3TTSConfig()
+        #: text front-end: an object with ``.encode(text) -> list[int]``
+        #: producing checkpoint-native Qwen BPE ids (the reference gets this
+        #: from the GGML runtime's bundled tokenizer,
+        #: ``TTS/qwen3_tts_handler.py:206-242``); ``None`` falls back to a
+        #: clamped byte encoding so random-init serving/tests keep working.
+        self.tokenizer = tokenizer
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), self.cfg)
         if int8:
             self.params = jax.jit(quantize_params)(self.params)
@@ -663,8 +670,20 @@ class Qwen3TTS:
         return SAMPLE_RATE
 
     def _encode_text(self, text: str, bucket: int | None = None) -> tuple[jnp.ndarray, int]:
+        """Text -> padded (1, bucket) int32 token ids + valid length.
+
+        With a tokenizer (``--tts_tokenizer`` pointing at the checkpoint's
+        ``tokenizer.json``) the ids are real Qwen byte-level-BPE tokens —
+        what the converted talker-LM checkpoint was trained on.  Without
+        one, a clamped UTF-8 byte fallback keeps random-init paths alive.
+        """
         bucket = bucket or min(256, self.cfg.lm.max_seq_len // 2 - 1)
-        ids = [min(self.cfg.text_vocab - 1, max(1, b)) for b in text.encode("utf-8")][:bucket]
+        if self.tokenizer is not None:
+            ids = [i for i in self.tokenizer.encode(text) if 0 <= i < self.cfg.text_vocab][:bucket]
+            if not ids:
+                ids = [1]
+        else:
+            ids = [min(self.cfg.text_vocab - 1, max(1, b)) for b in text.encode("utf-8")][:bucket]
         arr = np.zeros((1, bucket), np.int32)
         arr[0, : len(ids)] = ids
         return jnp.asarray(arr), len(ids)

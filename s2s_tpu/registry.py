@@ -267,11 +267,22 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
         "tiny": Qwen3TTSConfig.tiny,
     }[config.model_size]()
     int8 = getattr(config, "quantize", None) == "int8"
+    tokenizer_path = getattr(config, "tokenizer", None)
+
+    def _load_tokenizer():
+        if not tokenizer_path:
+            return None
+        from s2s_tpu.llm.bpe_tokenizer import BPETokenizer
+
+        return BPETokenizer(tokenizer_path)
+
     model = ctx.model_cache.get(
-        ("qwen3_tts", config.model_size, config.checkpoint, config.streaming_chunk_size, int8),
+        ("qwen3_tts", config.model_size, config.checkpoint, config.streaming_chunk_size,
+         int8, tokenizer_path),
         lambda: Qwen3TTS(
             params=_load_checkpoint(config.checkpoint), cfg=cfg,
             chunk_frames=config.streaming_chunk_size, int8=int8,
+            tokenizer=_load_tokenizer(),
         ),
     )
     shared_tts = None
@@ -322,14 +333,24 @@ def _make_kokoro_tts(config, ctx: HandlerContext):
     from s2s_tpu.tts.kokoro_handler import KokoroTTSHandler
 
     def build():
+        vocab = _load_vocab_sidecar(config.checkpoint)
+        g2p = None
+        if vocab is not None and not getattr(config, "phoneme_input", False):
+            from s2s_tpu.tts.g2p import resolve_phonemizer
+
+            g2p = resolve_phonemizer(getattr(config, "lang", "en-us"))
         model = KokoroTTS(params=_load_checkpoint(config.checkpoint),
-                          vocab=_load_vocab_sidecar(config.checkpoint))
+                          vocab=vocab, g2p=g2p)
         if config.voicepack:
             pack = _load_checkpoint(config.voicepack)
             model.add_voice(config.voice or "default", pack["pack"])
         return model
 
-    model = ctx.model_cache.get(("kokoro", config.checkpoint, config.voicepack), build)
+    model = ctx.model_cache.get(
+        ("kokoro", config.checkpoint, config.voicepack,
+         getattr(config, "lang", "en-us"), getattr(config, "phoneme_input", False)),
+        build,
+    )
     return KokoroTTSHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,
         setup_kwargs=dict(
