@@ -362,3 +362,82 @@ def test_stability_window_catches_reopen_started_mid_wait(tracker):
     t.join()
     assert ok is False
     assert tracker.is_latest("t1", 1)
+
+
+# ── remaining reference-spec cases (VERDICT-r3 item 4; reference
+#    tests/test_speculative_turns.py is the de-facto behavioral spec) ────
+
+
+def test_commit_if_latest_drops_confirmed_reopen(tracker):
+    """A confirmed reopen during the pending window stales the base
+    revision: commit_if_latest must refuse and record nothing."""
+    tracker.observe("t", 0)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    assert tracker.confirm_reopen_candidate("t", 0, cand)
+    assert not tracker.commit_if_latest_after_pending_reopen("t", 0)
+    assert not tracker.is_committed("t", 0)
+
+
+def test_commit_if_latest_commits_after_candidate_cancelled(tracker):
+    tracker.observe("t", 0)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    tracker.cancel_reopen_candidate("t", cand)
+    assert tracker.commit_if_latest_after_pending_reopen("t", 0)
+    assert tracker.is_committed("t", 0)
+
+
+def test_try_commit_variants_resolve_after_candidate_cancelled(tracker):
+    tracker.observe("t", 0)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    assert tracker.try_commit_if_latest_after_pending_reopen("t", 0) is None
+    tracker.cancel_reopen_candidate("t", cand)
+    assert tracker.try_is_latest_after_pending_reopen("t", 0) is True
+    assert tracker.try_commit_if_latest_after_pending_reopen("t", 0) is True
+    assert tracker.is_committed("t", 0)
+
+
+def test_stability_window_survives_cancelled_reopen_candidate(tracker):
+    """A candidate begun and cancelled during the stability wait must NOT
+    fail the window — the waiter keeps waiting and passes at expiry."""
+    tracker.observe("t", 0)
+    started = threading.Event()
+    result: list[bool] = []
+
+    def waiter():
+        started.set()
+        result.append(tracker.is_latest_after_stability_window("t", 0, settle_s=0.25))
+
+    th = threading.Thread(target=waiter)
+    th.start()
+    assert started.wait(timeout=1.0)
+    time.sleep(0.03)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    time.sleep(0.03)
+    tracker.cancel_reopen_candidate("t", cand)
+    time.sleep(0.05)
+    assert th.is_alive(), "waiter must not resolve early on a cancelled candidate"
+    assert result == []
+    th.join(timeout=2.0)
+    assert not th.is_alive()
+    assert result == [True]
+
+
+def test_grace_blocking_gate_drops_confirmed_reopen(tracker):
+    """A reopen confirmed through the candidate protocol mid-grace releases
+    the blocking grace gate with False (the reference's
+    test_reopen_grace_wait_drops_confirmed_reopen)."""
+    tracker.observe("t", 0)
+    tracker.start_reopen_grace("t", 0, 0.5)
+    result: dict[str, bool] = {}
+
+    def waiter():
+        result["is_latest"] = tracker.is_latest_after_reopen_grace("t", 0)
+
+    th = threading.Thread(target=waiter)
+    th.start()
+    time.sleep(0.03)
+    cand = tracker.begin_reopen_candidate("t", 0)
+    assert tracker.confirm_reopen_candidate("t", 0, cand)
+    th.join(timeout=2.0)
+    assert not th.is_alive()
+    assert result == {"is_latest": False}

@@ -634,3 +634,175 @@ def test_handler_no_progressive_when_live_transcription_disabled():
     finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
     assert progressive == []
     assert finals
+
+
+# ── remaining reference-spec cases (VERDICT-r3 item 4) ───────────────────
+
+
+def test_handler_reopen_without_live_transcription():
+    """Reopen works on the direct-audio path too (live transcription off):
+    resumed speech after a soft end bumps the SAME turn to revision 1."""
+    probs = [0.9] * 20 + [0.0] * 10 + [0.9] * 8 + [0.0] * 10
+    handler, qtext, tracker = build_handler(probs, enable_realtime_transcription=False)
+    outputs = feed(handler, 48)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 2
+    assert (finals[1].turn_id, finals[1].turn_revision) == ("turn_1", 1)
+    starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert starts[1].reopened
+    assert not tracker.is_latest("turn_1", 0)
+    assert tracker.is_latest("turn_1", 1)
+
+
+def test_handler_direct_reopen_uses_candidate_protocol():
+    """_turn_for_speech_start with no pending candidate (final-path entry)
+    reopens through begin+confirm in one motion: revision bumps, the base
+    revision is staled, and no pending candidate is left behind."""
+    handler, _qtext, tracker = build_handler([0.9] * 20 + [0.0] * 20)
+    feed(handler, 30)  # soft-ended turn_1 rev 0, uncommitted
+    assert handler.turns.pending is None
+    turn_id, revision, reopened = handler._turn_for_speech_start(
+        handler._audio_ms)
+    assert (turn_id, revision, reopened) == ("turn_1", 1, True)
+    assert not tracker.is_latest("turn_1", 0)
+    assert tracker.is_latest("turn_1", 1)
+    assert not tracker.has_pending_reopen("turn_1", 1)
+
+
+def test_handler_pending_reopen_starts_before_continuation_threshold():
+    """Resumed speech below the continuation bar must NOT emit a start yet,
+    but the pending reopen candidate must already defer commits."""
+    # continuation bar = entry bar (384 ms): 8 resumed chunks (256 ms) stay
+    # below it
+    probs = [0.9] * 20 + [0.0] * 10 + [0.9] * 8
+    handler, qtext, tracker = build_handler(probs, min_speech_continuation_ms=384)
+    feed(handler, 38)
+    starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert len(starts) == 1  # only the original turn's start
+    assert tracker.has_pending_reopen("turn_1", 0)
+    tracker.commit("turn_1", 0)
+    assert not tracker.is_committed("turn_1", 0)  # deferred by the candidate
+    assert handler._speech_started_emitted is False
+
+
+def test_handler_start_emitted_during_resumed_speech():
+    """On reopen, the start event (turn_1 rev 1, reopened) fires while the
+    resumed speech is still active — before its soft end."""
+    probs = [0.9] * 20 + [0.0] * 10 + [0.9] * 8  # no trailing silence
+    handler, qtext, tracker = build_handler(probs)
+    feed(handler, 38)
+    starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert len(starts) == 2
+    assert (starts[1].turn_id, starts[1].turn_revision, starts[1].reopened) == (
+        "turn_1", 1, True)
+    assert handler._speech_started_emitted is True
+
+
+def test_handler_does_not_hold_sub_floor_fragments():
+    """Fragments under the 100 ms noise floor are discarded outright, never
+    held for stitching."""
+    # 2 speech chunks = 64 ms < NOISE_FLOOR_MS
+    probs = [0.9] * 2 + [0.0] * 20
+    handler, qtext, _ = build_handler(probs, short_segment_merge_ms=384)
+    outputs = feed(handler, 22)
+    assert outputs == []
+    assert handler._held is None
+    assert not [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+
+
+def test_handler_held_segment_contributes_to_early_speech_start():
+    """A held short fragment's active speech counts toward the live start
+    threshold: held 192 ms + live 256 ms crosses the 384 ms entry bar while
+    speech is still active."""
+    probs = [0.9] * 6 + [0.0] * 4 + [0.9] * 8  # fragment A held, live B active
+    handler, qtext, _ = build_handler(
+        probs, short_segment_merge_ms=1000, min_speech_continuation_ms=0)
+    feed(handler, 18)
+    starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert len(starts) == 1
+    assert starts[0].interrupt_response  # live start interrupts playback
+    assert handler._speech_started_emitted is True
+
+
+def test_handler_held_segment_not_started_by_sub_floor_live_fragment():
+    """A live fragment under the noise floor must not combine with a held
+    segment into a start: 320 ms held + 96 ms live stays silent."""
+    probs = [0.9] * 10 + [0.0] * 4 + [0.9] * 3
+    handler, qtext, _ = build_handler(
+        probs, short_segment_merge_ms=1000, min_speech_continuation_ms=0)
+    feed(handler, 17)
+    assert handler._held is not None
+    assert not [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert handler._speech_started_emitted is False
+
+
+def test_turn_ledger_keeps_single_speculative_prefix():
+    """The speculative prefix never double-accumulates: record_final stores
+    the COMBINED audio, so each with_prefix concatenates exactly once."""
+    from s2s_tpu.vad.handler import TurnLedger
+
+    ledger = TurnLedger(SpeculativeTurnTracker())
+    first = np.array([1.0, 2.0], dtype=np.float32)
+    second = np.array([3.0], dtype=np.float32)
+    third = np.array([4.0], dtype=np.float32)
+
+    out1 = ledger.with_prefix(first)
+    assert out1 is first  # no prefix yet: identity
+    ledger.record_final(out1, out1, end_ms=100)
+    out2 = ledger.with_prefix(second)
+    np.testing.assert_array_equal(out2, [1.0, 2.0, 3.0])
+    ledger.record_final(out2, out2, end_ms=200)
+    out3 = ledger.with_prefix(third)
+    np.testing.assert_array_equal(out3, [1.0, 2.0, 3.0, 4.0])
+
+
+def test_handler_drops_stale_progressive_revisions_from_output_queue():
+    """before_emit_output purges BOTH stale-revision progressives and
+    same-revision superseded progressives from the output queue."""
+    handler, _qtext, tracker = build_handler([0.0])
+    tracker.observe("turn_1", 1)
+
+    def vad_audio(rev, mode="progressive"):
+        return VADAudio(audio=np.zeros(CHUNK, np.float32), mode=mode,
+                        turn_id="turn_1", turn_revision=rev)
+
+    handler.queue_out.put(vad_audio(0))   # stale revision
+    handler.queue_out.put(vad_audio(1))   # superseded same-revision
+    handler.before_emit_output(vad_audio(1))
+    assert handler.queue_out.empty()
+
+
+def test_handler_final_kept_stale_progressive_dropped():
+    """A queued FINAL for the latest revision survives the purge; only
+    progressives are superseded by a newer progressive."""
+    handler, _qtext, tracker = build_handler([0.0])
+    tracker.observe("turn_1", 0)
+    tracker.observe("turn_2", 0)
+
+    def vad_audio(turn, rev, mode="progressive"):
+        return VADAudio(audio=np.zeros(CHUNK, np.float32), mode=mode,
+                        turn_id=turn, turn_revision=rev)
+
+    final = vad_audio("turn_1", 0, mode="final")
+    other = vad_audio("turn_2", 0)
+    handler.queue_out.put(vad_audio("turn_1", 0))  # superseded progressive
+    handler.queue_out.put(final)
+    handler.queue_out.put(other)  # different turn: untouched
+    handler.before_emit_output(vad_audio("turn_1", 0))
+    assert list(handler.queue_out.queue) == [final, other]
+
+
+def test_handler_incomplete_smart_turn_commit_waits_out_long_grace():
+    """An incomplete Smart Turn verdict stretches the commit grace to
+    smart_turn_max_wait_ms; without resumed speech the turn commits only
+    after that window."""
+    probs = [0.9] * 20 + [0.0] * 20
+    handler, _qtext, tracker = build_handler(
+        probs, smart_turn_analyzer=StaticAnalyzer(0.2), smart_turn_max_wait_ms=150)
+    outputs = feed(handler, 40)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 1
+    assert tracker.try_commit_if_latest_after_reopen_grace("turn_1", 0) is None
+    time.sleep(0.2)
+    assert tracker.try_commit_if_latest_after_reopen_grace("turn_1", 0) is True
+    assert tracker.is_committed("turn_1", 0)
