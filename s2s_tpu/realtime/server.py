@@ -29,6 +29,15 @@ class RealtimeServer:
     """Owns the asyncio loop: WS route ``/v1/realtime``, HTTP ``/v1/usage``
     and ``/v1/pool``, one send-loop task per pool unit.
 
+    The MAIN port is a small asyncio front-end that routes per-request —
+    the reference serves WS and ``POST /v1/realtime/calls`` on one port
+    (``websocket_router.py:459,579``), and the ``websockets`` library's
+    HTTP parser rejects non-GET methods outright, so the front-end reads
+    each request head itself: WebSocket upgrades and GET endpoints pipe to
+    an internal ``websockets`` listener, WebRTC ``POST``/``DELETE`` calls
+    are answered in-process, and LLM-proxy POSTs pipe to the proxy
+    listener.  The sidecar HTTP ports remain as fallbacks.
+
     Run via ``run()`` inside a ThreadManager thread; ``stop_event`` shuts the
     loop down.  Appended to the handler list as the final "handler".
     """
@@ -60,6 +69,9 @@ class RealtimeServer:
         self._webrtc_ice_servers = webrtc_ice_servers
         self._webrtc_http = None
         self.call_manager = None
+        #: internal websockets listener the front-end pipes WS/GET traffic to
+        self._internal_port: Optional[int] = None
+        self._proxy_port: Optional[int] = None
 
     # ── HTTP endpoints over the websockets process_request hook ──────
 
@@ -77,11 +89,11 @@ class RealtimeServer:
         if path == "/v1/pool":
             return connection.respond(http.HTTPStatus.OK, json.dumps(pool_payload(self.pool)) + "\n")
         if path == "/v1/realtime/calls":
-            if self.webrtc_bound_port is not None:
+            if self.call_manager is not None:
                 return connection.respond(
-                    http.HTTPStatus.TEMPORARY_REDIRECT,
-                    f"POST SDP offers to http://{self.host}:{self.webrtc_bound_port}"
-                    "/v1/realtime/calls (this port only upgrades WebSockets).\n",
+                    http.HTTPStatus.METHOD_NOT_ALLOWED,
+                    "POST an SDP offer to /v1/realtime/calls to start a call; "
+                    "DELETE /v1/realtime/calls/{id} hangs up.\n",
                 )
             return connection.respond(
                 http.HTTPStatus.NOT_IMPLEMENTED,
@@ -89,6 +101,150 @@ class RealtimeServer:
                 "transport at /v1/realtime.\n",
             )
         return connection.respond(http.HTTPStatus.NOT_FOUND, "Not found\n")
+
+    # ── main-port front-end: per-request routing ─────────────────────
+
+    async def _front_handler(self, reader: asyncio.StreamReader,
+                             writer: asyncio.StreamWriter) -> None:
+        """Route one inbound connection by its first request head."""
+        try:
+            head = await asyncio.wait_for(reader.readuntil(b"\r\n\r\n"), timeout=15)
+        except (asyncio.IncompleteReadError, asyncio.LimitOverrunError,
+                asyncio.TimeoutError, ConnectionError):
+            writer.close()
+            return
+        try:
+            text = head.decode("latin-1", errors="replace")
+            request_line, *header_lines = text.split("\r\n")
+            parts = request_line.split(" ")
+            method, raw_path = (parts[0], parts[1]) if len(parts) >= 2 else ("", "")
+            path = raw_path.split("?")[0]
+            headers = {}
+            for line in header_lines:
+                if ":" in line:
+                    k, v = line.split(":", 1)
+                    headers[k.strip().lower()] = v.strip()
+            if method in ("POST", "DELETE") and path.startswith("/v1/realtime/calls"):
+                await self._handle_calls_inline(reader, writer, method, path, headers)
+                return
+            if (
+                method == "POST"
+                and self._proxy_port is not None
+                and path in ("/v1/chat/completions", "/v1/responses")
+            ):
+                await self._pipe_upstream(head, reader, writer, self._proxy_port)
+                return
+            await self._pipe_upstream(head, reader, writer, self._internal_port)
+        except Exception:  # noqa: BLE001
+            logger.exception("front-end connection failed")
+            try:
+                writer.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+    async def _pipe_upstream(self, head: bytes, reader: asyncio.StreamReader,
+                             writer: asyncio.StreamWriter, port: Optional[int]) -> None:
+        """Replay the buffered head to an internal listener and splice the
+        byte streams (transparent for WS upgrades and streaming bodies)."""
+        if port is None:
+            writer.write(b"HTTP/1.1 502 Bad Gateway\r\ncontent-length: 0\r\n\r\n")
+            await writer.drain()
+            writer.close()
+            return
+        try:
+            up_reader, up_writer = await asyncio.open_connection("127.0.0.1", port)
+        except OSError:
+            writer.write(b"HTTP/1.1 502 Bad Gateway\r\ncontent-length: 0\r\n\r\n")
+            await writer.drain()
+            writer.close()
+            return
+        up_writer.write(head)
+        await up_writer.drain()
+
+        async def copy(src: asyncio.StreamReader, dst: asyncio.StreamWriter) -> None:
+            try:
+                while True:
+                    data = await src.read(65536)
+                    if not data:
+                        break
+                    dst.write(data)
+                    await dst.drain()
+            except Exception:  # noqa: BLE001  (peer reset mid-splice)
+                pass
+            finally:
+                try:
+                    dst.close()
+                except Exception:  # noqa: BLE001
+                    pass
+
+        await asyncio.gather(copy(reader, up_writer), copy(up_reader, writer))
+
+    async def _handle_calls_inline(self, reader: asyncio.StreamReader,
+                                   writer: asyncio.StreamWriter, method: str,
+                                   path: str, headers: dict) -> None:
+        """Answer WebRTC call setup/hang-up on the MAIN port (reference
+        ``websocket_router.py:579-720`` URL shape)."""
+        _REASONS = {200: "OK", 201: "Created", 400: "Bad Request",
+                    404: "Not Found", 500: "Internal Server Error",
+                    501: "Not Implemented", 503: "Service Unavailable"}
+
+        def respond(status: int, body: bytes = b"", extra: tuple = ()) -> None:
+            lines = [f"HTTP/1.1 {status} {_REASONS.get(status, '')}".encode()]
+            lines.extend(f"{k}: {v}".encode() for k, v in extra)
+            lines.append(f"content-length: {len(body)}".encode())
+            lines.append(b"connection: close")
+            writer.write(b"\r\n".join(lines) + b"\r\n\r\n" + body)
+
+        manager = self.call_manager
+        if manager is None:
+            respond(501, b"WebRTC transport requires the aiortc extra; use the "
+                         b"WebSocket transport at /v1/realtime.\n")
+        elif method == "POST" and path == "/v1/realtime/calls":
+            length = int(headers.get("content-length") or 0)
+            body = ""
+            if length:
+                body = (await reader.readexactly(length)).decode("utf-8", errors="replace")
+            if "json" in headers.get("content-type", ""):
+                try:
+                    offer_sdp = json.loads(body).get("sdp", "")
+                except json.JSONDecodeError:
+                    offer_sdp = ""
+            else:
+                offer_sdp = body
+            if not offer_sdp.strip():
+                respond(400, b"Missing SDP offer\n")
+            else:
+                from s2s_tpu.realtime.webrtc import PoolBusyError
+
+                try:
+                    call_id, answer = await asyncio.wait_for(
+                        manager.handle_call(offer_sdp), timeout=30)
+                except PoolBusyError as exc:
+                    respond(503, f"{exc}\n".encode())
+                except Exception as exc:  # noqa: BLE001
+                    logger.exception("WebRTC negotiation failed")
+                    respond(500, f"Negotiation failed: {exc}\n".encode())
+                else:
+                    respond(201, answer.encode(), extra=(
+                        ("content-type", "application/sdp"),
+                        ("location", f"/v1/realtime/calls/{call_id}"),
+                    ))
+        elif method == "DELETE" and path.startswith("/v1/realtime/calls/"):
+            call_id = path[len("/v1/realtime/calls/"):]
+            try:
+                found = await asyncio.wait_for(manager.hangup(call_id), timeout=10)
+            except Exception:  # noqa: BLE001
+                logger.exception("WebRTC hangup failed")
+                respond(500)
+            else:
+                respond(200 if found else 404)
+        else:
+            respond(404, b"Not found\n")
+        try:
+            await writer.drain()
+            writer.close()
+        except Exception:  # noqa: BLE001
+            pass
 
     # ── WebRTC SDP endpoint (side HTTP listener) ─────────────────────
 
@@ -207,17 +363,28 @@ class RealtimeServer:
         import websockets.asyncio.server as ws_server
 
         send_tasks = [asyncio.create_task(send_loop_for(unit, self.stop_event)) for unit in self.pool]
+        front = None
         async with ws_server.serve(
-            self._ws_handler, self.host, self.port, process_request=self._process_request
+            self._ws_handler, "127.0.0.1", 0, process_request=self._process_request
         ) as server:
-            self.bound_port = server.sockets[0].getsockname()[1] if server.sockets else self.port
+            self._internal_port = (
+                server.sockets[0].getsockname()[1] if server.sockets else None
+            )
+            front = await asyncio.start_server(self._front_handler, self.host, self.port)
+            self.bound_port = (
+                front.sockets[0].getsockname()[1] if front.sockets else self.port
+            )
             if self.llm_proxy is not None:
-                self.llm_proxy.start(self.host, self.bound_port)
+                self._proxy_port = self.llm_proxy.start(self.host, self.bound_port)
             self._start_webrtc_endpoint()
             self.started.set()
             logger.info("Realtime server on ws://%s:%d/v1/realtime", self.host, self.bound_port)
-            while not self.stop_event.is_set():
-                await asyncio.sleep(0.1)
+            try:
+                while not self.stop_event.is_set():
+                    await asyncio.sleep(0.1)
+            finally:
+                front.close()
+                await front.wait_closed()
         from s2s_tpu.realtime.router import _release_tasks
 
         for task in (*send_tasks, *_release_tasks):

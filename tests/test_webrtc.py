@@ -485,3 +485,66 @@ def test_invalid_offer_releases_unit():
             FakePeerConnection.setRemoteDescription = orig_set_remote
 
     asyncio.run(scenario())
+
+
+def test_main_port_calls_endpoint_negotiates():
+    """The reference URL shape works on the MAIN port: POST /v1/realtime/calls
+    negotiates, the Location handle DELETEs, GET endpoints and the hint all
+    answer on the same port (reference websocket_router.py:459,579)."""
+    import httpx
+
+    from s2s_tpu.realtime.server import RealtimeServer
+
+    pool = [make_webrtc_unit()]
+    stop = threading.Event()
+    server = RealtimeServer(stop, pool, host="127.0.0.1", port=0, webrtc_rtc=FakeRTC())
+    thread = threading.Thread(target=server.run, daemon=True)
+    thread.start()
+    try:
+        assert server.started.wait(10)
+        base = f"http://127.0.0.1:{server.bound_port}"
+        r = httpx.post(f"{base}/v1/realtime/calls", content="FAKE-OFFER",
+                       headers={"content-type": "application/sdp"})
+        assert r.status_code == 201, r.text
+        assert r.text == "answer-to:FAKE-OFFER"
+        assert r.headers["content-type"] == "application/sdp"
+        location = r.headers["location"]
+        assert location.startswith("/v1/realtime/calls/")
+        # GET endpoints pipe through to the websockets listener
+        usage = httpx.get(f"{base}/v1/usage")
+        assert usage.status_code == 200 and "connections" in usage.text
+        hint = httpx.get(f"{base}/v1/realtime/calls")
+        assert hint.status_code == 405
+        # hang up via the same port
+        d = httpx.delete(f"{base}{location}")
+        assert d.status_code == 200
+        d2 = httpx.delete(f"{base}{location}")
+        assert d2.status_code == 404  # already gone
+        # missing body -> 400; unknown path -> 404
+        assert httpx.post(f"{base}/v1/realtime/calls", content="").status_code == 400
+        assert httpx.post(f"{base}/v1/realtime/calls/bogus/extra",
+                          content="x").status_code == 404
+    finally:
+        stop.set()
+        thread.join(timeout=10)
+
+
+def test_main_port_calls_endpoint_without_rtc_is_501():
+    import httpx
+
+    from s2s_tpu.realtime.server import RealtimeServer
+
+    pool = [make_webrtc_unit()]
+    stop = threading.Event()
+    server = RealtimeServer(stop, pool, host="127.0.0.1", port=0)  # no rtc
+    thread = threading.Thread(target=server.run, daemon=True)
+    thread.start()
+    try:
+        assert server.started.wait(10)
+        r = httpx.post(f"http://127.0.0.1:{server.bound_port}/v1/realtime/calls",
+                       content="OFFER")
+        assert r.status_code == 501
+        assert "aiortc" in r.text
+    finally:
+        stop.set()
+        thread.join(timeout=10)
