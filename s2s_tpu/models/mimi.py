@@ -34,6 +34,7 @@ checkpoint key layout the converter consumes).
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any
@@ -273,10 +274,19 @@ def _seanet_decode(params: Params, cfg: MimiConfig, x):
 
 
 def decode(params: Params, cfg: MimiConfig, codes):
-    """codes (B, T, n_q) int32 -> waveform (B, T * hop) float32 at 24 kHz."""
+    """codes (B, T, n_q) int32 -> waveform (B, T * hop) float32 at 24 kHz.
+
+    Order matches the authoritative implementations — upsample 12.5->25 Hz
+    BEFORE the decoder transformer (transformers
+    ``MimiModel._decode_frame``: dequantize -> upsample ->
+    decoder_transformer -> decoder; moshi's MimiModel decodes the same
+    way).  Round-2 had the transformer at 12.5 Hz, which real checkpoints
+    would have silently mis-decoded; pinned by the
+    ``transformers.MimiModel`` cross-check in ``test_torch_parity.py``.
+    """
     latent = dequantize(params, cfg, codes).astype(cfg.dtype)
-    latent = _transformer(params, cfg, latent)
     latent = _upsample(latent, params["upsample"]["w"].astype(cfg.dtype), cfg.upsample_stride)
+    latent = _transformer(params, cfg, latent)
     audio = _seanet_decode(params, cfg, latent)
     return audio.astype(jnp.float32)
 
@@ -432,6 +442,67 @@ def convert_state_dict(sd: dict, cfg: MimiConfig = MimiConfig()) -> Params:
     idx += 1  # final ELU
     p["final_conv"] = conv_at(idx)
     return p
+
+
+def hf_to_moshi_names(sd: dict, cfg: MimiConfig = MimiConfig()) -> dict:
+    """Rename a ``transformers.MimiModel`` state dict (the layout real HF
+    Mimi checkpoints like ``kyutai/mimi`` ship in) to the moshi-style keys
+    :func:`convert_state_dict` consumes.
+
+    Decoder-side only; encoder keys are dropped.  Key families:
+    ``decoder_transformer.layers.{i}.self_attn.{q,k,v,o}_proj`` /
+    ``input_layernorm`` / ``post_attention_layernorm`` / ``mlp.fc{1,2}`` /
+    ``{self_attn,mlp}_layer_scale.scale``;
+    ``quantizer.{semantic,acoustic}_residual_vector_quantizer.layers.{k}.
+    codebook.{embed_sum,cluster_usage}`` + ``output_proj``;
+    ``upsample.conv``; ``decoder.layers.{idx}.(conv|block.N.conv)`` with
+    the transposed-conv positions derived from ``cfg.ratios``.
+    """
+    out: dict = {}
+    # positions of transposed convs in the flat SEANet Sequential
+    trans_idx = set()
+    idx = 1
+    for _r in cfg.ratios:
+        trans_idx.add(idx + 1)  # after the ELU
+        idx += 2 + len(cfg.dilations)
+    for key, val in sd.items():
+        if key.startswith(("encoder", "downsample")):
+            continue
+        new = key
+        if key.startswith("decoder_transformer.layers."):
+            new = (key
+                   .replace(".self_attn.o_proj.", ".self_attn.out_proj.")
+                   .replace(".input_layernorm.", ".norm1.")
+                   .replace(".post_attention_layernorm.", ".norm2.")
+                   .replace(".mlp.fc1.", ".linear1.")
+                   .replace(".mlp.fc2.", ".linear2.")
+                   .replace(".self_attn_layer_scale.scale", ".layer_scale_1.scale")
+                   .replace(".mlp_layer_scale.scale", ".layer_scale_2.scale"))
+        elif key.startswith("quantizer."):
+            new = (key
+                   .replace("quantizer.semantic_residual_vector_quantizer.",
+                            "quantizer.rvq_first.")
+                   .replace("quantizer.acoustic_residual_vector_quantizer.",
+                            "quantizer.rvq_rest."))
+            new = re.sub(r"\.layers\.(\d+)\.codebook\.", r".vq.layers.\1._codebook.", new)
+            new = new.replace("._codebook.embed_sum", "._codebook.embedding_sum")
+            if new.endswith(".initialized") or ".input_proj." in new:
+                continue
+        elif key.startswith("upsample.conv."):
+            new = key.replace("upsample.conv.", "upsample.convtr.")
+        elif key.startswith("decoder.layers."):
+            m = re.match(r"decoder\.layers\.(\d+)\.(.*)", key)
+            pos, rest = int(m.group(1)), m.group(2)
+            if pos in trans_idx:
+                rest = rest.replace("conv.", "convtr.", 1)
+            new = f"decoder.model.{pos}.{rest}"
+        out[new] = val
+    return out
+
+
+def convert_hf_state_dict(sd: dict, cfg: MimiConfig = MimiConfig()) -> Params:
+    """``transformers.MimiModel`` state dict -> our param tree."""
+    return convert_state_dict(hf_to_moshi_names(sd, cfg), cfg)
 
 
 def decode_deficit(cfg: MimiConfig) -> int:

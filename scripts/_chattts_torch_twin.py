@@ -17,6 +17,15 @@ Mirrors the checkpoint layouts the converter consumes:
 
 Generation is greedy (argmax on all 4 heads per step), matching the JAX
 port's deterministic mode.
+
+Upstream anchors (the sources this layout was read from):
+- ChatTTS (2noise/ChatTTS): ``ChatTTS/model/gpt.py`` ``GPT`` (Llama body
+  via ``transformers.LlamaModel``, ``emb_code``/``head_code`` per
+  codebook), ``ChatTTS/model/dvae.py`` ``DVAE``/``GFSQ`` (grouped FSQ,
+  ``conv_in``/``decoder_block``/``out_conv``/``coef``),
+  ``ChatTTS/model/speaker.py`` (spk_emb normalisation + substitution).
+- vocos (gemelo-ai/vocos): ``vocos/models.py`` ConvNeXt backbone +
+  ``vocos/heads.py`` ``ISTFTHead`` (exp-mag/phase split).
 """
 
 from __future__ import annotations

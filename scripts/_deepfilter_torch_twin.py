@@ -7,6 +7,15 @@ gains, ``df_dec`` complex-FIR head) and the exact two-stage enhancement
 math: ERB log-power features with exponential-decay mean normalisation,
 unit-normalised complex DF features, ERB-expanded gains on the full
 spectrum, order-N deep filtering replacing the low bins.
+
+Upstream anchors (the sources this layout was read from):
+- DeepFilterNet (Rikorose/DeepFilterNet): ``DeepFilterNet/df/
+  deepfilternet3.py`` (``enc``/``erb_dec``/``df_dec`` with ``erb_conv*``/
+  ``df_conv*`` separable convs, GRU bottleneck, sigmoid ERB gains, DF
+  coefficient head), ``DeepFilterNet/df/modules.py`` (``erb_fb`` filter
+  bank, ``DfOp`` order-N complex FIR over the low bins),
+  ``libDF/src/lib.rs`` (STFT framing, ERB band layout, exponential mean
+  normalisation constants).
 """
 
 from __future__ import annotations

@@ -12,6 +12,15 @@ runs this twin at tiny dims to pin the numerics.
 Determinism: the reference SineGen adds a random initial phase per
 harmonic and additive noise; here (and in the JAX port's deterministic
 mode) both are zero.
+
+Upstream anchors (the sources this layout was read from):
+- kokoro (hexgrad/kokoro): ``kokoro/model.py`` ``KModel`` (module roots
+  ``bert``/``bert_encoder``/``predictor``/``text_encoder``/``decoder``;
+  length-indexed voicepack ``ref_s = pack[len(tokens)-1]``),
+  ``kokoro/modules.py`` (ProsodyPredictor, TextEncoder, AdaLayerNorm).
+- StyleTTS2 (yl4579/StyleTTS2): ``Modules/istftnet.py`` (AdaIN residual
+  blocks, ``SourceModuleHnNSF``/``SineGen`` harmonic source, exp/sin
+  iSTFT ``Generator``) — the decoder weights Kokoro ships.
 """
 
 from __future__ import annotations

@@ -22,6 +22,19 @@ plain convs left-pad ``dilation*(k−1)``; transposed convs right-trim
 ``k−stride``.  RoPE uses the contiguous half-split convention in both this
 twin and the JAX port (a converter knob permutes projection rows for
 checkpoints trained with interleaved pairs).
+
+Upstream anchors (the sources this layout was read from, key by key):
+- moshi: ``moshi/models/compression.py`` ``MimiModel`` (decode order:
+  quantizer.decode -> upsample -> decoder_transformer -> decoder),
+  ``moshi/quantization/vq.py`` ``SplitResidualVectorQuantizer``
+  (``rvq_first``/``rvq_rest`` + per-layer ``_codebook`` EMA buffers),
+  ``moshi/modules/seanet.py`` ``SEANetDecoder`` (flat ``model`` Sequential),
+  ``moshi/modules/transformer.py`` ``StreamingTransformer``
+  (``norm1/norm2``, in_proj/out_proj attention, ``layer_scale_1/2``).
+- transformers: ``transformers/models/mimi/modeling_mimi.py``
+  ``MimiModel._decode_frame`` — independently cross-checked by the
+  ``mimi_hf_parity.npz`` fixture (``make_parity_fixtures.py mimi-hf``),
+  so twin==upstream no longer rests on code-reading alone.
 """
 
 from __future__ import annotations
@@ -196,10 +209,12 @@ class MimiDecoderTwin(nn.Module):
                                      residual_kernel, dilations, compress)
 
     def forward(self, codes):  # (B, T, n_q) long -> (B, T*hop)
+        # upsample BEFORE the decoder transformer — the authoritative order
+        # (transformers MimiModel._decode_frame; moshi MimiModel.decode)
         latent = self.rvq_first.decode(codes[..., :1]) + self.rvq_rest.decode(codes[..., 1:])
-        latent = self.decoder_transformer(latent)
         latent = self.upsample(latent.transpose(1, 2))  # (B, D, T*2)
-        audio = self.decoder(latent)
+        latent = self.decoder_transformer(latent.transpose(1, 2))
+        audio = self.decoder(latent.transpose(1, 2))
         return audio[:, 0, :]
 
 

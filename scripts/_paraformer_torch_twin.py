@@ -7,7 +7,17 @@ depthwise FSMN memory on the value path), CIF-v2 predictor
 non-autoregressive SAN-M decoder (per layer: feed-forward with inner
 LayerNorm, FSMN self block, cross attention) + the extra ``decoders3``
 feed-forward layer, after-norm and output head.  The JAX port in
-``s2s_tpu/models/paraformer.py`` converts this exact key layout."""
+``s2s_tpu/models/paraformer.py`` converts this exact key layout.
+Upstream anchors (the sources this layout was read from):
+- FunASR: ``funasr/models/paraformer/model.py`` ``Paraformer``,
+  ``funasr/models/sanm/encoder.py`` + ``funasr/models/sanm/attention.py``
+  ``MultiHeadedAttentionSANM`` (joint ``linear_q_k_v`` + depthwise
+  ``fsmn_block`` on the value path),
+  ``funasr/models/paraformer/cif_predictor.py`` ``CifPredictorV2``
+  (conv -> sigmoid alphas -> integrate-and-fire, tail threshold),
+  ``funasr/models/sanm/decoder.py`` (feed-forward w/ inner LayerNorm,
+  FSMN self block, cross attention, ``decoders3`` + ``after_norm``).
+"""
 
 from __future__ import annotations
 

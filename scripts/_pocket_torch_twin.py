@@ -7,6 +7,16 @@ with separate q/k/v/o projections + rmsnorm ``norm1/norm2.alpha`` +
 ``linears.{k}``) and replicates the generation semantics exactly:
 interleaved-pair rope, SiLU gating, per-frame summed stream embeddings
 with per-codebook delays, depformer slot expansion with argmax sampling.
+
+Upstream anchors (the sources this layout was read from):
+- moshi: ``moshi/models/lm.py`` ``LMModel`` (``text_emb``, ``emb.{k}``
+  summed stream embeddings, ``depformer_*`` per-codebook slots,
+  ``linears.{k}`` heads), ``moshi/modules/transformer.py``
+  ``StreamingTransformer`` layers (separate q/k/v/o in kyutai pocket-tts
+  exports, rmsnorm ``alpha`` parameters, ``gating.linear_in/linear_out``
+  SiLU MLP, interleaved-pair rope).
+- kyutai delayed-streams-modeling (pocket-tts): acoustic delay pattern and
+  voice-embedding prefix rows (``tts-voices`` repo layout).
 """
 
 from __future__ import annotations

@@ -379,6 +379,48 @@ def make_mimi_fixture(path: str = "tests/data/mimi_parity.npz") -> None:
     )
 
 
+def make_mimi_hf_fixture(path: str = "tests/data/mimi_hf_parity.npz") -> None:
+    """Cross-check fixture from the AUTHORITATIVE ``transformers.MimiModel``
+    (the layout real ``kyutai/mimi`` checkpoints ship in) — unlike the twin
+    this pins upstream semantics (upsample-before-transformer decode order,
+    EMA codebooks, grouped upsample) independent of our own reading."""
+    from transformers.models.mimi import MimiConfig as HFMimiConfig
+    from transformers.models.mimi import MimiModel
+
+    torch.manual_seed(0)
+    # mirror s2s_tpu.models.mimi.MimiConfig.tiny(); frame_rate chosen so the
+    # learnt upsample is the same stride-2 kernel-4 depthwise transposed conv
+    cfg = HFMimiConfig(
+        audio_channels=1, hidden_size=32, num_filters=4, num_residual_layers=1,
+        upsampling_ratios=[4, 3], codebook_size=64, codebook_dim=16,
+        num_quantizers=4, num_semantic_quantizers=1,
+        vector_quantization_hidden_dimension=16,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        head_dim=8, intermediate_size=64, sliding_window=16,
+        sampling_rate=24000, frame_rate=1000.0, kernel_size=5,
+        last_kernel_size=3, residual_kernel_size=3, compress=2,
+        upsample_groups=32,
+    )
+    model = MimiModel(cfg).eval()
+    # EMA codebooks initialise to zeros with zero usage -> degenerate embeds;
+    # give them real values so dequantisation is exercised
+    sd = model.state_dict()
+    with torch.no_grad():
+        for name, tensor in sd.items():
+            if name.endswith("codebook.embed_sum"):
+                tensor.copy_(torch.randn_like(tensor) * 0.5)
+            elif name.endswith("codebook.cluster_usage"):
+                tensor.copy_(torch.ones_like(tensor))
+    codes = torch.randint(0, 64, (2, 4, 10), generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        wav = model.decode(codes).audio_values
+    np.savez_compressed(
+        path, codes=codes.numpy(), wav=wav[:, 0, :].numpy(),
+        **{"sd__" + k: v.detach().numpy() for k, v in model.state_dict().items()
+           if not k.startswith(("encoder", "downsample"))},
+    )
+
+
 def make_pocket_fixture(path: str = "tests/data/pocket_parity.npz") -> None:
     """Tiny Pocket-TTS delayed-streams twin (scripts/_pocket_torch_twin.py —
     moshi-style LM layout): full generation loop (codes + backbone hiddens),
@@ -594,6 +636,8 @@ if __name__ == "__main__":
         make_kokoro_fixture()
     if only in (None, "mimi"):
         make_mimi_fixture()
+    if only in (None, "mimi-hf"):
+        make_mimi_hf_fixture()
     if only in (None, "pocket"):
         make_pocket_fixture()
     if only in (None, "chattts"):

@@ -48,6 +48,18 @@ class TestMimiDecoder:
         stream = mimi.streaming_decode(p, MIMI_TINY, mimi_fixture["codes"], context_frames=ctx)
         np.testing.assert_allclose(stream, full, atol=1e-5)
 
+    def test_hf_transformers_cross_check(self):
+        """Decode parity against the AUTHORITATIVE transformers.MimiModel
+        (the layout real kyutai/mimi checkpoints ship in) via
+        convert_hf_state_dict — pins upstream semantics (upsample BEFORE the
+        decoder transformer, EMA codebooks, grouped upsample) independent of
+        the twin's reading."""
+        fx = np.load("tests/data/mimi_hf_parity.npz")
+        p = mimi.convert_hf_state_dict(_sd(fx), MIMI_TINY)
+        codes = fx["codes"].transpose(0, 2, 1)  # HF (B, n_q, T) -> (B, T, n_q)
+        wav = np.asarray(mimi.decode(p, MIMI_TINY, codes))
+        np.testing.assert_allclose(wav, fx["wav"], atol=2e-4)  # XLA-vs-oneDNN float noise
+
     def test_output_length_is_frames_times_hop(self):
         cfg = MIMI_TINY
         p = mimi.init_decoder_params(jax.random.PRNGKey(0), cfg)
