@@ -18,14 +18,36 @@ const chat = new ChatUI(transcriptEl, statusEl, usageEl);
 const orb = new Orb(document.getElementById("orb"));
 let client = null;
 
+/* mic device picker: populated once permission is granted (labels are
+ * blank before getUserMedia) */
+async function populateMics() {
+  try {
+    const devices = await navigator.mediaDevices.enumerateDevices();
+    const mic = document.getElementById("mic");
+    const current = mic.value;
+    mic.innerHTML = '<option value="">default mic</option>';
+    for (const d of devices.filter((d) => d.kind === "audioinput")) {
+      const opt = document.createElement("option");
+      opt.value = d.deviceId;
+      opt.textContent = d.label || `mic ${mic.length}`;
+      mic.appendChild(opt);
+    }
+    mic.value = current;
+  } catch (e) { /* no device access yet */ }
+}
+populateMics();
+navigator.mediaDevices?.addEventListener?.("devicechange", populateMics);
+
 async function start() {
   const transport = document.getElementById("transport").value;
   const url = document.getElementById("url").value;
   const instructions = document.getElementById("instructions").value || undefined;
   const voice = document.getElementById("voice").value || undefined;
+  const micDeviceId = document.getElementById("mic").value || undefined;
   client = transport === "webrtc" ? new RTCClient(chat, orb) : new WSClient(chat, orb);
   chat.status(`connecting (${transport})…`);
-  await client.start(url, { instructions, voice });
+  await client.start(url, { instructions, voice, micDeviceId });
+  populateMics(); // labels become visible after permission
   startBtn.textContent = "Stop";
   startBtn.classList.add("stop");
 }

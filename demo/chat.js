@@ -1,7 +1,11 @@
-/* Chat transcript UI (reference demo/ui/chat.js, trimmed to the voice-agent
- * essentials): user/assistant bubbles, in-place partial transcription,
- * streamed assistant deltas appended to one bubble per response, tool-call
- * rows, a status line, and a usage footer. */
+/* Chat transcript UI (reference demo/ui/chat.js, re-shaped for this build):
+ * user/assistant bubbles with PER-STREAM rendering — assistant deltas are
+ * keyed by (response_id, item_id, output_index, content_index) so
+ * interleaved or out-of-band responses each get their own bubble and a
+ * done-event never reprints text that already streamed — plus in-place
+ * partial transcription, collapsible tool-call rows, cancelled-response
+ * marking, response.done reconstruction fallback (done-only servers),
+ * a status line, and a usage footer. */
 
 export class ChatUI {
   constructor(root, statusEl, usageEl) {
@@ -9,7 +13,7 @@ export class ChatUI {
     this.statusEl = statusEl;
     this.usageEl = usageEl;
     this.partialEl = null;
-    this.assistantEl = null;
+    this.streams = new Map(); // stream key -> {el, text}
   }
 
   _bubble(cls) {
@@ -18,6 +22,10 @@ export class ChatUI {
     this.root.appendChild(el);
     this.root.scrollTop = this.root.scrollHeight;
     return el;
+  }
+
+  static streamKey(evt) {
+    return [evt.response_id, evt.item_id, evt.output_index, evt.content_index].join("|");
   }
 
   status(text) {
@@ -38,22 +46,73 @@ export class ChatUI {
     } else if (text) {
       this._bubble("user").textContent = text;
     }
-    this.assistantEl = null; // next assistant delta opens a fresh bubble
   }
 
-  assistantDelta(text) {
-    if (!this.assistantEl) this.assistantEl = this._bubble("assistant");
-    this.assistantEl.textContent += text;
+  userCancelled() {
+    /* input discarded (reopen/cancel): drop the live partial bubble */
+    this.partialEl?.remove();
+    this.partialEl = null;
+  }
+
+  assistantDelta(evt) {
+    const key = ChatUI.streamKey(evt);
+    let stream = this.streams.get(key);
+    if (!stream) {
+      stream = { el: this._bubble("assistant"), text: "" };
+      this.streams.set(key, stream);
+    }
+    stream.text += evt.delta ?? "";
+    stream.el.textContent = stream.text;
     this.root.scrollTop = this.root.scrollHeight;
+  }
+
+  assistantDone(evt) {
+    /* done-only fallback: servers that never sent deltas for this stream
+     * still render the full transcript once */
+    const key = ChatUI.streamKey(evt);
+    if (this.streams.has(key)) return; // streamed live — never reprint
+    const transcript = evt.transcript ?? evt.text ?? "";
+    if (transcript) this._bubble("assistant").textContent = transcript;
   }
 
   toolCall(name, args) {
     const el = this._bubble("tool");
-    el.textContent = `⚙ ${name}(${args})`;
+    const head = document.createElement("span");
+    head.textContent = `⚙ ${name}(…)`;
+    head.style.cursor = "pointer";
+    const body = document.createElement("pre");
+    body.textContent = args;
+    body.style.display = "none";
+    head.onclick = () => {
+      body.style.display = body.style.display === "none" ? "block" : "none";
+    };
+    el.append(head, body);
   }
 
-  responseDone(status) {
-    this.assistantEl = null;
+  responseDone(response) {
+    const status = response?.status ?? "completed";
+    /* reconstruction fallback: render any assistant message items that
+     * never streamed (e.g. text-only turns on done-only paths) */
+    for (const item of response?.output ?? []) {
+      if (item.role !== "assistant") continue;
+      for (const part of item.content ?? []) {
+        this.assistantDone({
+          response_id: response.id,
+          item_id: item.id,
+          output_index: 0,
+          content_index: 0,
+          transcript: part.transcript ?? part.text ?? "",
+        });
+      }
+    }
+    if (status === "cancelled") {
+      for (const [key, stream] of this.streams) {
+        if (key.startsWith(`${response?.id}|`)) stream.el.classList.add("cancelled");
+      }
+    }
+    for (const key of [...this.streams.keys()]) {
+      if (key.startsWith(`${response?.id}|`)) this.streams.delete(key);
+    }
     this.status(status === "completed" ? "turn complete — speak!" : `response ${status}`);
   }
 
@@ -69,12 +128,15 @@ export class ChatUI {
   }
 }
 
-/* Shared server-event -> ChatUI routing used by both transports. */
+/* Shared server-event -> ChatUI routing used by both transports.  Covers
+ * the full GA event set the server emits (see realtime/handlers.py). */
 export function routeServerEvent(evt, chat, hooks = {}) {
   switch (evt.type) {
     case "session.created":
       chat.status(`session ${evt.session?.id ?? ""} — speak!`);
       break;
+    case "session.updated":
+      break; // settings echoed; no UI change
     case "input_audio_buffer.speech_started":
       if (hooks.onBargeIn) hooks.onBargeIn();
       chat.status("listening…");
@@ -82,23 +144,36 @@ export function routeServerEvent(evt, chat, hooks = {}) {
     case "input_audio_buffer.speech_stopped":
       chat.status("thinking…");
       break;
+    case "conversation.item.created":
+      break; // item identity only; text renders via transcription/deltas
     case "conversation.item.input_audio_transcription.delta":
       chat.userPartial(evt.delta);
       break;
     case "conversation.item.input_audio_transcription.completed":
       chat.userFinal(evt.transcript);
       break;
+    case "response.created":
+    case "response.output_item.added":
+    case "response.content_part.added":
+      break; // lifecycle bookkeeping; bubbles open on first delta
     case "response.output_audio_transcript.delta":
-      chat.assistantDelta(evt.delta);
+    case "response.output_text.delta":
+      chat.assistantDelta(evt);
+      break;
+    case "response.output_audio_transcript.done":
+    case "response.output_text.done":
+      chat.assistantDone(evt);
       break;
     case "response.output_audio.delta":
       if (hooks.onAudioDelta) hooks.onAudioDelta(evt.delta);
+      break;
+    case "response.output_audio.done":
       break;
     case "response.function_call_arguments.done":
       chat.toolCall(evt.name ?? "tool", evt.arguments ?? "");
       break;
     case "response.done":
-      chat.responseDone(evt.response?.status ?? "completed");
+      chat.responseDone(evt.response);
       if (evt.response?.usage) chat.usage(evt.response.usage);
       break;
     case "error":

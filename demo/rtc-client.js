@@ -32,11 +32,11 @@ export class RTCClient {
     this._analysers.push({ timer, ctx });
   }
 
-  async start(callsUrl, { instructions, voice } = {}) {
+  async start(callsUrl, { instructions, voice, micDeviceId } = {}) {
     this.pc = new RTCPeerConnection();
-    this.mediaStream = await navigator.mediaDevices.getUserMedia({
-      audio: { channelCount: 1, echoCancellation: true, noiseSuppression: true },
-    });
+    const audio = { channelCount: 1, echoCancellation: true, noiseSuppression: true };
+    if (micDeviceId) audio.deviceId = { exact: micDeviceId };
+    this.mediaStream = await navigator.mediaDevices.getUserMedia({ audio });
     for (const track of this.mediaStream.getTracks()) {
       this.pc.addTrack(track, this.mediaStream);
     }

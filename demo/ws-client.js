@@ -35,9 +35,13 @@ export class WSClient {
     this.mediaStream = null;
     this.captureNode = null;
     this.playbackNode = null;
+    this.stopped = false;
+    this._opts = null;
+    this._url = null;
+    this._retries = 0;
   }
 
-  async start(url, { instructions, voice } = {}) {
+  _connect(url) {
     this.ws = new WebSocket(url);
     this.ws.onmessage = (m) =>
       routeServerEvent(JSON.parse(m.data), this.chat, {
@@ -48,11 +52,36 @@ export class WSClient {
           this.playbackNode?.port.postMessage({ pcm, rate: RATE });
         },
       });
-    this.ws.onclose = () => this.chat.status("disconnected");
-    await new Promise((ok, bad) => {
+    this.ws.onclose = () => this._scheduleReconnect();
+    return new Promise((ok, bad) => {
       this.ws.onopen = ok;
       this.ws.onerror = bad;
     });
+  }
+
+  /* auto-reconnect with exponential backoff; the session (settings +
+   * audio graph) is re-established on the new socket */
+  _scheduleReconnect() {
+    if (this.stopped) return;
+    const delay = Math.min(10000, 500 * 2 ** this._retries++);
+    this.chat.status(`disconnected — reconnecting in ${(delay / 1000).toFixed(1)} s…`);
+    setTimeout(async () => {
+      if (this.stopped) return;
+      try {
+        await this._connect(this._url);
+        this._retries = 0;
+        this._sendSessionUpdate();
+        this.chat.status("reconnected — speak!");
+      } catch (e) {
+        this._scheduleReconnect();
+      }
+    }, delay);
+  }
+
+  async start(url, { instructions, voice, micDeviceId } = {}) {
+    this._url = url;
+    this._opts = { instructions, voice, micDeviceId };
+    await this._connect(url);
 
     this.audioCtx = new AudioContext();
     await this.audioCtx.audioWorklet.addModule("worklets/capture.js");
@@ -62,9 +91,9 @@ export class WSClient {
     this.playbackNode.connect(this.audioCtx.destination);
 
     try {
-      this.mediaStream = await navigator.mediaDevices.getUserMedia({
-        audio: { channelCount: 1, echoCancellation: true, noiseSuppression: true },
-      });
+      const audio = { channelCount: 1, echoCancellation: true, noiseSuppression: true };
+      if (micDeviceId) audio.deviceId = { exact: micDeviceId };
+      this.mediaStream = await navigator.mediaDevices.getUserMedia({ audio });
       const srcNode = this.audioCtx.createMediaStreamSource(this.mediaStream);
       this.captureNode = new AudioWorkletNode(this.audioCtx, "s2s-capture");
       srcNode.connect(this.captureNode);
@@ -79,6 +108,11 @@ export class WSClient {
       this.chat.status("no microphone — text-only mode");
     }
 
+    this._sendSessionUpdate();
+  }
+
+  _sendSessionUpdate() {
+    const { instructions, voice } = this._opts ?? {};
     const session = {
       type: "realtime",
       audio: {
@@ -91,7 +125,8 @@ export class WSClient {
     };
     if (instructions) session.instructions = instructions;
     if (voice) session.audio.output.voice = voice;
-    this.ws.send(JSON.stringify({ type: "session.update", session }));
+    if (this.ws?.readyState === WebSocket.OPEN)
+      this.ws.send(JSON.stringify({ type: "session.update", session }));
   }
 
   updateSession(session) {
@@ -112,6 +147,7 @@ export class WSClient {
   }
 
   stop() {
+    this.stopped = true;
     this.captureNode?.disconnect();
     this.mediaStream?.getTracks().forEach((t) => t.stop());
     this.playbackNode?.port.postMessage({ clear: true });

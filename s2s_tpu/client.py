@@ -296,7 +296,13 @@ class SoundDeviceIO:
     same two methods."""
 
     def __init__(self) -> None:
-        import sounddevice
+        try:
+            import sounddevice
+        except ImportError as exc:
+            raise ImportError(
+                "sounddevice is required for live mic/speaker mode. "
+                "Install with: pip install 's2s-tpu[audio]'"
+            ) from exc
 
         self._sd = sounddevice
 
@@ -459,7 +465,8 @@ def run_realtime_audio_client(args) -> None:
             import sounddevice  # noqa: F401
         except ImportError:
             raise SystemExit(
-                "No sounddevice available: provide --input_wav (and optionally --output_wav)"
+                "No sounddevice available: install with pip install 's2s-tpu[audio]' "
+                "for live mode, or provide --input_wav (and optionally --output_wav)"
             ) from None
         asyncio.run(
             run_live_client(

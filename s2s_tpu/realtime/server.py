@@ -97,7 +97,7 @@ class RealtimeServer:
                 )
             return connection.respond(
                 http.HTTPStatus.NOT_IMPLEMENTED,
-                "WebRTC transport requires the aiortc extra; use the WebSocket "
+                "WebRTC transport requires aiortc (pip install 's2s-tpu[webrtc]'); use the WebSocket "
                 "transport at /v1/realtime.\n",
             )
         return connection.respond(http.HTTPStatus.NOT_FOUND, "Not found\n")
@@ -197,7 +197,7 @@ class RealtimeServer:
 
         manager = self.call_manager
         if manager is None:
-            respond(501, b"WebRTC transport requires the aiortc extra; use the "
+            respond(501, b"WebRTC transport requires aiortc (pip install 's2s-tpu[webrtc]'); use the "
                          b"WebSocket transport at /v1/realtime.\n")
         elif method == "POST" and path == "/v1/realtime/calls":
             length = int(headers.get("content-length") or 0)
