@@ -137,6 +137,9 @@ class LocalLLMArgs:
     #: cross-session batched decode slots over ONE weight set (the TPU
     #: replacement for the reference's N model copies); 0/1 = single-session
     batched_slots: int = 4
+    #: first-sentence latency lane: a new turn's first N tokens decode as
+    #: single-slot dispatches ahead of the full-batch steps (0 disables)
+    priority_tokens: int = 12
     quantize: Optional[str] = None  # int8 weight-only decode (halves HBM reads)
     gen_kwargs: dict[str, Any] = field(default_factory=dict)
 

@@ -207,11 +207,13 @@ def _make_local_llm(config, ctx: HandlerContext):
             engine = BatchedLMScheduler(
                 p, cfg, n_slots=config.batched_slots,
                 max_t=min(cfg.max_seq_len, 2048), eos_id=eos,
+                priority_tokens=getattr(config, "priority_tokens", 12),
             )
             return p, engine
 
         params, shared_lm = ctx.model_cache.get(
-            ("local-lm", config.model_size, config.checkpoint, config.batched_slots), build
+            ("local-lm", config.model_size, config.checkpoint, config.batched_slots,
+             getattr(config, "priority_tokens", 12)), build
         )
     else:
         params = _load_checkpoint(config.checkpoint)
