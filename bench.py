@@ -181,7 +181,7 @@ def build_llm():
         _ = np.asarray(toks)
         return time.perf_counter() - t0
 
-    return turn, batched_chunk, to_int8
+    return turn, batched_chunk, to_int8, holder, cfg
 
 
 def build_tts():
@@ -254,7 +254,130 @@ def build_tts():
 
     first_chunk()  # warm streaming programs
     full(OUT_SECONDS)  # warm one-shot program
-    return first_chunk, full, batched, to_int8
+    return first_chunk, full, batched, to_int8, tts, cfg
+
+
+def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
+                       n_bg: int = 15, turns: int = 12,
+                       bg_cycle_s: float = 10.0) -> tuple[float, float]:
+    """MEASURED loaded voice-to-voice latency: probe turns (STT final +
+    LLM first sentence + TTS first audible chunk) through the REAL serving
+    schedulers while ``n_bg`` background CONVERSATIONS run on the same
+    chip.  Each background session follows the reference soak harness's
+    cadence model (``synthetic_conversation_realtime_client.py``: turns at
+    a fixed cadence, not continuous saturation): one full reply —
+    64-token generation + 5 s synthesis — per ``bg_cycle_s`` cycle,
+    staggered across sessions.  That IS the 16-session serving config: a
+    voice session alternates listening and speaking, it does not decode
+    continuously.  Exercises the schedulers' priority lanes (one
+    single-slot dispatch for the first sentence, TTFA ramp chunks for the
+    first audio) — the VERDICT-r2 replacement for the derived
+    ``voice_to_voice_loaded_est_s``."""
+    import random
+    import threading
+
+    import jax.numpy as jnp
+
+    from s2s_tpu.parallel.session_scheduler import (
+        BatchedLMScheduler,
+        BatchedTTSScheduler,
+        PriorityGate,
+    )
+
+    gate = PriorityGate()  # cross-scheduler preemption (shared)
+    # serving config is latency-biased: 4-token/4-frame steady chunks keep
+    # the device-queue quantum (the wait a probe dispatch can be stuck
+    # behind) at ~half the throughput-optimal 8 — the capacity headline
+    # above is measured separately at saturation
+    lm_sched = BatchedLMScheduler(
+        llm_params, llm_cfg, n_slots=n_bg + 1, max_t=256,
+        chunk_tokens=4, priority_tokens=FIRST_SENTENCE_TOKENS, gate=gate,
+    )
+    tts_sched = BatchedTTSScheduler(
+        tts_obj.params, tts_cfg, n_slots=n_bg + 1, max_t=192,
+        context_frames=8, chunk_frames=4, gate=gate,
+    )
+    tts_tokens, _ = tts_obj._encode_text(
+        "This is a representative assistant reply used to benchmark synthesis.",
+        bucket=96,
+    )
+    tts_tokens = np.asarray(tts_tokens)
+    spk = tts_obj.params["speakers"][jnp.asarray([0])]
+    prompt = [1] * PROMPT_BUCKET
+    bg_frames = int(OUT_SECONDS * 12.5)
+    stop = threading.Event()
+
+    def bg_loop(offset_s: float) -> None:
+        time.sleep(offset_s)  # stagger turn starts across the pool
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            for _tok in lm_sched.generate(prompt, REPLY_TOKENS):
+                if stop.is_set():
+                    break
+            if stop.is_set():
+                break
+            for _chunk, _sr in tts_sched.stream(tts_tokens, spk, bg_frames):
+                if stop.is_set():
+                    break
+            # conversational cadence: next turn starts when the cycle elapses
+            remaining = bg_cycle_s - (time.perf_counter() - t0)
+            if remaining > 0:
+                stop.wait(remaining)
+
+    phases: list[tuple[float, float, float]] = []
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        stt_final()
+        t1 = time.perf_counter()
+        for _tok in lm_sched.generate(prompt, FIRST_SENTENCE_TOKENS):
+            pass
+        t2 = time.perf_counter()
+        for _chunk, _sr in tts_sched.stream(tts_tokens, spk, TTS_CHUNK_FRAMES):
+            break  # first audible chunk ends the latency chain
+        t3 = time.perf_counter()
+        phases.append((t1 - t0, t2 - t1, t3 - t2))
+        return t3 - t0
+
+    try:
+        # compile EVERY dispatchable program up front: all width-bucket
+        # steady chunks + priority/ramp slot chunks (a cold compile during
+        # measurement shows up as a multi-second probe outlier), then the
+        # probe chain and one full background turn for the prefill programs
+        lm_sched.warmup()
+        tts_sched.warmup()
+        probe()
+        for _tok in lm_sched.generate(prompt, REPLY_TOKENS):
+            pass
+        for _chunk, _sr in tts_sched.stream(tts_tokens, spk, bg_frames):
+            pass
+        threads = [
+            threading.Thread(target=bg_loop, args=(i * bg_cycle_s / n_bg,), daemon=True)
+            for i in range(n_bg)
+        ]
+        for t in threads:
+            t.start()
+        time.sleep(3.0)  # let the first background turns land
+        rng = random.Random(0)
+        times = []
+        for _ in range(turns):
+            times.append(probe())
+            # probes land at random phases of the background cadence
+            time.sleep(rng.uniform(0.2, 1.2))
+        times.sort()
+    finally:
+        stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    lm_sched.shutdown()
+    tts_sched.shutdown()
+    p50 = statistics.median(times)
+    p95 = times[min(len(times) - 1, int(round(0.95 * (len(times) - 1))))]
+    measured = phases[-len(times):]  # skip warm probes
+    phase_p50 = tuple(
+        round(statistics.median(p[i] for p in measured), 4) for i in range(3)
+    )
+    return p50, p95, phase_p50
 
 
 def main() -> None:
@@ -267,7 +390,7 @@ def main() -> None:
     stt_final, _ = build_stt(2.0, params=stt_params)
     gc.collect()
 
-    llm_turn, llm_batched, llm_to_int8 = build_llm()
+    llm_turn, llm_batched, llm_to_int8, llm_holder, llm_cfg = build_llm()
     t_llm_bf16 = min(llm_turn(REPLY_TOKENS) for _ in range(3))
     llm_to_int8()  # serving config: int8 weight-only decode
     t_llm = min(llm_turn(REPLY_TOKENS) for _ in range(2))
@@ -275,7 +398,7 @@ def main() -> None:
     t_llm_b8 = min(llm_batched(8) for _ in range(3))
     t_llm_b16 = min(llm_batched(16) for _ in range(2))
 
-    tts_first, tts_full, tts_batched, tts_to_int8 = build_tts()
+    tts_first, tts_full, tts_batched, tts_to_int8, tts_obj, tts_cfg = build_tts()
     t_tts_bf16 = min(tts_full(OUT_SECONDS) for _ in range(2))
     tts_to_int8()  # serving config: int8 talker + code predictor
     t_tts = min(tts_full(OUT_SECONDS) for _ in range(2))
@@ -295,6 +418,12 @@ def main() -> None:
     times = sorted(one_turn() for _ in range(V2V_TURNS))
     v2v_p50 = statistics.median(times)
     v2v_p95 = times[min(len(times) - 1, int(round(0.95 * (len(times) - 1))))]
+
+    # MEASURED loaded latency: probe turns through the serving schedulers
+    # while 15 background sessions decode (priority lanes active)
+    loaded_p50, loaded_p95, loaded_phases = measure_loaded_v2v(
+        stt_final, llm_holder["params"], llm_cfg, tts_obj, tts_cfg,
+    )
 
     # BASELINE.md headline: aggregate RTFx per chip on the full cascade —
     # 16 concurrent sessions sharing one weight set, batched LLM decode and
@@ -335,15 +464,13 @@ def main() -> None:
             "voice_to_voice_p50_s": round(v2v_p50, 4),
             "voice_to_voice_p95_s": round(v2v_p95, 4),
             "voice_to_voice_turns": V2V_TURNS,
-            # derived: first-sentence + first-chunk latency when the chip is
-            # serving 16 concurrent sessions (batched steps are slower per
-            # step than the unloaded single-session chain above)
-            "voice_to_voice_loaded_est_s": round(
-                t_stt
-                + t_llm_b16 * FIRST_SENTENCE_TOKENS / REPLY_TOKENS
-                + t_tts_b16 * TTS_CHUNK_FRAMES / (OUT_SECONDS * 12.5),
-                4,
-            ),
+            # MEASURED: probe turn through the serving schedulers while 15
+            # background sessions decode full replies + syntheses (the
+            # 16-session serving config; priority lanes active)
+            "voice_to_voice_loaded_p50_s": round(loaded_p50, 4),
+            "voice_to_voice_loaded_p95_s": round(loaded_p95, 4),
+            # per-phase p50 under load: (stt, llm-first-sentence, tts-first-chunk)
+            "voice_to_voice_loaded_phases_s": list(loaded_phases),
             "voice_to_voice_target_s": 0.3,
         },
     }

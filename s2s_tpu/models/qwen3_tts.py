@@ -592,10 +592,95 @@ def decode_chunk_audio_multi(params, cfg: Qwen3TTSConfig, embeds, state, context
     return audio, eos_flags, embeds, state, next_contexts
 
 
+def decode_chunk_audio_slot(params, cfg: Qwen3TTSConfig, embed, state, context, n_frames: int, slot):
+    """Priority-lane TTS decode: *n_frames* codec frames + vocode for ONE
+    slot at batch-1 cost (the TTFA lever: a joining session's first ramp
+    chunks run here instead of dragging — or waiting for — the full batch;
+    see :mod:`s2s_tpu.parallel.batched_decode.decode_chunk_slot` for the
+    slice/splice rationale).
+
+    embed: (D,) slot's next talker input; context: (C, n_q) slot's vocoder
+    context; slot: scalar row index into the batched state.
+    Returns (audio (T',), eos (n,), next embed (D,), state, next context).
+    """
+    from s2s_tpu.parallel import batched_decode as bd
+
+    row = bd.MultiDecodeState(
+        KVCache(
+            jax.lax.dynamic_slice_in_dim(state.caches.k, slot, 1, axis=1),
+            jax.lax.dynamic_slice_in_dim(state.caches.v, slot, 1, axis=1),
+        ),
+        jax.lax.dynamic_slice_in_dim(state.pos, slot, 1, axis=0),
+    )
+    audio, eos, embeds, row, next_ctx = decode_chunk_audio_multi(
+        params, cfg, embed[None], row, context[None], n_frames, jnp.ones((1,), bool)
+    )
+    new_k = jax.lax.dynamic_update_slice(state.caches.k, row.caches.k, (0, slot, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(state.caches.v, row.caches.v, (0, slot, 0, 0, 0))
+    pos = jax.lax.dynamic_update_slice(state.pos, row.pos, (slot,))
+    return (audio[0], eos[:, 0], embeds[0],
+            bd.MultiDecodeState(KVCache(new_k, new_v), pos), next_ctx[0])
+
+
+def prefill_and_first_chunk_slot(params, cfg: Qwen3TTSConfig, text_tokens,
+                                 speaker_vec, state, contexts_all, n_frames: int,
+                                 slot):
+    """FUSED TTS prefill + first ramp chunk for one slot: the prompt ingest
+    and the first audible frames cost ONE dispatch + ONE host sync (the
+    TTFA lever under load — same rationale as
+    ``batched_decode.prefill_and_chunk_slot``).
+
+    Returns (audio (T',), eos (n,), next embed (D,), state, contexts_all).
+    """
+    bos, state = prefill_tts_slot(params, cfg, text_tokens, speaker_vec, state, slot)
+    ctx0 = jnp.zeros_like(contexts_all[0])
+    audio, eos, emb, state, ctx = decode_chunk_audio_slot(
+        params, cfg, bos, state, ctx0, n_frames, slot
+    )
+    return audio, eos, emb, state, contexts_all.at[slot].set(ctx)
+
+
+def decode_chunk_audio_gathered(params, cfg: Qwen3TTSConfig, embeds_all, state,
+                                contexts_all, n_frames: int, slot_ids):
+    """Steady-lane TTS chunk over a COMPACT gathered batch (same rationale
+    and padding convention as ``batched_decode.decode_chunk_gathered``:
+    per-chunk cost scales with the bucketed active count, duplicates in
+    ``slot_ids`` are benign).
+
+    embeds_all: (B, D); contexts_all: (B, C, n_q); slot_ids: (W,) int32.
+    Returns (audio (W, T'), eos (n, W), embeds_all, state, contexts_all).
+    """
+    from s2s_tpu.parallel import batched_decode as bd
+
+    row = bd.MultiDecodeState(
+        KVCache(state.caches.k[:, slot_ids], state.caches.v[:, slot_ids]),
+        state.pos[slot_ids],
+    )
+    audio, eos, emb, row, ctx = decode_chunk_audio_multi(
+        params, cfg, embeds_all[slot_ids], row, contexts_all[slot_ids],
+        n_frames, jnp.ones(slot_ids.shape, bool),
+    )
+    new_k = state.caches.k.at[:, slot_ids].set(row.caches.k)
+    new_v = state.caches.v.at[:, slot_ids].set(row.caches.v)
+    new_pos = state.pos.at[slot_ids].set(row.pos)
+    return (audio, eos, embeds_all.at[slot_ids].set(emb),
+            bd.MultiDecodeState(KVCache(new_k, new_v), new_pos),
+            contexts_all.at[slot_ids].set(ctx))
+
+
 jit_prefill_tts_slot = partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))(prefill_tts_slot)
 jit_decode_chunk_audio_multi = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
     decode_chunk_audio_multi
 )
+jit_decode_chunk_audio_slot = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
+    decode_chunk_audio_slot
+)
+jit_decode_chunk_audio_gathered = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
+    decode_chunk_audio_gathered
+)
+jit_prefill_and_first_chunk_slot = partial(
+    jax.jit, static_argnums=(1, 6), donate_argnums=(4,)
+)(prefill_and_first_chunk_slot)
 
 
 # Explicit-params jits (never capture weights — see repo memory).
@@ -644,7 +729,7 @@ class Qwen3TTS:
         seed: int = 0,
         chunk_frames: int = DEFAULT_CHUNK_FRAMES,
         context_frames: int = VOCODER_CONTEXT_FRAMES,
-        ramp_chunks: tuple[int, ...] = (1, 2, 4),
+        ramp_chunks: tuple[int, ...] = (2, 4),
         int8: bool = False,
         tokenizer=None,
     ) -> None:
@@ -660,9 +745,11 @@ class Qwen3TTS:
             self.params = jax.jit(quantize_params)(self.params)
         self.chunk_frames = chunk_frames
         self.context_frames = context_frames
-        #: TTFA ramp: the first chunk is 1 frame (80 ms of audio at ~1/8 the
-        #: compute of a full chunk) so speech starts sooner, then chunk size
-        #: grows to ``chunk_frames`` for steady-state efficiency.
+        #: TTFA ramp: the first chunk is small (160 ms of audio at a
+        #: fraction of a full chunk's compute) so speech starts sooner,
+        #: then chunk size grows to ``chunk_frames`` for steady-state
+        #: efficiency.  Two ramp steps, not many: every dispatch also pays
+        #: a fixed host round-trip.
         self.ramp_chunks = tuple(min(c, chunk_frames) for c in ramp_chunks)
 
     @property

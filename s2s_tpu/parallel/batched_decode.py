@@ -204,6 +204,90 @@ def decode_chunk_multi(
     return toks, emitted, tok, state, active
 
 
+def prefill_and_chunk_slot(
+    params, cfg: DecoderLMConfig, tokens, prompt_len, state: MultiDecodeState,
+    slot, n_tokens: int, eos_id: int,
+):
+    """FUSED prefill + first priority chunk for one slot: a new turn's
+    prompt ingest and its first-sentence tokens cost ONE dispatch + ONE
+    host sync instead of two (each dispatch pays a fixed host round-trip
+    and queues behind any in-flight steady chunk — for the latency-
+    critical first sentence both are worth eliminating).
+
+    Returns (toks (n,), emitted (n,), next token scalar, new state).
+    """
+    token, state = prefill_slot(params, cfg, tokens, prompt_len, state, slot)
+    return decode_chunk_slot(params, cfg, token, state, n_tokens, eos_id, slot)
+
+
+def decode_chunk_gathered(
+    params, cfg: DecoderLMConfig, tokens, state: MultiDecodeState, n_tokens: int,
+    eos_id: int, slot_ids,
+):
+    """Steady-lane chunk over a COMPACT gathered batch of ``W = len(slot_ids)``
+    slots: per-step cost scales with the bucketed active count, not
+    ``n_slots`` (a dense masked step still reads every slot's KV rows, so
+    at 16 slots with 3 active it wastes ~80% of the step's HBM traffic —
+    and, worse for latency, every probe dispatch queues behind that
+    full-width step).
+
+    slot_ids: (W,) int32, padded by REPEATING a valid id — duplicate rows
+    start from identical gathered state, run the same greedy compute, and
+    scatter identical values, so duplicates are benign.
+    tokens: (W,) gathered next-input tokens.
+    Returns (toks (n, W), emitted (n, W), next tokens (W,), new state).
+    """
+    row = MultiDecodeState(
+        KVCache(state.caches.k[:, slot_ids], state.caches.v[:, slot_ids]),
+        state.pos[slot_ids],
+    )
+    toks, emitted, tok, row, _ = decode_chunk_multi(
+        params, cfg, tokens, row, n_tokens, eos_id,
+        jnp.ones(slot_ids.shape, bool),
+    )
+    new_k = state.caches.k.at[:, slot_ids].set(row.caches.k)
+    new_v = state.caches.v.at[:, slot_ids].set(row.caches.v)
+    new_pos = state.pos.at[slot_ids].set(row.pos)
+    return toks, emitted, tok, MultiDecodeState(KVCache(new_k, new_v), new_pos)
+
+
+def decode_chunk_slot(
+    params, cfg: DecoderLMConfig, token, state: MultiDecodeState, n_tokens: int,
+    eos_id: int, slot,
+):
+    """Priority-lane decode: *n_tokens* greedy steps for ONE slot at
+    batch-1 cost, leaving the other slots untouched.
+
+    The latency lever behind the serving scheduler's preemption: a full
+    16-slot step pays 16 KV-cache reads, so a new turn's first-sentence
+    tokens decoding through the batch run ~5x slower per token than a
+    single session.  Here the slot's cache row is sliced out of the
+    batched state, the single-row chunk runs (weights still read once per
+    step — that cost is shared either way), and the updated row is spliced
+    back.  The slice/splice moves one slot's KV (~a few MB at 1.7B scale)
+    — noise next to a decode step.
+
+    token: scalar int32 next input; slot: scalar row index.
+    Returns (toks (n,), emitted (n,), next token scalar, new state).
+    """
+    row = MultiDecodeState(
+        KVCache(
+            jax.lax.dynamic_slice_in_dim(state.caches.k, slot, 1, axis=1),
+            jax.lax.dynamic_slice_in_dim(state.caches.v, slot, 1, axis=1),
+        ),
+        jax.lax.dynamic_slice_in_dim(state.pos, slot, 1, axis=0),
+    )
+    toks, emitted, tok, row, _ = decode_chunk_multi(
+        params, cfg, token[None], row, n_tokens, eos_id, jnp.ones((1,), bool)
+    )
+    new_k = jax.lax.dynamic_update_slice(
+        state.caches.k, row.caches.k, (0, slot, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(
+        state.caches.v, row.caches.v, (0, slot, 0, 0, 0))
+    pos = jax.lax.dynamic_update_slice(state.pos, row.pos, (slot,))
+    return toks[:, 0], emitted[:, 0], tok[0], MultiDecodeState(KVCache(new_k, new_v), pos)
+
+
 # ── fused-attention chunk decode (the TPU serving path) ─────────────
 #
 # The scan-over-stacked-layers structure above makes XLA slice each
@@ -326,4 +410,13 @@ jit_prefill_slot_embeds = partial(jax.jit, static_argnums=(1,), donate_argnums=(
 )
 jit_decode_chunk_multi = partial(jax.jit, static_argnums=(1, 4, 5), donate_argnums=(3,))(
     decode_chunk_multi
+)
+jit_decode_chunk_slot = partial(jax.jit, static_argnums=(1, 4, 5), donate_argnums=(3,))(
+    decode_chunk_slot
+)
+jit_decode_chunk_gathered = partial(jax.jit, static_argnums=(1, 4, 5), donate_argnums=(3,))(
+    decode_chunk_gathered
+)
+jit_prefill_and_chunk_slot = partial(jax.jit, static_argnums=(1, 6, 7), donate_argnums=(4,))(
+    prefill_and_chunk_slot
 )

@@ -8,10 +8,21 @@ driver thread issuing fused decode-chunk programs for ALL active sessions
 is per-slot and takes effect at the next chunk boundary (<= chunk tokens),
 matching the generation-discard window the pipeline already models.
 
+TWO LANES (the loaded-latency lever): a full-batch decode step pays every
+slot's KV-cache reads, so at 16 slots it runs ~5x slower per token than a
+single session — a new turn's first sentence decoding through the batch
+would wait ~280 ms for 12 tokens.  Each generation's first
+``priority_tokens`` tokens (and, for TTS, the TTFA ramp chunks) therefore
+run in a PRIORITY LANE: single-slot dispatches over the slot's sliced
+cache row (:func:`batched_decode.decode_chunk_slot`), interleaved ahead of
+the full-batch steady chunks, which are held back for up to 2 iterations
+while priority work is in flight.  Steady-state throughput still comes
+from the fused full-batch chunks.
+
 Equivalence with independent single-session decodes is pinned by
 ``tests/test_batched_decode.py`` (step level) and
 ``tests/test_session_scheduler.py`` (scheduler level: token-for-token,
-concurrent == serial).
+concurrent == serial, priority lanes on and off).
 """
 
 from __future__ import annotations
@@ -29,16 +40,48 @@ logger = logging.getLogger(__name__)
 #: Sentinel on a session's token queue: generation finished (eos / budget).
 _DONE = object()
 
-#: Per-slot chunk-size ramp: new sessions get small first chunks (TTFA),
-#: steady state runs the full chunk.  A batched dispatch uses the MIN over
-#: active slots so a joining session never waits a full chunk for audio.
-_TTS_RAMP = (1, 2, 4)
+#: Per-slot chunk-size ramp: a joining session's first chunks are small and
+#: run in the PRIORITY LANE (single-slot dispatches at batch-1 cost) so its
+#: first audio doesn't wait on — or drag down — the full batch; steady
+#: state runs the full chunk in the batched lane.  Each dispatch pays a
+#: fixed host round-trip on top of compute, so the ramp is two chunks
+#: (160 ms then 320 ms of audio), not many tiny ones.
+_TTS_RAMP = (2, 4)
+
+
+class PriorityGate:
+    """Cross-scheduler preemption signal: while any session (in ANY
+    scheduler sharing the gate) is inside its priority window — first
+    sentence for the LM, TTFA ramp for TTS — steady full-batch chunks are
+    held back so the device queue stays clear for the latency-critical
+    dispatches.  The schedulers' bounded skip counters cap the stall."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._active: set = set()
+
+    def enter(self, key) -> None:
+        with self._lock:
+            self._active.add(key)
+
+    def exit(self, key) -> None:
+        with self._lock:
+            self._active.discard(key)
+
+    def busy(self) -> bool:
+        with self._lock:
+            return bool(self._active)
 
 
 @dataclass
 class _Slot:
     queue: "Queue[object]" = field(default_factory=Queue)
     remaining: int = 0
+    gate_key: object = None
+    #: tokens left in the priority lane (first-sentence latency window):
+    #: while > 0 this slot decodes via single-slot dispatches interleaved
+    #: ahead of the full-batch chunks
+    priority_remaining: int = 0
     cancelled: bool = False
     eos_seen: bool = False
 
@@ -67,6 +110,9 @@ class BatchedLMScheduler:
         max_t: int | None = None,
         chunk_tokens: int = 8,
         eos_id: int = 0,
+        priority_tokens: int = 12,
+        priority_chunk: int | None = None,
+        gate: "PriorityGate | None" = None,
     ) -> None:
         from s2s_tpu.parallel import batched_decode
 
@@ -76,6 +122,22 @@ class BatchedLMScheduler:
         self.n_slots = n_slots
         self.chunk_tokens = max(1, chunk_tokens)
         self.eos_id = eos_id
+        #: each generation's first ``priority_tokens`` tokens decode in the
+        #: priority lane (single-slot dispatches, ~5x faster per token than
+        #: a full-batch step) in ``priority_chunk``-token chunks.  Default:
+        #: ONE dispatch covering the whole window — every dispatch pays a
+        #: fixed host round-trip, so the first sentence should cost one.
+        #: 0 ``priority_tokens`` disables the lane.  Cancellation
+        #: granularity: <= ``chunk_tokens`` in the steady lane, <=
+        #: ``priority_chunk`` inside the (text-only, pre-audio) priority
+        #: window.
+        self.priority_tokens = max(0, priority_tokens)
+        self.priority_chunk = max(1, priority_chunk if priority_chunk is not None
+                                  else max(self.priority_tokens, 1))
+        #: optional cross-scheduler preemption gate (shared with the TTS
+        #: scheduler): steady chunks hold back while any priority window
+        #: is open anywhere
+        self.gate = gate
         self._max_t = max_t or cfg.max_seq_len
 
         self._state = batched_decode.init_multi_state(cfg, n_slots, self._max_t)
@@ -89,6 +151,40 @@ class BatchedLMScheduler:
         self._work = threading.Condition(self._lock)
         self._driver: threading.Thread | None = None
         self._stop = False
+        self._steady_skips = 0
+        #: steady-lane gathered-batch width buckets: a chunk is dispatched
+        #: at the smallest bucket covering the active-slot count, so its
+        #: cost (and the queue delay it imposes on latency-critical
+        #: dispatches behind it) scales with actual occupancy
+        self._width_buckets = sorted({min(w, n_slots) for w in (4, 8, 16, n_slots)})
+
+    def _bucket_ids(self, sids: list[int]) -> "np.ndarray":
+        width = next(w for w in self._width_buckets if w >= len(sids))
+        return np.asarray(sids + [sids[-1]] * (width - len(sids)), np.int32)
+
+    def warmup(self) -> None:
+        """Compile every device program the driver can dispatch (steady
+        chunks at every width bucket + the priority slot chunk) BEFORE
+        serving starts — a cold compile mid-serving stalls live sessions
+        for tens of seconds.  Must run before the driver thread exists;
+        it scribbles on slot 0's (unclaimed) state row."""
+        import jax.numpy as jnp
+
+        for w in self._width_buckets:
+            ids = jnp.zeros((w,), jnp.int32)
+            toks, _em, tok, self._state = self._bd.jit_decode_chunk_gathered(
+                self.params, self.cfg, jnp.zeros((w,), jnp.int32), self._state,
+                self.chunk_tokens, self.eos_id, ids,
+            )
+            np.asarray(toks)
+        if self.priority_tokens > 0:
+            n = min(self.priority_chunk, self.priority_tokens)
+            toks, _em, tok, self._state = self._bd.jit_decode_chunk_slot(
+                self.params, self.cfg, jnp.asarray(0, jnp.int32), self._state,
+                n, self.eos_id, jnp.asarray(0, jnp.int32),
+            )
+            np.asarray(toks)
+        self._state = self._state._replace(pos=self._state.pos.at[0].set(0))
 
     # ── session API ──────────────────────────────────────────────────
 
@@ -111,6 +207,10 @@ class BatchedLMScheduler:
         try:
             with self._work:
                 slot.remaining = max_new
+                slot.priority_remaining = min(self.priority_tokens, max_new)
+                if self.gate is not None and slot.priority_remaining > 0:
+                    slot.gate_key = object()
+                    self.gate.enter(slot.gate_key)
                 self._prefills.append(_PrefillRequest(slot_id, padded, len(prompt_ids)))
                 self._ensure_driver()
                 self._work.notify_all()
@@ -129,6 +229,8 @@ class BatchedLMScheduler:
         finally:
             with self._work:
                 slot.cancelled = True
+                if self.gate is not None and slot.gate_key is not None:
+                    self.gate.exit(slot.gate_key)
                 self._release(slot_id)
                 self._work.notify_all()
 
@@ -169,54 +271,140 @@ class BatchedLMScheduler:
             if s.remaining > 0 and not s.cancelled and not s.eos_seen
         }
 
+    def _deliver(self, sid: int, slot: _Slot, toks: np.ndarray, emitted: np.ndarray) -> None:
+        """Push one chunk's tokens (1-D views for slot ``sid``) to its
+        session queue; caller holds ``self._work``."""
+        for step in range(len(toks)):
+            if not emitted[step] or slot.remaining <= 0:
+                break
+            tok = int(toks[step])
+            slot.priority_remaining = max(0, slot.priority_remaining - 1)
+            if tok == self.eos_id:
+                slot.eos_seen = True
+                break
+            if not slot.cancelled:
+                slot.queue.put(tok)
+            slot.remaining -= 1
+        if slot.remaining <= 0 or slot.eos_seen or slot.cancelled:
+            slot.queue.put(_DONE)
+            slot.remaining = 0
+            slot.priority_remaining = 0
+        if (slot.priority_remaining <= 0 and self.gate is not None
+                and slot.gate_key is not None):
+            self.gate.exit(slot.gate_key)
+            slot.gate_key = None
+
+    def _sweep_cancelled(self) -> None:
+        """Deliver _DONE to slots cancelled between dispatches (otherwise a
+        consumer that cancelled right after its last delivery would poll
+        forever); caller holds ``self._work``."""
+        for slot in self._slots.values():
+            if slot.cancelled and slot.remaining > 0:
+                slot.queue.put(_DONE)
+                slot.remaining = 0
+                slot.priority_remaining = 0
+
     def _drive(self) -> None:
         import jax.numpy as jnp
 
         while True:
             with self._work:
+                self._sweep_cancelled()
                 while not self._stop and not self._prefills and not self._running_slots():
                     self._work.wait(timeout=0.5)
+                    self._sweep_cancelled()
                 if self._stop:
                     return
                 prefills, self._prefills = self._prefills, []
                 running = self._running_slots()
 
+            did_priority = False
             for req in prefills:
-                token, self._state = self._bd.jit_prefill_slot(
-                    self.params, self.cfg, jnp.asarray(req.tokens),
-                    jnp.asarray(req.prompt_len, jnp.int32), self._state,
-                    jnp.asarray(req.slot, jnp.int32),
-                )
-                self._tokens = self._tokens.at[req.slot].set(token)
-                running[req.slot] = self._slots[req.slot]
+                slot = self._slots.get(req.slot)
+                if slot is None:
+                    continue
+                n_prio = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
+                if n_prio > 0 and not slot.cancelled:
+                    # FUSED prefill + first priority chunk: one dispatch for
+                    # prompt ingest AND the first-sentence tokens
+                    toks_dev, emitted_dev, tok, self._state = (
+                        self._bd.jit_prefill_and_chunk_slot(
+                            self.params, self.cfg, jnp.asarray(req.tokens),
+                            jnp.asarray(req.prompt_len, jnp.int32), self._state,
+                            jnp.asarray(req.slot, jnp.int32), n_prio, self.eos_id,
+                        )
+                    )
+                    self._tokens = self._tokens.at[req.slot].set(tok)
+                    did_priority = True
+                    with self._work:
+                        self._deliver(req.slot, slot,
+                                      np.asarray(toks_dev), np.asarray(emitted_dev))
+                        self._work.notify_all()
+                else:
+                    token, self._state = self._bd.jit_prefill_slot(
+                        self.params, self.cfg, jnp.asarray(req.tokens),
+                        jnp.asarray(req.prompt_len, jnp.int32), self._state,
+                        jnp.asarray(req.slot, jnp.int32),
+                    )
+                    self._tokens = self._tokens.at[req.slot].set(token)
+                running[req.slot] = slot
 
             running = {sid: s for sid, s in running.items() if sid in self._slots}
-            if not running:
+            if not running and not did_priority:
                 continue
-            active = np.zeros(self.n_slots, bool)
-            for sid in running:
-                active[sid] = True
-            toks_dev, emitted_dev, self._tokens, self._state, _ = self._bd.jit_decode_chunk_multi(
-                self.params, self.cfg, self._tokens, self._state,
-                self.chunk_tokens, self.eos_id, jnp.asarray(active),
+
+            # ── priority lane: remaining priority-window tokens decode via
+            # single-slot dispatches (batch-1 cost) ahead of the steady
+            # batched chunk
+            for sid, slot in list(running.items()):
+                if slot.priority_remaining <= 0 or slot.cancelled or slot.eos_seen:
+                    continue
+                n = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
+                if n <= 0:
+                    continue
+                toks_dev, emitted_dev, tok, self._state = self._bd.jit_decode_chunk_slot(
+                    self.params, self.cfg, self._tokens[sid], self._state,
+                    n, self.eos_id, jnp.asarray(sid, jnp.int32),
+                )
+                self._tokens = self._tokens.at[sid].set(tok)
+                did_priority = True
+                with self._work:
+                    self._deliver(sid, slot, np.asarray(toks_dev), np.asarray(emitted_dev))
+                    self._work.notify_all()
+
+            # while priority work is in flight, hold the (priority-window-
+            # sized) full-batch chunks back for up to 2 iterations so a
+            # probe turn's next dispatch isn't sandwiched between them;
+            # the cap bounds steady-lane stall
+            gate_busy = self.gate is not None and self.gate.busy()
+            # priority windows are short and self-limiting (first sentence /
+            # TTFA ramp), so while one is open ANYWHERE the steady lane
+            # yields longer than the local 2-iteration fairness cap
+            if (did_priority or gate_busy) and self._steady_skips < (6 if gate_busy else 2):
+                self._steady_skips += 1
+                continue
+            self._steady_skips = 0
+
+            # ── steady lane: ONE gathered chunk over every running slot
+            # past its priority window, at the smallest width bucket
+            steady = {
+                sid: s for sid, s in self._running_slots().items()
+                if s.priority_remaining <= 0
+            }
+            if not steady:
+                continue
+            sids = sorted(steady)
+            slot_ids = jnp.asarray(self._bucket_ids(sids))
+            toks_dev, emitted_dev, tok_out, self._state = self._bd.jit_decode_chunk_gathered(
+                self.params, self.cfg, self._tokens[slot_ids], self._state,
+                self.chunk_tokens, self.eos_id, slot_ids,
             )
-            toks = np.asarray(toks_dev)  # (n, B)
+            self._tokens = self._tokens.at[slot_ids].set(tok_out)
+            toks = np.asarray(toks_dev)  # (n, W)
             emitted = np.asarray(emitted_dev)
             with self._work:
-                for sid, slot in running.items():
-                    for step in range(toks.shape[0]):
-                        if not emitted[step, sid] or slot.remaining <= 0:
-                            break
-                        tok = int(toks[step, sid])
-                        if tok == self.eos_id:
-                            slot.eos_seen = True
-                            break
-                        if not slot.cancelled:
-                            slot.queue.put(tok)
-                        slot.remaining -= 1
-                    if slot.remaining <= 0 or slot.eos_seen or slot.cancelled:
-                        slot.queue.put(_DONE)
-                        slot.remaining = 0
+                for i, sid in enumerate(sids):
+                    self._deliver(sid, steady[sid], toks[:, i], emitted[:, i])
                 self._work.notify_all()
 
 
@@ -224,6 +412,7 @@ class BatchedLMScheduler:
 class _TTSSlot:
     queue: "Queue[object]" = field(default_factory=Queue)
     remaining: int = 0
+    gate_key: object = None
     chunks_done: int = 0
     cancelled: bool = False
     eos_seen: bool = False
@@ -252,6 +441,7 @@ class BatchedTTSScheduler:
         max_t: int = 1024,
         context_frames: int = 25,
         chunk_frames: int = 8,
+        gate: "PriorityGate | None" = None,
     ) -> None:
         import jax.numpy as jnp
 
@@ -265,6 +455,7 @@ class BatchedTTSScheduler:
         self.n_slots = n_slots
         self.chunk_frames = chunk_frames
         self.context_frames = context_frames
+        self.gate = gate
         self._max_t = max_t
 
         self._state = bd.init_multi_state(cfg.lm, n_slots, max_t)
@@ -277,6 +468,38 @@ class BatchedTTSScheduler:
         self._work = threading.Condition(self._lock)
         self._driver: threading.Thread | None = None
         self._stop = False
+        self._steady_skips = 0
+        self._width_buckets = sorted({min(w, n_slots) for w in (4, 8, 16, n_slots)})
+
+    def _bucket_ids(self, sids: list[int]) -> "np.ndarray":
+        width = next(w for w in self._width_buckets if w >= len(sids))
+        return np.asarray(sids + [sids[-1]] * (width - len(sids)), np.int32)
+
+    def warmup(self) -> None:
+        """Compile every dispatchable program (steady chunks at each width
+        bucket + the TTFA ramp slot chunks) before serving — same rationale
+        as :meth:`BatchedLMScheduler.warmup`."""
+        import jax.numpy as jnp
+
+        for w in self._width_buckets:
+            ids = jnp.zeros((w,), jnp.int32)
+            audio, _eos, self._embeds, self._state, self._contexts = (
+                self._tts.jit_decode_chunk_audio_gathered(
+                    self.params, self.cfg, self._embeds, self._state,
+                    self._contexts, self.chunk_frames, ids,
+                )
+            )
+            np.asarray(audio[:1, :8])
+        for n in _TTS_RAMP:
+            audio, _eos, emb, self._state, ctx = self._tts.jit_decode_chunk_audio_slot(
+                self.params, self.cfg, self._embeds[0], self._state,
+                self._contexts[0], n, jnp.asarray(0, jnp.int32),
+            )
+            self._embeds = self._embeds.at[0].set(emb)
+            self._contexts = self._contexts.at[0].set(ctx)
+            np.asarray(audio[:8])
+        self._state = self._state._replace(pos=self._state.pos.at[0].set(0))
+        self._contexts = self._contexts.at[0].set(0)
 
     # ── session API ──────────────────────────────────────────────────
 
@@ -295,6 +518,9 @@ class BatchedTTSScheduler:
         try:
             with self._work:
                 slot.remaining = max_frames
+                if self.gate is not None:
+                    slot.gate_key = object()
+                    self.gate.enter(slot.gate_key)
                 self._prefills.append(
                     _TTSPrefill(slot_id, np.asarray(text_tokens), speaker_vec, max_frames)
                 )
@@ -315,6 +541,8 @@ class BatchedTTSScheduler:
         finally:
             with self._work:
                 slot.cancelled = True
+                if self.gate is not None and slot.gate_key is not None:
+                    self.gate.exit(slot.gate_key)
                 self._release(slot_id)
                 self._work.notify_all()
 
@@ -355,64 +583,149 @@ class BatchedTTSScheduler:
 
     # ── driver ───────────────────────────────────────────────────────
 
+    def _deliver(self, sid: int, slot: _TTSSlot, audio_row: np.ndarray,
+                 eos_col: np.ndarray, n: int) -> None:
+        """Push one chunk's audio for slot ``sid``; caller holds ``self._work``.
+        ``valid`` clamps to the slot's remaining budget: steady chunks run
+        at a fixed ``chunk_frames`` regardless of per-slot tails (one
+        compiled variant per width bucket; a short tail wastes a few
+        frames of compute on an abandoned row instead of dragging every
+        other slot to its chunk size)."""
+        valid = n
+        if eos_col.any():
+            valid = int(np.nonzero(eos_col)[0][0])
+            slot.eos_seen = True
+        valid = min(valid, slot.remaining)
+        if valid > 0 and not slot.cancelled:
+            n_samples = min(len(audio_row), valid * self.cfg.upsample)
+            slot.queue.put(audio_row[:n_samples])
+        slot.remaining -= max(valid, 1)
+        slot.chunks_done += 1
+        if slot.remaining <= 0 or slot.eos_seen or slot.cancelled:
+            slot.queue.put(_DONE)
+            slot.remaining = 0
+        if (slot.chunks_done >= len(_TTS_RAMP) and self.gate is not None
+                and slot.gate_key is not None):
+            self.gate.exit(slot.gate_key)
+            slot.gate_key = None
+
+    def _sweep_cancelled(self) -> None:
+        """Deliver _DONE to slots cancelled between dispatches; caller holds
+        ``self._work`` (same rationale as the LM scheduler's sweep)."""
+        for slot in self._slots.values():
+            if slot.cancelled and slot.remaining > 0:
+                slot.queue.put(_DONE)
+                slot.remaining = 0
+
     def _drive(self) -> None:
         import jax.numpy as jnp
 
         cfg = self.cfg
         while True:
             with self._work:
+                self._sweep_cancelled()
                 while not self._stop and not self._prefills and not self._running():
                     self._work.wait(timeout=0.5)
+                    self._sweep_cancelled()
                 if self._stop:
                     return
                 prefills, self._prefills = self._prefills, []
                 running = self._running()
 
+            did_priority = False
             for req in prefills:
-                bos, self._state = self._tts.jit_prefill_tts_slot(
-                    self.params, cfg, jnp.asarray(req.text_tokens), req.speaker_vec,
-                    self._state, jnp.asarray(req.slot, jnp.int32),
-                )
-                self._embeds = self._embeds.at[req.slot].set(bos)
-                self._contexts = self._contexts.at[req.slot].set(0)
-                running[req.slot] = self._slots[req.slot]
+                slot = self._slots.get(req.slot)
+                if slot is None:
+                    continue
+                n0 = min(_TTS_RAMP[0], slot.remaining)
+                if n0 > 0 and not slot.cancelled:
+                    # FUSED prefill + first ramp chunk: one dispatch for the
+                    # prompt ingest AND the first audible frames (TTFA)
+                    audio_dev, eos_dev, emb, self._state, self._contexts = (
+                        self._tts.jit_prefill_and_first_chunk_slot(
+                            self.params, cfg, jnp.asarray(req.text_tokens),
+                            req.speaker_vec, self._state, self._contexts,
+                            n0, jnp.asarray(req.slot, jnp.int32),
+                        )
+                    )
+                    self._embeds = self._embeds.at[req.slot].set(emb)
+                    did_priority = True
+                    with self._work:
+                        self._deliver(req.slot, slot, np.asarray(audio_dev),
+                                      np.asarray(eos_dev), n0)
+                        self._work.notify_all()
+                else:
+                    bos, self._state = self._tts.jit_prefill_tts_slot(
+                        self.params, cfg, jnp.asarray(req.text_tokens), req.speaker_vec,
+                        self._state, jnp.asarray(req.slot, jnp.int32),
+                    )
+                    self._embeds = self._embeds.at[req.slot].set(bos)
+                    self._contexts = self._contexts.at[req.slot].set(0)
+                running[req.slot] = slot
 
             running = {sid: s for sid, s in running.items() if sid in self._slots}
-            if not running:
+            if not running and not did_priority:
                 continue
-            # chunk = min over active slots' ramp positions: a joining session
-            # gets its first audio after ONE frame, steady state runs full
-            n = min(
-                min(
-                    (_TTS_RAMP[s.chunks_done] if s.chunks_done < len(_TTS_RAMP)
-                     else self.chunk_frames)
-                    for s in running.values()
-                ),
-                min(s.remaining for s in running.values()),
-            )
-            active = np.zeros(self.n_slots, bool)
-            for sid in running:
-                active[sid] = True
+
+            # ── priority lane: slots still in the TTFA ramp decode their
+            # small chunks via single-slot dispatches (batch-1 cost) so a
+            # joining session's first audio neither waits for nor slows the
+            # steady batch
+            for sid, slot in list(running.items()):
+                if (slot.chunks_done >= len(_TTS_RAMP) or slot.cancelled
+                        or slot.eos_seen or slot.remaining <= 0):
+                    continue
+                n = min(_TTS_RAMP[slot.chunks_done], slot.remaining)
+                audio_dev, eos_dev, emb, self._state, ctx = (
+                    self._tts.jit_decode_chunk_audio_slot(
+                        self.params, cfg, self._embeds[sid], self._state,
+                        self._contexts[sid], n, jnp.asarray(sid, jnp.int32),
+                    )
+                )
+                self._embeds = self._embeds.at[sid].set(emb)
+                self._contexts = self._contexts.at[sid].set(ctx)
+                did_priority = True
+                with self._work:
+                    self._deliver(sid, slot, np.asarray(audio_dev),
+                                  np.asarray(eos_dev), n)
+                    self._work.notify_all()
+
+            # hold full-batch chunks back (bounded) while ramp work is in
+            # flight anywhere — same fairness policy as the LM scheduler
+            gate_busy = self.gate is not None and self.gate.busy()
+            # priority windows are short and self-limiting (first sentence /
+            # TTFA ramp), so while one is open ANYWHERE the steady lane
+            # yields longer than the local 2-iteration fairness cap
+            if (did_priority or gate_busy) and self._steady_skips < (6 if gate_busy else 2):
+                self._steady_skips += 1
+                continue
+            self._steady_skips = 0
+
+            # ── steady lane: ONE gathered chunk over every post-ramp slot,
+            # at the smallest width bucket
+            steady = {
+                sid: s for sid, s in self._running().items()
+                if s.chunks_done >= len(_TTS_RAMP)
+            }
+            if not steady:
+                continue
+            n = self.chunk_frames  # fixed: _deliver clamps per-slot tails
+            sids = sorted(steady)
+            slot_ids = jnp.asarray(self._bucket_ids(sids))
             audio_dev, eos_dev, self._embeds, self._state, self._contexts = (
-                self._tts.jit_decode_chunk_audio_multi(
+                self._tts.jit_decode_chunk_audio_gathered(
                     self.params, cfg, self._embeds, self._state, self._contexts,
-                    n, jnp.asarray(active),
+                    n, slot_ids,
                 )
             )
-            audio = np.asarray(audio_dev)  # (B, T')
-            eos = np.asarray(eos_dev)  # (n, B)
+            audio = np.asarray(audio_dev)  # (W, T')
+            eos = np.asarray(eos_dev)  # (n, W)
             with self._work:
-                for sid, slot in running.items():
-                    valid = n
-                    if eos[:, sid].any():
-                        valid = int(np.nonzero(eos[:, sid])[0][0])
-                        slot.eos_seen = True
-                    if valid > 0 and not slot.cancelled:
-                        n_samples = min(audio.shape[1], valid * cfg.upsample)
-                        slot.queue.put(audio[sid, :n_samples])
-                    slot.remaining -= max(valid, 1)
-                    slot.chunks_done += 1
-                    if slot.remaining <= 0 or slot.eos_seen or slot.cancelled:
-                        slot.queue.put(_DONE)
-                        slot.remaining = 0
+                for i, sid in enumerate(sids):
+                    self._deliver(sid, steady[sid], audio[i], eos[:, i], n)
                 self._work.notify_all()
+
+
+#: process-wide gate shared by the serving engines (the registry passes it
+#: to every scheduler so LM and TTS preempt each other's steady lanes)
+GLOBAL_PRIORITY_GATE = PriorityGate()

@@ -204,10 +204,13 @@ def _make_local_llm(config, ctx: HandlerContext):
 
                 p = quantize_tree(p)
             eos = tokenizer.eos_id if tokenizer is not None else 0
+            from s2s_tpu.parallel.session_scheduler import GLOBAL_PRIORITY_GATE
+
             engine = BatchedLMScheduler(
                 p, cfg, n_slots=config.batched_slots,
                 max_t=min(cfg.max_seq_len, 2048), eos_id=eos,
                 priority_tokens=getattr(config, "priority_tokens", 12),
+                gate=GLOBAL_PRIORITY_GATE,
             )
             return p, engine
 
@@ -291,12 +294,18 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
     if getattr(config, "batched_slots", 0) and config.batched_slots > 1:
         from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler
 
+        def _global_gate():
+            from s2s_tpu.parallel.session_scheduler import GLOBAL_PRIORITY_GATE
+
+            return GLOBAL_PRIORITY_GATE
+
         shared_tts = ctx.model_cache.get(
             ("qwen3_tts_batched", config.model_size, config.checkpoint, config.batched_slots),
             lambda: BatchedTTSScheduler(
                 model.params, cfg, n_slots=config.batched_slots,
                 max_t=min(cfg.lm.max_seq_len, 2048),
                 chunk_frames=config.streaming_chunk_size,
+                gate=_global_gate(),
             ),
         )
     speaker_vec = load_speaker_file(config.ref_spk) if config.ref_spk else None

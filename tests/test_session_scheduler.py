@@ -105,9 +105,13 @@ def test_more_sessions_than_slots_queue(lm):
 
 
 def test_per_session_cancellation(lm):
-    """Cancelling one session (barge-in) must not disturb the other."""
+    """Cancelling one session (barge-in) must not disturb the other.
+    priority_chunk pinned to chunk_tokens so this test asserts the steady
+    lane's abort granularity (the priority window has its own bound,
+    test_priority_window_abort_granularity)."""
     cfg, params = lm
-    sched = BatchedLMScheduler(params, cfg, n_slots=4, eos_id=0, chunk_tokens=2)
+    sched = BatchedLMScheduler(params, cfg, n_slots=4, eos_id=0, chunk_tokens=2,
+                               priority_chunk=2)
     cancel_after = 3
     seen: list[int] = []
 
@@ -283,5 +287,242 @@ def test_tts_scheduler_concurrent_sessions(tts):
         for i in range(2):
             assert len(results[i]) == len(wants[i])  # gap-free: exactly n*upsample
             np.testing.assert_allclose(results[i], wants[i], atol=2e-3)
+    finally:
+        sched.shutdown()
+
+
+# ── priority lanes (loaded-latency preemption, VERDICT-r2 item 2) ────────
+
+
+def test_priority_lane_matches_serial(lm):
+    """Tokens decoded through the priority lane (single-slot dispatches)
+    then the steady batch must equal the serial greedy decode exactly."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(
+        params, cfg, n_slots=2, eos_id=0, chunk_tokens=4,
+        priority_tokens=5, priority_chunk=2,
+    )
+    try:
+        got = list(sched.generate(PROMPTS[1], max_new=14))
+        want = serial_greedy(params, cfg, PROMPTS[1], 14, eos_id=0)
+        assert got == want
+    finally:
+        sched.shutdown()
+
+
+def test_priority_lane_uses_slot_dispatches(lm, monkeypatch):
+    """The first ``priority_tokens`` tokens go through the single-slot
+    program; the rest through the full-batch chunk."""
+    cfg, params = lm
+    from s2s_tpu.parallel import batched_decode as bd
+
+    calls = {"slot": 0, "steady": 0, "fused": 0}
+    real_slot, real_steady = bd.jit_decode_chunk_slot, bd.jit_decode_chunk_gathered
+    real_fused = bd.jit_prefill_and_chunk_slot
+
+    def spy_slot(*a, **k):
+        calls["slot"] += 1
+        return real_slot(*a, **k)
+
+    def spy_steady(*a, **k):
+        calls["steady"] += 1
+        return real_steady(*a, **k)
+
+    def spy_fused(*a, **k):
+        calls["fused"] += 1
+        return real_fused(*a, **k)
+
+    sched = BatchedLMScheduler(
+        params, cfg, n_slots=2, eos_id=0, chunk_tokens=4,
+        priority_tokens=4, priority_chunk=2,
+    )
+    monkeypatch.setattr(sched._bd, "jit_decode_chunk_slot", spy_slot)
+    monkeypatch.setattr(sched._bd, "jit_decode_chunk_gathered", spy_steady)
+    monkeypatch.setattr(sched._bd, "jit_prefill_and_chunk_slot", spy_fused)
+    try:
+        got = list(sched.generate(PROMPTS[2], max_new=10))
+        want = serial_greedy(params, cfg, PROMPTS[2], 10, eos_id=0)
+        assert got == want
+        assert calls["fused"] == 1  # prefill + first priority chunk, one dispatch
+        assert calls["slot"] >= 1  # remaining priority tokens
+        assert calls["steady"] >= 1  # remaining 6 tokens in the steady lane
+    finally:
+        sched.shutdown()
+
+
+def test_priority_concurrent_sessions_match_serial(lm):
+    """Priority + steady lanes interleaving across concurrent sessions must
+    not change any session's tokens."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(
+        params, cfg, n_slots=4, eos_id=0, chunk_tokens=4,
+        priority_tokens=6, priority_chunk=3,
+    )
+    results: dict[int, list[int]] = {}
+
+    def worker(i):
+        results[i] = list(sched.generate(PROMPTS[i], max_new=12))
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(PROMPTS))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, prompt in enumerate(PROMPTS):
+            assert results[i] == serial_greedy(params, cfg, prompt, 12, eos_id=0)
+    finally:
+        sched.shutdown()
+
+
+def test_priority_zero_disables_lane(lm, monkeypatch):
+    cfg, params = lm
+    from s2s_tpu.parallel import batched_decode as bd
+
+    calls = {"slot": 0}
+    real_slot = bd.jit_decode_chunk_slot
+
+    def spy_slot(*a, **k):
+        calls["slot"] += 1
+        return real_slot(*a, **k)
+
+    sched = BatchedLMScheduler(
+        params, cfg, n_slots=2, eos_id=0, chunk_tokens=4, priority_tokens=0,
+    )
+    monkeypatch.setattr(sched._bd, "jit_decode_chunk_slot", spy_slot)
+    try:
+        got = list(sched.generate(PROMPTS[0], max_new=8))
+        assert got == serial_greedy(params, cfg, PROMPTS[0], 8, eos_id=0)
+        assert calls["slot"] == 0
+    finally:
+        sched.shutdown()
+
+
+def test_decode_chunk_slot_leaves_other_rows_untouched(lm):
+    """The slot-sliced priority program must not disturb other slots'
+    caches or positions."""
+    cfg, params = lm
+    from s2s_tpu.parallel import batched_decode as bd
+
+    state = bd.init_multi_state(cfg, 3, max_t=cfg.max_seq_len)
+    # give row 2 a distinctive position
+    state = bd.MultiDecodeState(state.caches, state.pos.at[2].set(7))
+    before_k = np.asarray(state.caches.k[:, 2])
+    toks, emitted, tok, new_state = bd.decode_chunk_slot(
+        params, cfg, jnp.asarray(5, jnp.int32), state, 3, -1,
+        jnp.asarray(0, jnp.int32),
+    )
+    assert int(new_state.pos[0]) == 3
+    assert int(new_state.pos[2]) == 7
+    np.testing.assert_array_equal(np.asarray(new_state.caches.k[:, 2]), before_k)
+
+
+def test_priority_window_abort_granularity(lm):
+    """Inside the priority window, cancellation lands within one
+    priority_chunk (the window is pre-audio, so a coarser bound than the
+    steady lane's chunk_tokens is acceptable and saves dispatches)."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0, chunk_tokens=2,
+                               priority_tokens=8, priority_chunk=8)
+    seen: list[int] = []
+
+    def cancel_check():
+        return len(seen) >= 1
+
+    try:
+        out = []
+        for tok in sched.generate(PROMPTS[0], max_new=32, cancel_check=cancel_check):
+            out.append(tok)
+            seen.append(tok)
+        assert len(out) <= 1 + sched.priority_chunk
+        want = serial_greedy(params, cfg, PROMPTS[0], 32, eos_id=0)
+        assert out == want[: len(out)]
+    finally:
+        sched.shutdown()
+
+
+def test_gathered_width_bucket_with_padding_matches_serial(lm):
+    """3 sessions on an 8-slot scheduler run steady chunks at the W=4
+    gathered bucket with one duplicated pad id — tokens must still equal
+    serial decodes exactly (duplicates are benign by construction)."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(params, cfg, n_slots=8, eos_id=0, chunk_tokens=4,
+                               priority_tokens=2, priority_chunk=2)
+    results: dict[int, list[int]] = {}
+
+    def worker(i):
+        results[i] = list(sched.generate(PROMPTS[i], max_new=14))
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        for i in range(3):
+            assert results[i] == serial_greedy(params, cfg, PROMPTS[i], 14, eos_id=0)
+    finally:
+        sched.shutdown()
+
+
+def test_tts_gathered_width_bucket_matches_single(tts):
+    """2 TTS sessions on an 8-slot scheduler (W=2 bucket after padding
+    rules) must produce the same audio as single-session streams."""
+    qwen3_tts, cfg, params = tts
+    from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler
+
+    single = qwen3_tts.Qwen3TTS(params=params, cfg=cfg, chunk_frames=8, context_frames=12)
+    texts = ["gathered one", "gathered two"]
+    wants = [
+        np.concatenate([c for c, _ in single.stream(t, max_new_tokens=6, speaker_id=i)])
+        for i, t in enumerate(texts)
+    ]
+    sched = BatchedTTSScheduler(params, cfg, n_slots=8, max_t=128, context_frames=12)
+    results: dict[int, np.ndarray] = {}
+
+    def worker(i):
+        tokens, _ = single._encode_text(texts[i])
+        spk = params["speakers"][jnp.asarray([i])]
+        results[i] = np.concatenate([c for c, _ in sched.stream(np.asarray(tokens), spk, 6)])
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        for i in range(2):
+            assert len(results[i]) == len(wants[i])
+            np.testing.assert_allclose(results[i], wants[i], atol=2e-3)
+    finally:
+        sched.shutdown()
+
+
+def test_priority_gate_never_leaks(lm):
+    """The cross-scheduler preemption gate must be released when a
+    generation completes, is cancelled, or its consumer breaks early —
+    a leaked key would stall steady lanes forever."""
+    from s2s_tpu.parallel.session_scheduler import PriorityGate
+
+    cfg, params = lm
+    gate = PriorityGate()
+    sched = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0, chunk_tokens=4,
+                               priority_tokens=4, priority_chunk=2, gate=gate)
+    try:
+        # full consumption
+        toks = list(sched.generate(PROMPTS[0], max_new=10))
+        assert toks == serial_greedy(params, cfg, PROMPTS[0], 10, eos_id=0)
+        assert not gate.busy()
+        # early break mid-priority-window
+        gen = sched.generate(PROMPTS[1], max_new=10)
+        next(gen)
+        gen.close()
+        time.sleep(0.2)
+        assert not gate.busy()
+        # cancelled generation
+        out = list(sched.generate(PROMPTS[2], max_new=10,
+                                  cancel_check=lambda: True))
+        time.sleep(0.2)
+        assert not gate.busy()
     finally:
         sched.shutdown()
