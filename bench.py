@@ -285,17 +285,16 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
     )
 
     gate = PriorityGate()  # cross-scheduler preemption (shared)
-    # serving config is latency-biased: 4-token/4-frame steady chunks keep
-    # the device-queue quantum (the wait a probe dispatch can be stuck
-    # behind) at ~half the throughput-optimal 8 — the capacity headline
-    # above is measured separately at saturation
+    # steady chunks stay at the throughput-optimal 8: a 4-token/4-frame
+    # variant was measured at identical loaded p50 with worse p95 and
+    # ~10% less capacity (the queue quantum is not the binding term)
     lm_sched = BatchedLMScheduler(
         llm_params, llm_cfg, n_slots=n_bg + 1, max_t=256,
-        chunk_tokens=4, priority_tokens=FIRST_SENTENCE_TOKENS, gate=gate,
+        chunk_tokens=8, priority_tokens=FIRST_SENTENCE_TOKENS, gate=gate,
     )
     tts_sched = BatchedTTSScheduler(
         tts_obj.params, tts_cfg, n_slots=n_bg + 1, max_t=192,
-        context_frames=8, chunk_frames=4, gate=gate,
+        context_frames=8, chunk_frames=TTS_CHUNK_FRAMES, gate=gate,
     )
     tts_tokens, _ = tts_obj._encode_text(
         "This is a representative assistant reply used to benchmark synthesis.",
