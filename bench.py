@@ -21,10 +21,18 @@ RTFx = (input+output audio seconds x sessions) / compute seconds; target
 int8 stage times and the 8-slot aggregates are in ``detail``.
 
 voice_to_voice = speech-stop -> first audible chunk: STT final (2 s bucket)
-+ LLM first sentence (12 tokens) + TTS first streamed chunk (8 codec frames
-= 640 ms of audio), p50/p95 over 20 turns — the compute chain under the
-reference's "Last speech detected to first speech out" log minus
-endpointing grace (policy, not compute).
++ LLM first sentence (12 tokens) + TTS first streamed chunk, p50/p95 over
+20 turns — the compute chain under the reference's "Last speech detected
+to first speech out" log minus endpointing grace (policy, not compute).
+
+voice_to_voice_loaded = the same probe turn MEASURED through the real
+serving schedulers (priority lanes + fused prefill+first-chunk + gathered
+steady chunks + cross-scheduler preemption gate) while 15 background
+conversations run at the reference soak harness's cadence (a reply per
+10 s cycle) — the 16-session serving config.  Note this harness reaches
+the TPU through a remote tunnel (~50 ms per dispatch+sync, measured);
+the probe chain needs >=3 syncs, so the loaded numbers carry ~0.2-0.3 s
+of tunnel tax a locally-attached chip would not pay.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
