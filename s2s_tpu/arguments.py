@@ -38,6 +38,9 @@ class ModuleArgs:
     num_pipelines: int = 1
     log_level: str = "info"
     profile_dir: Optional[str] = None  # jax profiler trace output (TensorBoard)
+    #: compile every batched-engine program variant at startup (slower boot,
+    #: no multi-second cold-compile stall when the first sessions arrive)
+    warmup_engines: bool = False
 
 
 @dataclass
@@ -311,6 +314,7 @@ TPU_OPTIMAL_DEFAULTS = {
     "tts_batched_slots": 16,
     "tts_quantize": "int8",
     "vad_realtime_processing_pause": 0.5,
+    "warmup_engines": True,
 }
 
 

@@ -164,6 +164,19 @@ def build_pipeline(args: ParsedArguments, stop_event: threading.Event) -> tuple[
 
         all_handlers.append(ProfilerHandler(stop_event, args.module.profile_dir))
     all_handlers.append(server)
+    if getattr(args.module, "warmup_engines", False):
+        # compile every batched-engine program variant before serving (a
+        # cold compile when the first sessions arrive stalls them for tens
+        # of seconds); safe here: driver threads start on first use
+        from s2s_tpu.registry import GLOBAL_MODEL_CACHE as _cache
+
+        for value in list(_cache._models.values()):
+            engines = value if isinstance(value, tuple) else (value,)
+            for engine in engines:
+                warm = getattr(engine, "warmup", None)
+                if callable(warm):
+                    logger.info("Warming batched engine %s", type(engine).__name__)
+                    warm()
     manager = ThreadManager(all_handlers)
     return manager, server
 
