@@ -1,11 +1,14 @@
 /* Demo wiring: transport selection (WebSocket | WebRTC), session options,
- * text side-channel, and the chat UI (reference demo/main.js, trimmed —
- * no HF auth/metering/queueing in this build). */
+ * text side-channel, chat UI, talk-time metering (when served by
+ * demo/server.py with DEMO_LIMITS=1), and the client-executed web_search
+ * tool loop (reference demo/main.js). */
 
 import { ChatUI } from "./chat.js";
 import { WSClient } from "./ws-client.js";
 import { RTCClient } from "./rtc-client.js";
 import { Orb } from "./orb.js";
+import { Meter } from "./meter.js";
+import { WEB_SEARCH_TOOL, searchAvailable, handleToolCall } from "./tools.js";
 
 const statusEl = document.getElementById("status");
 const transcriptEl = document.getElementById("transcript");
@@ -16,6 +19,8 @@ const sendBtn = document.getElementById("send-text");
 
 const chat = new ChatUI(transcriptEl, statusEl, usageEl);
 const orb = new Orb(document.getElementById("orb"));
+const meter = new Meter(chat);
+meter.onExpired = () => stop();
 let client = null;
 
 /* mic device picker: populated once permission is granted (labels are
@@ -44,9 +49,14 @@ async function start() {
   const instructions = document.getElementById("instructions").value || undefined;
   const voice = document.getElementById("voice").value || undefined;
   const micDeviceId = document.getElementById("mic").value || undefined;
+  if (!(await meter.acquire())) return; // denied: status line explains why
+  const tools = (await searchAvailable()) ? [WEB_SEARCH_TOOL] : undefined;
   client = transport === "webrtc" ? new RTCClient(chat, orb) : new WSClient(chat, orb);
   chat.status(`connecting (${transport})…`);
-  await client.start(url, { instructions, voice, micDeviceId });
+  await client.start(url, {
+    instructions, voice, micDeviceId, tools,
+    onToolCall: (evt, c) => handleToolCall(evt, c, chat),
+  });
   populateMics(); // labels become visible after permission
   startBtn.textContent = "Stop";
   startBtn.classList.add("stop");
@@ -71,6 +81,7 @@ bindVadSlider("vad-silence", "vad-silence-val", (v) => `${v} ms`,
   (v) => ({ type: "server_vad", silence_duration_ms: v }));
 
 function stop() {
+  meter.release();
   client?.stop();
   client = null;
   startBtn.textContent = "Start";

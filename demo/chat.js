@@ -171,6 +171,7 @@ export function routeServerEvent(evt, chat, hooks = {}) {
       break;
     case "response.function_call_arguments.done":
       chat.toolCall(evt.name ?? "tool", evt.arguments ?? "");
+      if (hooks.onToolCall) hooks.onToolCall(evt); // client-executed tools (web_search)
       break;
     case "response.done":
       chat.responseDone(evt.response);

@@ -32,7 +32,8 @@ export class RTCClient {
     this._analysers.push({ timer, ctx });
   }
 
-  async start(callsUrl, { instructions, voice, micDeviceId } = {}) {
+  async start(callsUrl, { instructions, voice, micDeviceId, tools, onToolCall } = {}) {
+    this._opts = { instructions, voice, tools, onToolCall };
     this.pc = new RTCPeerConnection();
     const audio = { channelCount: 1, echoCancellation: true, noiseSuppression: true };
     if (micDeviceId) audio.deviceId = { exact: micDeviceId };
@@ -59,11 +60,15 @@ export class RTCClient {
     }
 
     this.channel = this.pc.createDataChannel("oai-events", { ordered: true });
-    this.channel.onmessage = (m) => routeServerEvent(JSON.parse(m.data), this.chat, {});
+    this.channel.onmessage = (m) =>
+      routeServerEvent(JSON.parse(m.data), this.chat, {
+        onToolCall: (evt) => this._opts?.onToolCall?.(evt, this),
+      });
     this.channel.onopen = () => {
       const session = { type: "realtime" };
       if (instructions) session.instructions = instructions;
       if (voice) session.audio = { output: { voice } };
+      if (tools?.length) session.tools = tools;
       this.channel.send(JSON.stringify({ type: "session.update", session }));
     };
 
@@ -90,6 +95,12 @@ export class RTCClient {
   updateSession(session) {
     if (this.channel?.readyState !== "open") return;
     this.channel.send(JSON.stringify({ type: "session.update", session }));
+  }
+
+  sendEvent(evt) {
+    /* raw client->server event (tool outputs, follow-up response.create) */
+    if (this.channel?.readyState !== "open") return;
+    this.channel.send(JSON.stringify(evt));
   }
 
   sendText(text) {

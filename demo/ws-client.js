@@ -51,6 +51,7 @@ export class WSClient {
           this.orb?.setAssistantLevel(rmsLevel(pcm));
           this.playbackNode?.port.postMessage({ pcm, rate: RATE });
         },
+        onToolCall: (evt) => this._opts?.onToolCall?.(evt, this),
       });
     this.ws.onclose = () => this._scheduleReconnect();
     return new Promise((ok, bad) => {
@@ -78,9 +79,9 @@ export class WSClient {
     }, delay);
   }
 
-  async start(url, { instructions, voice, micDeviceId } = {}) {
+  async start(url, { instructions, voice, micDeviceId, tools, onToolCall } = {}) {
     this._url = url;
-    this._opts = { instructions, voice, micDeviceId };
+    this._opts = { instructions, voice, micDeviceId, tools, onToolCall };
     await this._connect(url);
 
     this.audioCtx = new AudioContext();
@@ -111,8 +112,14 @@ export class WSClient {
     this._sendSessionUpdate();
   }
 
+  sendEvent(evt) {
+    /* raw client->server event (tool outputs, follow-up response.create) */
+    if (this.ws?.readyState !== WebSocket.OPEN) return;
+    this.ws.send(JSON.stringify(evt));
+  }
+
   _sendSessionUpdate() {
-    const { instructions, voice } = this._opts ?? {};
+    const { instructions, voice, tools } = this._opts ?? {};
     const session = {
       type: "realtime",
       audio: {
@@ -125,6 +132,7 @@ export class WSClient {
     };
     if (instructions) session.instructions = instructions;
     if (voice) session.audio.output.voice = voice;
+    if (tools?.length) session.tools = tools;
     if (this.ws?.readyState === WebSocket.OPEN)
       this.ws.send(JSON.stringify({ type: "session.update", session }));
   }
