@@ -15,9 +15,25 @@ would wait ~280 ms for 12 tokens.  Each generation's first
 ``priority_tokens`` tokens (and, for TTS, the TTFA ramp chunks) therefore
 run in a PRIORITY LANE: single-slot dispatches over the slot's sliced
 cache row (:func:`batched_decode.decode_chunk_slot`), interleaved ahead of
-the full-batch steady chunks, which are held back for up to 2 iterations
-while priority work is in flight.  Steady-state throughput still comes
-from the fused full-batch chunks.
+the full-batch steady chunks, which are held back while priority work is
+in flight.  Steady-state throughput still comes from the fused full-batch
+chunks.
+
+DISPATCH / COMPLETION SPLIT (the second loaded-latency lever): the driver
+thread only *dispatches* device programs — per-chunk host fetches run on a
+separate completion thread.  JAX dispatch is asynchronous; the host block
+is in ``np.asarray``.  A driver that fetches inline is deaf for the whole
+chunk (compute + host round-trip — ~0.25 s for a 16-slot steady chunk over
+the axon tunnel), so a new turn arriving mid-chunk waited out the fetch
+before its latency-critical prefill could even be dispatched.  With the
+split, the prefill enters the device queue within ~1 ms of arrival, right
+behind the in-flight chunk, and result round-trips overlap later compute.
+Bookkeeping moves with it: slot budgets (``remaining`` /
+``priority_remaining`` / TTS ramp index) are debited at DISPATCH time by
+the driver; the completion thread only pushes fetched tokens/audio,
+handles eos, and closes out gate keys.  At most one chunk is in flight per
+slot (and one steady chunk per scheduler), so per-slot delivery order and
+the cancellation window are unchanged.
 
 Equivalence with independent single-session decodes is pinned by
 ``tests/test_batched_decode.py`` (step level) and
@@ -80,10 +96,14 @@ class _Slot:
     gate_key: object = None
     #: tokens left in the priority lane (first-sentence latency window):
     #: while > 0 this slot decodes via single-slot dispatches interleaved
-    #: ahead of the full-batch chunks
+    #: ahead of the full-batch chunks.  Debited at DISPATCH time.
     priority_remaining: int = 0
+    #: a chunk for this slot is dispatched but not yet delivered; the
+    #: driver never double-dispatches an in-flight slot
+    inflight: bool = False
     cancelled: bool = False
     eos_seen: bool = False
+    done_sent: bool = False
 
 
 @dataclass
@@ -98,8 +118,9 @@ class BatchedLMScheduler:
 
     ``generate()`` claims a slot (blocking while all are busy), prefills it,
     and yields token ids as the shared driver emits them.  All device work —
-    per-slot prefills and the fused multi-slot decode chunks — runs on one
-    driver thread so the donated batched state has a single owner.
+    per-slot prefills and the fused multi-slot decode chunks — is dispatched
+    from one driver thread so the donated batched state has a single owner;
+    host fetches + delivery run on the completion thread.
     """
 
     def __init__(
@@ -150,6 +171,11 @@ class BatchedLMScheduler:
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._driver: threading.Thread | None = None
+        self._fetcher: threading.Thread | None = None
+        #: completion pipeline: (kind, payload) records in dispatch order;
+        #: None is the shutdown sentinel
+        self._completions: "Queue[Optional[tuple]]" = Queue()
+        self._steady_inflight = False
         self._stop = False
         self._steady_skips = 0
         #: steady-lane gathered-batch width buckets: a chunk is dispatched
@@ -199,6 +225,8 @@ class BatchedLMScheduler:
         call from any number of threads; each caller occupies one slot."""
         from s2s_tpu.utils.common import next_power_of_2
 
+        if max_new <= 0:
+            return
         bucket = bucket or min(next_power_of_2(max(len(prompt_ids), 16)), self._max_t)
         padded = np.zeros((1, bucket), np.int32)
         padded[0, : len(prompt_ids)] = prompt_ids[:bucket]
@@ -212,7 +240,7 @@ class BatchedLMScheduler:
                     slot.gate_key = object()
                     self.gate.enter(slot.gate_key)
                 self._prefills.append(_PrefillRequest(slot_id, padded, len(prompt_ids)))
-                self._ensure_driver()
+                self._ensure_threads()
                 self._work.notify_all()
             while True:
                 if cancel_check is not None and cancel_check():
@@ -250,59 +278,106 @@ class BatchedLMScheduler:
         if slot_id not in self._free:
             self._free.append(slot_id)
 
-    def _ensure_driver(self) -> None:
+    def _ensure_threads(self) -> None:
         if self._driver is None or not self._driver.is_alive():
             self._stop = False
             self._driver = threading.Thread(target=self._drive, daemon=True, name="lm-batch-driver")
             self._driver.start()
+        if self._fetcher is None or not self._fetcher.is_alive():
+            self._fetcher = threading.Thread(target=self._fetch, daemon=True, name="lm-batch-fetcher")
+            self._fetcher.start()
 
     def shutdown(self) -> None:
         with self._work:
             self._stop = True
             self._work.notify_all()
+        self._completions.put(None)
         if self._driver is not None:
             self._driver.join(timeout=5)
+        if self._fetcher is not None:
+            self._fetcher.join(timeout=5)
 
-    # ── driver ───────────────────────────────────────────────────────
+    # ── completion thread ────────────────────────────────────────────
 
-    def _running_slots(self) -> dict[int, _Slot]:
-        return {
-            sid: s for sid, s in self._slots.items()
-            if s.remaining > 0 and not s.cancelled and not s.eos_seen
-        }
+    def _finish(self, sid: int, slot: _Slot) -> None:
+        """Close out a slot whose budget is spent / eos'd / cancelled;
+        caller holds ``self._work``."""
+        if not slot.done_sent and (
+            slot.remaining <= 0 or slot.eos_seen or slot.cancelled
+        ) and not slot.inflight:
+            slot.queue.put(_DONE)
+            slot.done_sent = True
+            slot.remaining = 0
+            slot.priority_remaining = 0
+        if (slot.priority_remaining <= 0 and self.gate is not None
+                and slot.gate_key is not None and not slot.inflight):
+            self.gate.exit(slot.gate_key)
+            slot.gate_key = None
 
-    def _deliver(self, sid: int, slot: _Slot, toks: np.ndarray, emitted: np.ndarray) -> None:
-        """Push one chunk's tokens (1-D views for slot ``sid``) to its
-        session queue; caller holds ``self._work``."""
+    def _deliver(self, sid: int, slot: _Slot, toks: np.ndarray, emitted: np.ndarray,
+                 cap: int) -> None:
+        """Push one fetched chunk's tokens (1-D views for slot ``sid``) to
+        its session queue; caller holds ``self._work``.  ``cap`` is the
+        slot's pre-dispatch ``remaining`` — tokens past it were computed
+        but never owed."""
+        pushed = 0
         for step in range(len(toks)):
-            if not emitted[step] or slot.remaining <= 0:
+            if not emitted[step] or pushed >= cap:
                 break
             tok = int(toks[step])
-            slot.priority_remaining = max(0, slot.priority_remaining - 1)
             if tok == self.eos_id:
                 slot.eos_seen = True
                 break
             if not slot.cancelled:
                 slot.queue.put(tok)
-            slot.remaining -= 1
-        if slot.remaining <= 0 or slot.eos_seen or slot.cancelled:
-            slot.queue.put(_DONE)
-            slot.remaining = 0
-            slot.priority_remaining = 0
-        if (slot.priority_remaining <= 0 and self.gate is not None
-                and slot.gate_key is not None):
-            self.gate.exit(slot.gate_key)
-            slot.gate_key = None
+            pushed += 1
+        slot.inflight = False
+        self._finish(sid, slot)
+
+    def _fetch(self) -> None:
+        """Completion loop: host-fetch dispatched chunks in order and
+        deliver their tokens.  Runs off the driver thread so dispatch
+        latency never includes a host round-trip.  A steady chunk is ONE
+        record — its (n, W) arrays are fetched once and sliced host-side
+        (per-column device fetches would each pay a host round-trip)."""
+        while True:
+            item = self._completions.get()
+            if item is None:
+                return
+            if item[0] == "slot":
+                _, sid, slot, toks_dev, emitted_dev, cap = item
+                toks = np.asarray(toks_dev)  # blocks: device compute + transfer
+                emitted = np.asarray(emitted_dev)
+                with self._work:
+                    self._deliver(sid, slot, toks, emitted, cap)
+                    self._work.notify_all()
+            else:  # "steady"
+                _, members, toks_dev, emitted_dev = item
+                toks = np.asarray(toks_dev)  # (n, W), one fetch
+                emitted = np.asarray(emitted_dev)
+                with self._work:
+                    self._steady_inflight = False
+                    for i, (sid, slot, cap) in enumerate(members):
+                        self._deliver(sid, slot, toks[:, i], emitted[:, i], cap)
+                    self._work.notify_all()
 
     def _sweep_cancelled(self) -> None:
         """Deliver _DONE to slots cancelled between dispatches (otherwise a
         consumer that cancelled right after its last delivery would poll
-        forever); caller holds ``self._work``."""
-        for slot in self._slots.values():
-            if slot.cancelled and slot.remaining > 0:
-                slot.queue.put(_DONE)
-                slot.remaining = 0
-                slot.priority_remaining = 0
+        forever); caller holds ``self._work``.  In-flight slots close out
+        on their completion instead."""
+        for sid, slot in list(self._slots.items()):
+            if slot.cancelled and not slot.inflight and not slot.done_sent:
+                self._finish(sid, slot)
+
+    # ── driver (dispatch-only) ───────────────────────────────────────
+
+    def _dispatchable(self) -> dict[int, _Slot]:
+        return {
+            sid: s for sid, s in self._slots.items()
+            if s.remaining > 0 and not s.cancelled and not s.eos_seen
+            and not s.inflight
+        }
 
     def _drive(self) -> None:
         import jax.numpy as jnp
@@ -310,21 +385,33 @@ class BatchedLMScheduler:
         while True:
             with self._work:
                 self._sweep_cancelled()
-                while not self._stop and not self._prefills and not self._running_slots():
+                while not self._stop and not self._prefills and not self._dispatchable():
                     self._work.wait(timeout=0.5)
                     self._sweep_cancelled()
                 if self._stop:
                     return
                 prefills, self._prefills = self._prefills, []
-                running = self._running_slots()
+                running = self._dispatchable()
 
             did_priority = False
             for req in prefills:
-                slot = self._slots.get(req.slot)
+                with self._work:
+                    slot = self._slots.get(req.slot)
+                    if slot is None:
+                        continue
+                    n_prio = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
+                    cap = slot.remaining
+                    # decide the branch INSIDE the lock: a cancellation landing
+                    # after the debit must not divert us from enqueueing the
+                    # completion record that clears ``inflight``
+                    fused = n_prio > 0 and not slot.cancelled
+                    if fused:
+                        slot.inflight = True
+                        slot.priority_remaining -= n_prio
+                        slot.remaining = max(0, slot.remaining - n_prio)
                 if slot is None:
                     continue
-                n_prio = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
-                if n_prio > 0 and not slot.cancelled:
+                if fused:
                     # FUSED prefill + first priority chunk: one dispatch for
                     # prompt ingest AND the first-sentence tokens
                     toks_dev, emitted_dev, tok, self._state = (
@@ -336,10 +423,9 @@ class BatchedLMScheduler:
                     )
                     self._tokens = self._tokens.at[req.slot].set(tok)
                     did_priority = True
-                    with self._work:
-                        self._deliver(req.slot, slot,
-                                      np.asarray(toks_dev), np.asarray(emitted_dev))
-                        self._work.notify_all()
+                    self._completions.put(
+                        ("slot", req.slot, slot, toks_dev, emitted_dev, cap)
+                    )
                 else:
                     token, self._state = self._bd.jit_prefill_slot(
                         self.params, self.cfg, jnp.asarray(req.tokens),
@@ -347,52 +433,67 @@ class BatchedLMScheduler:
                         jnp.asarray(req.slot, jnp.int32),
                     )
                     self._tokens = self._tokens.at[req.slot].set(token)
-                running[req.slot] = slot
-
-            running = {sid: s for sid, s in running.items() if sid in self._slots}
-            if not running and not did_priority:
-                continue
+                    running[req.slot] = slot
 
             # ── priority lane: remaining priority-window tokens decode via
             # single-slot dispatches (batch-1 cost) ahead of the steady
             # batched chunk
+            with self._work:
+                running = {sid: s for sid, s in running.items() if sid in self._slots}
             for sid, slot in list(running.items()):
-                if slot.priority_remaining <= 0 or slot.cancelled or slot.eos_seen:
-                    continue
-                n = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
-                if n <= 0:
-                    continue
+                with self._work:
+                    if (slot.priority_remaining <= 0 or slot.cancelled
+                            or slot.eos_seen or slot.inflight):
+                        continue
+                    n = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
+                    if n <= 0:
+                        continue
+                    cap = slot.remaining
+                    slot.inflight = True
+                    slot.priority_remaining -= n
+                    slot.remaining = max(0, slot.remaining - n)
                 toks_dev, emitted_dev, tok, self._state = self._bd.jit_decode_chunk_slot(
                     self.params, self.cfg, self._tokens[sid], self._state,
                     n, self.eos_id, jnp.asarray(sid, jnp.int32),
                 )
                 self._tokens = self._tokens.at[sid].set(tok)
                 did_priority = True
-                with self._work:
-                    self._deliver(sid, slot, np.asarray(toks_dev), np.asarray(emitted_dev))
-                    self._work.notify_all()
+                self._completions.put(("slot", sid, slot, toks_dev, emitted_dev, cap))
 
-            # while priority work is in flight, hold the (priority-window-
-            # sized) full-batch chunks back for up to 2 iterations so a
-            # probe turn's next dispatch isn't sandwiched between them;
-            # the cap bounds steady-lane stall
+            # while priority work is in flight, hold the full-batch chunks
+            # back for a bounded number of passes so a probe turn's next
+            # dispatch isn't sandwiched between them
             gate_busy = self.gate is not None and self.gate.busy()
             # priority windows are short and self-limiting (first sentence /
             # TTFA ramp), so while one is open ANYWHERE the steady lane
-            # yields longer than the local 2-iteration fairness cap
+            # yields longer than the local 2-pass fairness cap
             if (did_priority or gate_busy) and self._steady_skips < (6 if gate_busy else 2):
                 self._steady_skips += 1
                 continue
             self._steady_skips = 0
 
-            # ── steady lane: ONE gathered chunk over every running slot
-            # past its priority window, at the smallest width bucket
-            steady = {
-                sid: s for sid, s in self._running_slots().items()
-                if s.priority_remaining <= 0
-            }
-            if not steady:
-                continue
+            # ── steady lane: ONE gathered chunk over every dispatchable slot
+            # past its priority window, at the smallest width bucket; at most
+            # one steady chunk in flight (the device queue must stay shallow
+            # for latency-critical dispatches)
+            with self._work:
+                if self._steady_inflight:
+                    # a steady chunk is already on the device and every other
+                    # lane is drained: block until a completion or new work
+                    # lands (spinning would burn the core the fetcher needs)
+                    self._work.wait(timeout=0.05)
+                    continue
+                steady = {
+                    sid: s for sid, s in self._dispatchable().items()
+                    if s.priority_remaining <= 0
+                }
+                if not steady:
+                    continue
+                caps = {sid: s.remaining for sid, s in steady.items()}
+                for s in steady.values():
+                    s.inflight = True
+                    s.remaining = max(0, s.remaining - self.chunk_tokens)
+                self._steady_inflight = True
             sids = sorted(steady)
             slot_ids = jnp.asarray(self._bucket_ids(sids))
             toks_dev, emitted_dev, tok_out, self._state = self._bd.jit_decode_chunk_gathered(
@@ -400,12 +501,10 @@ class BatchedLMScheduler:
                 self.chunk_tokens, self.eos_id, slot_ids,
             )
             self._tokens = self._tokens.at[slot_ids].set(tok_out)
-            toks = np.asarray(toks_dev)  # (n, W)
-            emitted = np.asarray(emitted_dev)
-            with self._work:
-                for i, sid in enumerate(sids):
-                    self._deliver(sid, steady[sid], toks[:, i], emitted[:, i])
-                self._work.notify_all()
+            self._completions.put(
+                ("steady", [(sid, steady[sid], caps[sid]) for sid in sids],
+                 toks_dev, emitted_dev)
+            )
 
 
 @dataclass
@@ -413,9 +512,13 @@ class _TTSSlot:
     queue: "Queue[object]" = field(default_factory=Queue)
     remaining: int = 0
     gate_key: object = None
+    #: ramp chunks dispatched so far (advanced at DISPATCH time — selects
+    #: the next ramp size and the lane)
     chunks_done: int = 0
+    inflight: bool = False
     cancelled: bool = False
     eos_seen: bool = False
+    done_sent: bool = False
 
 
 @dataclass
@@ -429,9 +532,9 @@ class _TTSPrefill:
 class BatchedTTSScheduler:
     """Slot-based batched Qwen3-TTS serving: N sessions' codec-frame decode
     (talker + MTP code predictor) and vocoding run as ONE fused program per
-    chunk, sharing a single weight set.  Mirrors :class:`BatchedLMScheduler`;
-    equivalence with single-session streams is pinned by
-    ``tests/test_session_scheduler.py``."""
+    chunk, sharing a single weight set.  Mirrors :class:`BatchedLMScheduler`
+    (including the dispatch/completion split); equivalence with
+    single-session streams is pinned by ``tests/test_session_scheduler.py``."""
 
     def __init__(
         self,
@@ -467,6 +570,9 @@ class BatchedTTSScheduler:
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._driver: threading.Thread | None = None
+        self._fetcher: threading.Thread | None = None
+        self._completions: "Queue[Optional[tuple]]" = Queue()
+        self._steady_inflight = False
         self._stop = False
         self._steady_skips = 0
         self._width_buckets = sorted({min(w, n_slots) for w in (4, 8, 16, n_slots)})
@@ -514,6 +620,8 @@ class BatchedTTSScheduler:
         utterance; shares the dispatch stream with every other session."""
         from s2s_tpu.models.qwen3_tts import SAMPLE_RATE
 
+        if max_frames <= 0:
+            return
         slot_id, slot = self._claim()
         try:
             with self._work:
@@ -524,7 +632,7 @@ class BatchedTTSScheduler:
                 self._prefills.append(
                     _TTSPrefill(slot_id, np.asarray(text_tokens), speaker_vec, max_frames)
                 )
-                self._ensure_driver()
+                self._ensure_threads()
                 self._work.notify_all()
             while True:
                 if cancel_check is not None and cancel_check():
@@ -562,60 +670,99 @@ class BatchedTTSScheduler:
         if slot_id not in self._free:
             self._free.append(slot_id)
 
-    def _ensure_driver(self) -> None:
+    def _ensure_threads(self) -> None:
         if self._driver is None or not self._driver.is_alive():
             self._stop = False
             self._driver = threading.Thread(target=self._drive, daemon=True, name="tts-batch-driver")
             self._driver.start()
+        if self._fetcher is None or not self._fetcher.is_alive():
+            self._fetcher = threading.Thread(target=self._fetch, daemon=True, name="tts-batch-fetcher")
+            self._fetcher.start()
 
     def shutdown(self) -> None:
         with self._work:
             self._stop = True
             self._work.notify_all()
+        self._completions.put(None)
         if self._driver is not None:
             self._driver.join(timeout=5)
+        if self._fetcher is not None:
+            self._fetcher.join(timeout=5)
 
-    def _running(self) -> dict[int, _TTSSlot]:
+    def _dispatchable(self) -> dict[int, _TTSSlot]:
         return {
             sid: s for sid, s in self._slots.items()
             if s.remaining > 0 and not s.cancelled and not s.eos_seen
+            and not s.inflight
         }
 
-    # ── driver ───────────────────────────────────────────────────────
+    # ── completion thread ────────────────────────────────────────────
+
+    def _finish(self, sid: int, slot: _TTSSlot) -> None:
+        """Close out a finished/cancelled slot; caller holds ``self._work``."""
+        if not slot.done_sent and (
+            slot.remaining <= 0 or slot.eos_seen or slot.cancelled
+        ) and not slot.inflight:
+            slot.queue.put(_DONE)
+            slot.done_sent = True
+            slot.remaining = 0
+        if (slot.chunks_done >= len(_TTS_RAMP) and self.gate is not None
+                and slot.gate_key is not None and not slot.inflight):
+            self.gate.exit(slot.gate_key)
+            slot.gate_key = None
 
     def _deliver(self, sid: int, slot: _TTSSlot, audio_row: np.ndarray,
-                 eos_col: np.ndarray, n: int) -> None:
-        """Push one chunk's audio for slot ``sid``; caller holds ``self._work``.
-        ``valid`` clamps to the slot's remaining budget: steady chunks run
-        at a fixed ``chunk_frames`` regardless of per-slot tails (one
-        compiled variant per width bucket; a short tail wastes a few
-        frames of compute on an abandoned row instead of dragging every
+                 eos_col: np.ndarray, n: int, cap: int) -> None:
+        """Push one fetched chunk's audio for slot ``sid``; caller holds
+        ``self._work``.  ``cap`` is the slot's pre-dispatch ``remaining``:
+        steady chunks run at a fixed ``chunk_frames`` regardless of per-slot
+        tails (one compiled variant per width bucket; a short tail wastes a
+        few frames of compute on an abandoned row instead of dragging every
         other slot to its chunk size)."""
         valid = n
         if eos_col.any():
             valid = int(np.nonzero(eos_col)[0][0])
             slot.eos_seen = True
-        valid = min(valid, slot.remaining)
+            slot.remaining = 0
+        valid = min(valid, cap)
         if valid > 0 and not slot.cancelled:
             n_samples = min(len(audio_row), valid * self.cfg.upsample)
             slot.queue.put(audio_row[:n_samples])
-        slot.remaining -= max(valid, 1)
-        slot.chunks_done += 1
-        if slot.remaining <= 0 or slot.eos_seen or slot.cancelled:
-            slot.queue.put(_DONE)
-            slot.remaining = 0
-        if (slot.chunks_done >= len(_TTS_RAMP) and self.gate is not None
-                and slot.gate_key is not None):
-            self.gate.exit(slot.gate_key)
-            slot.gate_key = None
+        slot.inflight = False
+        self._finish(sid, slot)
+
+    def _fetch(self) -> None:
+        """Completion loop (mirrors the LM scheduler's: one fetch per
+        dispatch, steady chunks fetched whole and sliced host-side)."""
+        while True:
+            item = self._completions.get()
+            if item is None:
+                return
+            if item[0] == "slot":
+                _, sid, slot, audio_dev, eos_dev, n, cap = item
+                audio = np.asarray(audio_dev)
+                eos = np.asarray(eos_dev)
+                with self._work:
+                    self._deliver(sid, slot, audio, eos, n, cap)
+                    self._work.notify_all()
+            else:  # "steady"
+                _, members, n, audio_dev, eos_dev = item
+                audio = np.asarray(audio_dev)  # (W, T'), one fetch
+                eos = np.asarray(eos_dev)  # (n, W)
+                with self._work:
+                    self._steady_inflight = False
+                    for i, (sid, slot, cap) in enumerate(members):
+                        self._deliver(sid, slot, audio[i], eos[:, i], n, cap)
+                    self._work.notify_all()
 
     def _sweep_cancelled(self) -> None:
         """Deliver _DONE to slots cancelled between dispatches; caller holds
         ``self._work`` (same rationale as the LM scheduler's sweep)."""
-        for slot in self._slots.values():
-            if slot.cancelled and slot.remaining > 0:
-                slot.queue.put(_DONE)
-                slot.remaining = 0
+        for sid, slot in list(self._slots.items()):
+            if slot.cancelled and not slot.inflight and not slot.done_sent:
+                self._finish(sid, slot)
+
+    # ── driver (dispatch-only) ───────────────────────────────────────
 
     def _drive(self) -> None:
         import jax.numpy as jnp
@@ -624,21 +771,33 @@ class BatchedTTSScheduler:
         while True:
             with self._work:
                 self._sweep_cancelled()
-                while not self._stop and not self._prefills and not self._running():
+                while not self._stop and not self._prefills and not self._dispatchable():
                     self._work.wait(timeout=0.5)
                     self._sweep_cancelled()
                 if self._stop:
                     return
                 prefills, self._prefills = self._prefills, []
-                running = self._running()
+                running = self._dispatchable()
 
             did_priority = False
             for req in prefills:
-                slot = self._slots.get(req.slot)
+                with self._work:
+                    slot = self._slots.get(req.slot)
+                    if slot is None:
+                        continue
+                    n0 = min(_TTS_RAMP[0], slot.remaining)
+                    cap = slot.remaining
+                    # branch decision inside the lock (see LM driver): the
+                    # completion record that clears ``inflight`` must be
+                    # enqueued iff the slot was debited
+                    fused = n0 > 0 and not slot.cancelled
+                    if fused:
+                        slot.inflight = True
+                        slot.chunks_done = 1
+                        slot.remaining = max(0, slot.remaining - n0)
                 if slot is None:
                     continue
-                n0 = min(_TTS_RAMP[0], slot.remaining)
-                if n0 > 0 and not slot.cancelled:
+                if fused:
                     # FUSED prefill + first ramp chunk: one dispatch for the
                     # prompt ingest AND the first audible frames (TTFA)
                     audio_dev, eos_dev, emb, self._state, self._contexts = (
@@ -650,10 +809,9 @@ class BatchedTTSScheduler:
                     )
                     self._embeds = self._embeds.at[req.slot].set(emb)
                     did_priority = True
-                    with self._work:
-                        self._deliver(req.slot, slot, np.asarray(audio_dev),
-                                      np.asarray(eos_dev), n0)
-                        self._work.notify_all()
+                    self._completions.put(
+                        ("slot", req.slot, slot, audio_dev, eos_dev, n0, cap)
+                    )
                 else:
                     bos, self._state = self._tts.jit_prefill_tts_slot(
                         self.params, cfg, jnp.asarray(req.text_tokens), req.speaker_vec,
@@ -661,21 +819,24 @@ class BatchedTTSScheduler:
                     )
                     self._embeds = self._embeds.at[req.slot].set(bos)
                     self._contexts = self._contexts.at[req.slot].set(0)
-                running[req.slot] = slot
-
-            running = {sid: s for sid, s in running.items() if sid in self._slots}
-            if not running and not did_priority:
-                continue
+                    running[req.slot] = slot
 
             # ── priority lane: slots still in the TTFA ramp decode their
             # small chunks via single-slot dispatches (batch-1 cost) so a
             # joining session's first audio neither waits for nor slows the
             # steady batch
+            with self._work:
+                running = {sid: s for sid, s in running.items() if sid in self._slots}
             for sid, slot in list(running.items()):
-                if (slot.chunks_done >= len(_TTS_RAMP) or slot.cancelled
-                        or slot.eos_seen or slot.remaining <= 0):
-                    continue
-                n = min(_TTS_RAMP[slot.chunks_done], slot.remaining)
+                with self._work:
+                    if (slot.chunks_done >= len(_TTS_RAMP) or slot.cancelled
+                            or slot.eos_seen or slot.inflight or slot.remaining <= 0):
+                        continue
+                    n = min(_TTS_RAMP[slot.chunks_done], slot.remaining)
+                    cap = slot.remaining
+                    slot.inflight = True
+                    slot.chunks_done += 1
+                    slot.remaining = max(0, slot.remaining - n)
                 audio_dev, eos_dev, emb, self._state, ctx = (
                     self._tts.jit_decode_chunk_audio_slot(
                         self.params, cfg, self._embeds[sid], self._state,
@@ -685,31 +846,40 @@ class BatchedTTSScheduler:
                 self._embeds = self._embeds.at[sid].set(emb)
                 self._contexts = self._contexts.at[sid].set(ctx)
                 did_priority = True
-                with self._work:
-                    self._deliver(sid, slot, np.asarray(audio_dev),
-                                  np.asarray(eos_dev), n)
-                    self._work.notify_all()
+                self._completions.put(("slot", sid, slot, audio_dev, eos_dev, n, cap))
 
             # hold full-batch chunks back (bounded) while ramp work is in
             # flight anywhere — same fairness policy as the LM scheduler
             gate_busy = self.gate is not None and self.gate.busy()
             # priority windows are short and self-limiting (first sentence /
             # TTFA ramp), so while one is open ANYWHERE the steady lane
-            # yields longer than the local 2-iteration fairness cap
+            # yields longer than the local 2-pass fairness cap
             if (did_priority or gate_busy) and self._steady_skips < (6 if gate_busy else 2):
                 self._steady_skips += 1
                 continue
             self._steady_skips = 0
 
             # ── steady lane: ONE gathered chunk over every post-ramp slot,
-            # at the smallest width bucket
-            steady = {
-                sid: s for sid, s in self._running().items()
-                if s.chunks_done >= len(_TTS_RAMP)
-            }
-            if not steady:
-                continue
-            n = self.chunk_frames  # fixed: _deliver clamps per-slot tails
+            # at the smallest width bucket; at most one in flight
+            with self._work:
+                if self._steady_inflight:
+                    # steady chunk already on the device, other lanes drained:
+                    # block until a completion or new work lands
+                    self._work.wait(timeout=0.05)
+                    continue
+                steady = {
+                    sid: s for sid, s in self._dispatchable().items()
+                    if s.chunks_done >= len(_TTS_RAMP)
+                }
+                if not steady:
+                    continue
+                n = self.chunk_frames  # fixed: _deliver clamps per-slot tails
+                caps = {sid: s.remaining for sid, s in steady.items()}
+                for s in steady.values():
+                    s.inflight = True
+                    s.chunks_done += 1
+                    s.remaining = max(0, s.remaining - n)
+                self._steady_inflight = True
             sids = sorted(steady)
             slot_ids = jnp.asarray(self._bucket_ids(sids))
             audio_dev, eos_dev, self._embeds, self._state, self._contexts = (
@@ -718,12 +888,10 @@ class BatchedTTSScheduler:
                     n, slot_ids,
                 )
             )
-            audio = np.asarray(audio_dev)  # (W, T')
-            eos = np.asarray(eos_dev)  # (n, W)
-            with self._work:
-                for i, sid in enumerate(sids):
-                    self._deliver(sid, steady[sid], audio[i], eos[:, i], n)
-                self._work.notify_all()
+            self._completions.put(
+                ("steady", [(sid, steady[sid], caps[sid]) for sid in sids],
+                 n, audio_dev, eos_dev)
+            )
 
 
 #: process-wide gate shared by the serving engines (the registry passes it

@@ -526,3 +526,61 @@ def test_priority_gate_never_leaks(lm):
         assert not gate.busy()
     finally:
         sched.shutdown()
+
+
+def test_zero_budget_returns_immediately(lm, tts):
+    """max_new=0 / max_frames=0 must return without claiming a slot — a
+    prefill-only dispatch would otherwise never enqueue a completion record
+    and the consumer would poll its queue forever."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(params, cfg, n_slots=1, eos_id=0, chunk_tokens=4)
+    try:
+        assert list(sched.generate(PROMPTS[0], max_new=0)) == []
+        assert sched._free == [0]  # the single slot was never claimed
+        # scheduler still serves real work afterwards
+        assert list(sched.generate(PROMPTS[0], max_new=6)) == serial_greedy(
+            params, cfg, PROMPTS[0], 6, eos_id=0
+        )
+    finally:
+        sched.shutdown()
+
+    qwen3_tts, tcfg, tparams = tts
+    from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler
+
+    tsched = BatchedTTSScheduler(tparams, tcfg, n_slots=1, max_t=128, context_frames=4)
+    single = qwen3_tts.Qwen3TTS(params=tparams, cfg=tcfg, chunk_frames=8, context_frames=4)
+    tokens, _ = single._encode_text("nothing")
+    spk = tparams["speakers"][jnp.asarray([0])]
+    try:
+        assert list(tsched.stream(np.asarray(tokens), spk, 0)) == []
+        assert tsched._free == [0]
+    finally:
+        tsched.shutdown()
+
+
+def test_cancel_racing_dispatch_never_wedges(lm):
+    """A cancellation landing at ANY point relative to the dispatch/
+    completion split must still deliver _DONE: the slot's ``inflight``
+    flag is cleared by the completion record enqueued for every debit
+    (the branch decision is made inside the lock).  Hammers generations
+    whose cancel fires after the first token — each must terminate."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0, chunk_tokens=2,
+                               priority_tokens=3, priority_chunk=1)
+    try:
+        for trial in range(6):
+            seen = []
+
+            def cancel_after_first():
+                return len(seen) >= 1
+
+            t0 = time.monotonic()
+            for tok in sched.generate(PROMPTS[trial % len(PROMPTS)], max_new=20,
+                                      cancel_check=cancel_after_first):
+                seen.append(tok)
+            assert time.monotonic() - t0 < 30, "cancelled generation wedged"
+            # cancellation window: <= priority_chunk/chunk_tokens past the
+            # first consumed token
+            assert len(seen) <= 1 + 2 * 2
+    finally:
+        sched.shutdown()
