@@ -293,9 +293,12 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
     )
 
     gate = PriorityGate()  # cross-scheduler preemption (shared)
-    # steady chunks stay at the throughput-optimal 8: a 4-token/4-frame
-    # variant was measured at identical loaded p50 with worse p95 and
-    # ~10% less capacity (the queue quantum is not the binding term)
+    # steady chunks stay at the throughput-optimal 8.  A 4-token/4-frame
+    # variant was re-measured AFTER the dispatch/completion split landed
+    # (the split hides the extra per-chunk syncs): p50 0.563 vs 0.600 —
+    # the quantum is not the binding term over this tunnel — while p95
+    # blew up (4.1 s vs 0.61 s; doubling the dispatch rate starves the
+    # probe thread on the single-core host, same pathology as pre-split).
     lm_sched = BatchedLMScheduler(
         llm_params, llm_cfg, n_slots=n_bg + 1, max_t=256,
         chunk_tokens=8, priority_tokens=FIRST_SENTENCE_TOKENS, gate=gate,
