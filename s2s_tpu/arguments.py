@@ -143,7 +143,7 @@ class LocalLLMArgs:
     #: first-sentence latency lane: a new turn's first N tokens decode as
     #: single-slot dispatches ahead of the full-batch steps (0 disables)
     priority_tokens: int = 12
-    quantize: Optional[str] = None  # int8 weight-only decode (halves HBM reads)
+    quantize: Optional[str] = None  # "int8" / "int4" weight-only decode (HBM reads /2 or /4)
     gen_kwargs: dict[str, Any] = field(default_factory=dict)
 
 
@@ -165,7 +165,7 @@ class Qwen3TTSArgs:
     blocksize: int = 512
     #: cross-session batched synthesis slots over ONE weight set; 0/1 = single
     batched_slots: int = 0
-    quantize: Optional[str] = None  # int8 weight-only talker+code-predictor
+    quantize: Optional[str] = None  # "int8" / "int8+cp4" (int4 code predictor) / "int4"
 
 
 @dataclass

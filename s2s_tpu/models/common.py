@@ -124,6 +124,10 @@ def linear(x, w, b=None):
         from s2s_tpu.ops.quant import quantized_linear
 
         return quantized_linear(x, w, b)
+    if type(w).__name__ == "Quant4Weight":  # packed int4 path (ops.quant)
+        from s2s_tpu.ops.quant import quantized_linear4
+
+        return quantized_linear4(x, w, b)
     out = jnp.einsum("...d,df->...f", x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         out = out + b

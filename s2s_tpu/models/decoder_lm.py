@@ -230,7 +230,7 @@ def _scan_blocks(x, params, cfg: DecoderLMConfig, caches: KVCache | None, pos, c
 def _logits(x, params, cfg: DecoderLMConfig):
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    if type(head).__name__ == "QuantWeight":
+    if type(head).__name__ in ("QuantWeight", "Quant4Weight"):
         return linear(x, head).astype(jnp.float32)
     return jnp.einsum("btd,dv->btv", x, head, preferred_element_type=jnp.float32)
 

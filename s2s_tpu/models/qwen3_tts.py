@@ -398,21 +398,26 @@ def code2wav(params, cfg: Code2WavConfig, codes):
 # ---------------------------------------------------------------------------
 
 
-def quantize_params(params: Params, min_size: int | None = None) -> Params:
-    """int8 weight-only quantization of the decode-loop weights.
+def quantize_params(params: Params, min_size: int | None = None,
+                    talker_bits: int = 8, cp_bits: int = 8) -> Params:
+    """Weight-only quantization of the decode-loop weights.
 
     The frame loop is HBM-bound: the talker streams its ~1.5B layer weights
     once per frame and the code predictor re-reads its 5 layers on each of
-    the 15 MTP steps (~15x its size per frame) — together ~85% of the
-    per-frame bytes.  Quantizing just those two subtrees halves that
-    traffic; heads/embeds/vocoder stay exact (they are gathered, used raw,
-    or amortized per chunk)."""
+    the 15 MTP steps (~15x its size per frame, i.e. ~2.7x the talker's
+    bytes at equal width) — together ~85% of the per-frame bytes.
+    Quantizing just those two subtrees cuts that traffic; heads/embeds/
+    vocoder stay exact (they are gathered, used raw, or amortized per
+    chunk).  ``cp_bits=4`` / ``talker_bits=4`` halve the RESIDENT bytes
+    again — a capacity option (fit more families/slots per chip), not a
+    speed one: the int4 unpack is VPU-bound on current hardware (measured
+    numbers in :mod:`s2s_tpu.ops.int4_matmul`)."""
     from s2s_tpu.ops.quant import _MIN_SIZE, quantize_tree
 
     min_size = _MIN_SIZE if min_size is None else min_size
     out = dict(params)
-    out["talker"] = quantize_tree(params["talker"], min_size=min_size)
-    out["cp"] = quantize_tree(params["cp"], min_size=min_size)
+    out["talker"] = quantize_tree(params["talker"], min_size=min_size, bits=talker_bits)
+    out["cp"] = quantize_tree(params["cp"], min_size=min_size, bits=cp_bits)
     return out
 
 
@@ -730,7 +735,7 @@ class Qwen3TTS:
         chunk_frames: int = DEFAULT_CHUNK_FRAMES,
         context_frames: int = VOCODER_CONTEXT_FRAMES,
         ramp_chunks: tuple[int, ...] = (2, 4),
-        int8: bool = False,
+        int8: bool | str = False,
         tokenizer=None,
     ) -> None:
         self.cfg = cfg or Qwen3TTSConfig()
@@ -741,8 +746,16 @@ class Qwen3TTS:
         #: clamped byte encoding so random-init serving/tests keep working.
         self.tokenizer = tokenizer
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), self.cfg)
+        # quantization modes (``--tts_quantize``): True/"int8" = talker+cp
+        # int8; "int8+cp4" = talker int8, code predictor int4 (the cp's 15x
+        # re-read dominates per-frame bytes); "int4" = both int4
         if int8:
-            self.params = jax.jit(quantize_params)(self.params)
+            talker_bits, cp_bits = {
+                "int4": (4, 4), "int8+cp4": (8, 4),
+            }.get(int8 if isinstance(int8, str) else "int8", (8, 8))
+            self.params = jax.jit(partial(
+                quantize_params, talker_bits=talker_bits, cp_bits=cp_bits,
+            ))(self.params)
         self.chunk_frames = chunk_frames
         self.context_frames = context_frames
         #: TTFA ramp: the first chunk is small (160 ms of audio at a

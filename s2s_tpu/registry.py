@@ -199,10 +199,11 @@ def _make_local_llm(config, ctx: HandlerContext):
             if p is None:
                 logger.warning("local-jax LLM: random-init shared weights (no checkpoint)")
                 p = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
-            if getattr(config, "quantize", None) == "int8":
+            quant = getattr(config, "quantize", None)
+            if quant in ("int8", "int4"):
                 from s2s_tpu.ops.quant import quantize_tree
 
-                p = quantize_tree(p)
+                p = quantize_tree(p, bits=4 if quant == "int4" else 8)
             eos = tokenizer.eos_id if tokenizer is not None else 0
             from s2s_tpu.parallel.session_scheduler import GLOBAL_PRIORITY_GATE
 
@@ -220,10 +221,11 @@ def _make_local_llm(config, ctx: HandlerContext):
         )
     else:
         params = _load_checkpoint(config.checkpoint)
-        if params is not None and getattr(config, "quantize", None) == "int8":
+        quant = getattr(config, "quantize", None)
+        if params is not None and quant in ("int8", "int4"):
             from s2s_tpu.ops.quant import quantize_tree
 
-            params = quantize_tree(params)
+            params = quantize_tree(params, bits=4 if quant == "int4" else 8)
     return LocalJAXLLMHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,
         setup_kwargs=dict(
@@ -271,7 +273,10 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
         "1.7b": Qwen3TTSConfig.qwen3_tts_12hz_1_7b,
         "tiny": Qwen3TTSConfig.tiny,
     }[config.model_size]()
-    int8 = getattr(config, "quantize", None) == "int8"
+    # pass the mode string through: "int8" (serving default — fastest),
+    # "int8+cp4" (int4 code predictor), or "int4" — the int4 modes halve
+    # resident HBM at a measured per-step speed cost (ops/int4_matmul.py)
+    int8 = getattr(config, "quantize", None) or False
     tokenizer_path = getattr(config, "tokenizer", None)
 
     def _load_tokenizer():
