@@ -29,10 +29,13 @@ voice_to_voice_loaded = the same probe turn MEASURED through the real
 serving schedulers (priority lanes + fused prefill+first-chunk + gathered
 steady chunks + cross-scheduler preemption gate) while 15 background
 conversations run at the reference soak harness's cadence (a reply per
-10 s cycle) — the 16-session serving config.  Note this harness reaches
-the TPU through a remote tunnel (~50 ms per dispatch+sync, measured);
-the probe chain needs >=3 syncs, so the loaded numbers carry ~0.2-0.3 s
-of tunnel tax a locally-attached chip would not pay.
+10 s cycle) — the 16-session serving config.  The probe's final STT
+holds an INTERACTIVE device-scheduler slot, which bridges into the
+engines' preemption gate (the serving wiring), so steady chunks hold
+back for the whole latency chain.  Note this harness reaches the TPU
+through a remote tunnel (~50 ms per dispatch+sync, measured); the probe
+chain needs >=3 syncs, so the loaded numbers carry ~0.15 s of tunnel
+tax a locally-attached chip would not pay.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -291,8 +294,13 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
         BatchedTTSScheduler,
         PriorityGate,
     )
+    from s2s_tpu.runtime.device_scheduler import GLOBAL_SCHEDULER, Lane
 
     gate = PriorityGate()  # cross-scheduler preemption (shared)
+    # serving wiring (registry.py): per-session INTERACTIVE dispatch (the
+    # probe's final STT) bridges into the same gate, so steady chunks hold
+    # back for the whole latency chain, not just the LM/TTS windows
+    GLOBAL_SCHEDULER.priority_gate = gate
     # steady chunks stay at the throughput-optimal 8.  A 4-token/4-frame
     # variant was re-measured AFTER the dispatch/completion split landed
     # (the split hides the extra per-chunk syncs): p50 0.563 vs 0.600 —
@@ -338,7 +346,8 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
 
     def probe() -> float:
         t0 = time.perf_counter()
-        stt_final()
+        with GLOBAL_SCHEDULER.slot(Lane.INTERACTIVE):
+            stt_final()
         t1 = time.perf_counter()
         for _tok in lm_sched.generate(prompt, FIRST_SENTENCE_TOKENS):
             pass
@@ -381,6 +390,7 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
         t.join(timeout=30)
     lm_sched.shutdown()
     tts_sched.shutdown()
+    GLOBAL_SCHEDULER.priority_gate = None
     p50 = statistics.median(times)
     p95 = times[min(len(times) - 1, int(round(0.95 * (len(times) - 1))))]
     measured = phases[-len(times):]  # skip warm probes

@@ -466,9 +466,16 @@ class BatchedLMScheduler:
             gate_busy = self.gate is not None and self.gate.busy()
             # priority windows are short and self-limiting (first sentence /
             # TTFA ramp), so while one is open ANYWHERE the steady lane
-            # yields longer than the local 2-pass fairness cap
-            if (did_priority or gate_busy) and self._steady_skips < (6 if gate_busy else 2):
+            # yields longer than the local 2-pass fairness cap.  A skip pass
+            # that dispatched nothing itself WAITS briefly — otherwise the
+            # cap burns in microseconds of spinning and the "hold" never
+            # actually holds (the skip budget is the throughput safety
+            # valve: past it one steady chunk always launches).
+            if (did_priority or gate_busy) and self._steady_skips < (20 if gate_busy else 2):
                 self._steady_skips += 1
+                if not did_priority:
+                    with self._work:
+                        self._work.wait(timeout=0.01)
                 continue
             self._steady_skips = 0
 
@@ -849,13 +856,14 @@ class BatchedTTSScheduler:
                 self._completions.put(("slot", sid, slot, audio_dev, eos_dev, n, cap))
 
             # hold full-batch chunks back (bounded) while ramp work is in
-            # flight anywhere — same fairness policy as the LM scheduler
+            # flight anywhere — same fairness policy (and the same real
+            # wait on non-dispatching skip passes) as the LM scheduler
             gate_busy = self.gate is not None and self.gate.busy()
-            # priority windows are short and self-limiting (first sentence /
-            # TTFA ramp), so while one is open ANYWHERE the steady lane
-            # yields longer than the local 2-pass fairness cap
-            if (did_priority or gate_busy) and self._steady_skips < (6 if gate_busy else 2):
+            if (did_priority or gate_busy) and self._steady_skips < (20 if gate_busy else 2):
                 self._steady_skips += 1
+                if not did_priority:
+                    with self._work:
+                        self._work.wait(timeout=0.01)
                 continue
             self._steady_skips = 0
 

@@ -213,6 +213,12 @@ def _make_local_llm(config, ctx: HandlerContext):
                 priority_tokens=getattr(config, "priority_tokens", 12),
                 gate=GLOBAL_PRIORITY_GATE,
             )
+            # bridge per-session INTERACTIVE dispatch (final STT) into the
+            # engines' preemption gate: steady full-batch chunks hold back
+            # while the latency chain's STT decode is in flight
+            from s2s_tpu.runtime.device_scheduler import GLOBAL_SCHEDULER
+
+            GLOBAL_SCHEDULER.priority_gate = GLOBAL_PRIORITY_GATE
             return p, engine
 
         params, shared_lm = ctx.model_cache.get(
@@ -301,7 +307,10 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
 
         def _global_gate():
             from s2s_tpu.parallel.session_scheduler import GLOBAL_PRIORITY_GATE
+            from s2s_tpu.runtime.device_scheduler import GLOBAL_SCHEDULER
 
+            # same INTERACTIVE->gate bridge as the batched LM engine
+            GLOBAL_SCHEDULER.priority_gate = GLOBAL_PRIORITY_GATE
             return GLOBAL_PRIORITY_GATE
 
         shared_tts = ctx.model_cache.get(

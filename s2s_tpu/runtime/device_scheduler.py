@@ -42,6 +42,16 @@ class DeviceScheduler:
         self._holder_count = 0  # re-entrant for the same thread
         self._holder_thread: int | None = None
         self._waiting: list[int] = [0, 0, 0, 0]
+        #: optional bridge to the batched engines' PriorityGate
+        #: (``parallel.session_scheduler``): while an INTERACTIVE slot is
+        #: held — final STT in the serving config; the batched LLM/TTS
+        #: paths bypass their slots — the engines' steady full-batch
+        #: chunks hold back so the latency chain's next dispatch finds a
+        #: shallow device queue.  Wired by the registry when batched
+        #: engines are built; REALTIME (the 32 ms VAD tick) is deliberately
+        #: NOT bridged — it is near-continuous and would pin the gate shut.
+        self.priority_gate = None
+        self._gate_key: object | None = None
 
     def acquire(self, lane: Lane, timeout: float | None = None) -> bool:
         """Acquire the dispatch slot. Returns False on timeout.
@@ -66,6 +76,9 @@ class DeviceScheduler:
                         self._holder_lane = lane
                         self._holder_count = 1
                         self._holder_thread = me
+                        if lane == Lane.INTERACTIVE and self.priority_gate is not None:
+                            self._gate_key = object()
+                            self.priority_gate.enter(self._gate_key)
                         return True
                     if until is None:
                         self._cv.wait()
@@ -85,6 +98,9 @@ class DeviceScheduler:
             if self._holder_count == 0:
                 self._holder_lane = None
                 self._holder_thread = None
+                if self._gate_key is not None and self.priority_gate is not None:
+                    self.priority_gate.exit(self._gate_key)
+                self._gate_key = None
                 self._cv.notify_all()
 
     def should_yield(self, lane: Lane) -> bool:

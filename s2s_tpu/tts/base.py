@@ -12,6 +12,7 @@ metric.
 from __future__ import annotations
 
 import logging
+from contextlib import nullcontext
 from time import perf_counter
 from typing import Any, Iterator, Optional
 
@@ -57,6 +58,23 @@ class BaseTTSHandler(BaseHandler):
     ) -> Iterator[tuple[np.ndarray, int]]:
         """Yield (float32 audio, sample_rate) pieces."""
         raise NotImplementedError
+
+    def _uses_shared_engine(self) -> bool:
+        """True when ``_synthesize`` routes through a shared batched engine
+        (overridden by backends that attach one)."""
+        return False
+
+    def _device_slot(self):
+        """Per-utterance INTERACTIVE dispatch slot — or a no-op when the
+        backend synthesizes through a shared batched engine.  The engine's
+        driver thread owns dispatch ordering for ALL sessions; holding the
+        process-wide slot across the stream here would serialize every
+        session's utterance at the handler level and defeat the batch
+        (the LLM handler's batched path bypasses its slot the same way,
+        ``llm/local_backend.py``)."""
+        if self._uses_shared_engine():
+            return nullcontext()
+        return self.scheduler.slot(Lane.INTERACTIVE)
 
     def _session_voice(self, runtime_config, response) -> Optional[str]:
         """Voice override from session/response config (reference
@@ -174,7 +192,7 @@ class BaseTTSHandler(BaseHandler):
         logger.info("ASSISTANT: %s", text)
 
         try:
-            with self.scheduler.slot(Lane.INTERACTIVE):
+            with self._device_slot():
                 piece_iter = self._synthesize(text, language, item.runtime_config, item.response)
                 first_audio = True
                 for chunk in self._stream(piece_iter, type(self).__name__):

@@ -127,6 +127,13 @@ class Qwen3TTSHandler(BaseTTSHandler):
             return "voice_design"
         return "custom_voice"
 
+    def _uses_shared_engine(self) -> bool:
+        # batched-engine utterances must NOT hold the process-wide
+        # INTERACTIVE slot for their whole stream: with N serving sessions
+        # that serializes synthesis at the handler level even though the
+        # engine batches all of them through one dispatch stream
+        return self.shared_tts is not None
+
     def _synthesize(self, text: str, language: Optional[str], runtime_config, response) -> Iterator:
         if self._synthesize_fn is not None:
             yield from self._synthesize_fn(text, language)

@@ -114,6 +114,33 @@ def test_scheduler_basic_acquire_release():
         assert ok
 
 
+def test_scheduler_interactive_bridges_priority_gate():
+    """While an INTERACTIVE slot is held (final STT in serving), the
+    batched engines' PriorityGate reads busy, so their steady full-batch
+    chunks hold back for the latency chain's next dispatch.  REALTIME
+    (the near-continuous VAD tick) must NOT bridge."""
+    from s2s_tpu.parallel.session_scheduler import PriorityGate
+
+    sched = DeviceScheduler()
+    gate = PriorityGate()
+    sched.priority_gate = gate
+    assert not gate.busy()
+    with sched.slot(Lane.INTERACTIVE):
+        assert gate.busy()
+    assert not gate.busy()
+    with sched.slot(Lane.REALTIME):
+        assert not gate.busy()
+    with sched.slot(Lane.PROGRESSIVE):
+        assert not gate.busy()
+    # re-entrant INTERACTIVE holds the gate until the outermost release
+    sched.acquire(Lane.INTERACTIVE)
+    sched.acquire(Lane.INTERACTIVE)
+    sched.release()
+    assert gate.busy()
+    sched.release()
+    assert not gate.busy()
+
+
 def test_scheduler_timeout_when_held():
     sched = DeviceScheduler()
     sched.acquire(Lane.INTERACTIVE)

@@ -292,6 +292,41 @@ def test_qwen3_handler_batched_shared_engine():
         sched.shutdown()
 
 
+def test_qwen3_shared_engine_sessions_stream_concurrently():
+    """Batched-engine utterances must not serialize on the process-wide
+    INTERACTIVE device slot: with N serving sessions the engine batches all
+    their frame decodes through one dispatch stream, so the handler must
+    NOT hold the global slot for its whole stream (regression: both
+    sessions must be inside ``_synthesize`` at the same time)."""
+    from s2s_tpu.models.qwen3_tts import Qwen3TTS, Qwen3TTSConfig
+
+    model = Qwen3TTS(cfg=Qwen3TTSConfig.tiny(), chunk_frames=4)
+    barrier = threading.Barrier(2, timeout=5.0)
+    t = np.arange(2400) / 24000.0
+
+    class _FakeSharedEngine:
+        def stream(self, tokens, speaker_vec, max_frames, cancel_check=None):
+            barrier.wait()  # raises BrokenBarrierError if sessions serialize
+            yield (0.5 * np.sin(2 * np.pi * 300 * t)).astype(np.float32), 24000
+
+    engine = _FakeSharedEngine()
+    results: dict[int, list] = {}
+
+    def run(i: int) -> None:
+        handler = Qwen3TTSHandler(
+            threading.Event(), Queue(), Queue(),
+            setup_kwargs=dict(model=model, shared_tts=engine, max_new_tokens=6),
+        )
+        results[i] = list(handler.process(tts_input(turn=f"t{i}")))
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=10)
+    assert results.get(0) and results.get(1), "both sessions must stream audio"
+
+
 def test_qwen3_int8_streams_chunks():
     """int8 weight-only serving config: quantized talker/code-predictor
     stream through the same fused programs."""
