@@ -44,7 +44,9 @@ concurrent == serial, priority lanes on and off).
 from __future__ import annotations
 
 import logging
+import os
 import threading
+import time
 from dataclasses import dataclass, field
 from queue import Empty, Queue
 from typing import Callable, Iterator, Optional
@@ -55,6 +57,59 @@ logger = logging.getLogger(__name__)
 
 #: Sentinel on a session's token queue: generation finished (eos / budget).
 _DONE = object()
+
+#: opt-in scheduler event trace (S2S_SCHED_TRACE=1): appends
+#: (t, engine, event, slot) tuples to ``scheduler._trace`` — the tool for
+#: attributing tail-latency outliers to claim/dispatch/fetch/deliver.
+_TRACE = os.environ.get("S2S_SCHED_TRACE", "0") == "1"
+
+
+class _TraceMixin:
+    _trace: "list[tuple[float, str, str, object]] | None"
+
+    def _init_trace(self, engine: str) -> None:
+        self._trace = [] if _TRACE else None
+        self._trace_engine = engine
+
+    def _tr(self, event: str, slot=None) -> None:
+        if self._trace is not None:
+            self._trace.append((time.perf_counter(), self._trace_engine, event, slot))
+
+
+def _drain_completions(queue: "Queue[Optional[tuple]]", arrays_of) -> "list[tuple] | None":
+    """Blocking-get one completion record, then drain everything already
+    queued and start ASYNC host copies for every device array in the batch.
+
+    The completion thread is the fetch serialization point: each
+    ``np.asarray`` on its own costs a full host round trip even when the
+    device finished long ago (~70 ms over a remote tunnel), so a burst of
+    N single-slot records costs N round trips SERIALLY — measured as rare
+    multi-second probe outliers when background turns herd.  Overlapping
+    the copies collapses the backlog to ~one round trip.
+
+    Returns the batch, or None on the shutdown sentinel (re-queued so a
+    restarted fetcher still sees it if it raced the drain).
+    """
+    item = queue.get()
+    if item is None:
+        return None
+    batch = [item]
+    while True:
+        try:
+            nxt = queue.get_nowait()
+        except Empty:
+            break
+        if nxt is None:
+            queue.put(None)  # preserve shutdown for the next loop turn
+            break
+        batch.append(nxt)
+    if len(batch) > 1:
+        for rec in batch:
+            for arr in arrays_of(rec):
+                copy_async = getattr(arr, "copy_to_host_async", None)
+                if copy_async is not None:
+                    copy_async()
+    return batch
 
 #: Per-slot chunk-size ramp: a joining session's first chunks are small and
 #: run in the PRIORITY LANE (single-slot dispatches at batch-1 cost) so its
@@ -113,7 +168,7 @@ class _PrefillRequest:
     prompt_len: int
 
 
-class BatchedLMScheduler:
+class BatchedLMScheduler(_TraceMixin):
     """Slot-based batched decode engine for the local decoder LM.
 
     ``generate()`` claims a slot (blocking while all are busy), prefills it,
@@ -183,6 +238,7 @@ class BatchedLMScheduler:
         #: cost (and the queue delay it imposes on latency-critical
         #: dispatches behind it) scales with actual occupancy
         self._width_buckets = sorted({min(w, n_slots) for w in (4, 8, 16, n_slots)})
+        self._init_trace("lm")
 
     def _bucket_ids(self, sids: list[int]) -> "np.ndarray":
         width = next(w for w in self._width_buckets if w >= len(sids))
@@ -232,6 +288,7 @@ class BatchedLMScheduler:
         padded[0, : len(prompt_ids)] = prompt_ids[:bucket]
 
         slot_id, slot = self._claim()
+        self._tr("claim", slot_id)
         try:
             with self._work:
                 slot.remaining = max_new
@@ -332,34 +389,43 @@ class BatchedLMScheduler:
                 slot.queue.put(tok)
             pushed += 1
         slot.inflight = False
+        self._tr("deliver", sid)
         self._finish(sid, slot)
 
     def _fetch(self) -> None:
         """Completion loop: host-fetch dispatched chunks in order and
         deliver their tokens.  Runs off the driver thread so dispatch
         latency never includes a host round-trip.  A steady chunk is ONE
-        record — its (n, W) arrays are fetched once and sliced host-side
-        (per-column device fetches would each pay a host round-trip)."""
+        record — its (n, W) arrays are fetched once and sliced host-side —
+        and a drained backlog's copies run async-overlapped
+        (:func:`_drain_completions`) so N pending records cost ~one round
+        trip, not N."""
         while True:
-            item = self._completions.get()
-            if item is None:
+            batch = _drain_completions(self._completions, lambda rec: rec[-3:-1]
+                                       if rec[0] == "slot" else rec[-2:])
+            if batch is None:
                 return
-            if item[0] == "slot":
-                _, sid, slot, toks_dev, emitted_dev, cap = item
-                toks = np.asarray(toks_dev)  # blocks: device compute + transfer
-                emitted = np.asarray(emitted_dev)
-                with self._work:
-                    self._deliver(sid, slot, toks, emitted, cap)
-                    self._work.notify_all()
-            else:  # "steady"
-                _, members, toks_dev, emitted_dev = item
-                toks = np.asarray(toks_dev)  # (n, W), one fetch
-                emitted = np.asarray(emitted_dev)
-                with self._work:
-                    self._steady_inflight = False
-                    for i, (sid, slot, cap) in enumerate(members):
-                        self._deliver(sid, slot, toks[:, i], emitted[:, i], cap)
-                    self._work.notify_all()
+            for item in batch:
+                if item[0] == "slot":
+                    _, sid, slot, toks_dev, emitted_dev, cap = item
+                    self._tr("fetch_start", sid)
+                    toks = np.asarray(toks_dev)  # blocks: device compute + transfer
+                    emitted = np.asarray(emitted_dev)
+                    self._tr("fetch_end", sid)
+                    with self._work:
+                        self._deliver(sid, slot, toks, emitted, cap)
+                        self._work.notify_all()
+                else:  # "steady"
+                    _, members, toks_dev, emitted_dev = item
+                    self._tr("fetch_start", "steady")
+                    toks = np.asarray(toks_dev)  # (n, W), one fetch
+                    emitted = np.asarray(emitted_dev)
+                    self._tr("fetch_end", "steady")
+                    with self._work:
+                        self._steady_inflight = False
+                        for i, (sid, slot, cap) in enumerate(members):
+                            self._deliver(sid, slot, toks[:, i], emitted[:, i], cap)
+                        self._work.notify_all()
 
     def _sweep_cancelled(self) -> None:
         """Deliver _DONE to slots cancelled between dispatches (otherwise a
@@ -414,6 +480,7 @@ class BatchedLMScheduler:
                 if fused:
                     # FUSED prefill + first priority chunk: one dispatch for
                     # prompt ingest AND the first-sentence tokens
+                    self._tr("prefill_dispatch", req.slot)
                     toks_dev, emitted_dev, tok, self._state = (
                         self._bd.jit_prefill_and_chunk_slot(
                             self.params, self.cfg, jnp.asarray(req.tokens),
@@ -452,6 +519,7 @@ class BatchedLMScheduler:
                     slot.inflight = True
                     slot.priority_remaining -= n
                     slot.remaining = max(0, slot.remaining - n)
+                self._tr("prio_dispatch", sid)
                 toks_dev, emitted_dev, tok, self._state = self._bd.jit_decode_chunk_slot(
                     self.params, self.cfg, self._tokens[sid], self._state,
                     n, self.eos_id, jnp.asarray(sid, jnp.int32),
@@ -502,6 +570,7 @@ class BatchedLMScheduler:
                     s.remaining = max(0, s.remaining - self.chunk_tokens)
                 self._steady_inflight = True
             sids = sorted(steady)
+            self._tr("steady_dispatch", tuple(sids))
             slot_ids = jnp.asarray(self._bucket_ids(sids))
             toks_dev, emitted_dev, tok_out, self._state = self._bd.jit_decode_chunk_gathered(
                 self.params, self.cfg, self._tokens[slot_ids], self._state,
@@ -740,27 +809,30 @@ class BatchedTTSScheduler:
 
     def _fetch(self) -> None:
         """Completion loop (mirrors the LM scheduler's: one fetch per
-        dispatch, steady chunks fetched whole and sliced host-side)."""
+        dispatch, steady chunks fetched whole and sliced host-side, drained
+        backlogs async-overlapped via :func:`_drain_completions`)."""
         while True:
-            item = self._completions.get()
-            if item is None:
+            batch = _drain_completions(self._completions, lambda rec: rec[3:5]
+                                       if rec[0] == "slot" else rec[-2:])
+            if batch is None:
                 return
-            if item[0] == "slot":
-                _, sid, slot, audio_dev, eos_dev, n, cap = item
-                audio = np.asarray(audio_dev)
-                eos = np.asarray(eos_dev)
-                with self._work:
-                    self._deliver(sid, slot, audio, eos, n, cap)
-                    self._work.notify_all()
-            else:  # "steady"
-                _, members, n, audio_dev, eos_dev = item
-                audio = np.asarray(audio_dev)  # (W, T'), one fetch
-                eos = np.asarray(eos_dev)  # (n, W)
-                with self._work:
-                    self._steady_inflight = False
-                    for i, (sid, slot, cap) in enumerate(members):
-                        self._deliver(sid, slot, audio[i], eos[:, i], n, cap)
-                    self._work.notify_all()
+            for item in batch:
+                if item[0] == "slot":
+                    _, sid, slot, audio_dev, eos_dev, n, cap = item
+                    audio = np.asarray(audio_dev)
+                    eos = np.asarray(eos_dev)
+                    with self._work:
+                        self._deliver(sid, slot, audio, eos, n, cap)
+                        self._work.notify_all()
+                else:  # "steady"
+                    _, members, n, audio_dev, eos_dev = item
+                    audio = np.asarray(audio_dev)  # (W, T'), one fetch
+                    eos = np.asarray(eos_dev)  # (n, W)
+                    with self._work:
+                        self._steady_inflight = False
+                        for i, (sid, slot, cap) in enumerate(members):
+                            self._deliver(sid, slot, audio[i], eos[:, i], n, cap)
+                        self._work.notify_all()
 
     def _sweep_cancelled(self) -> None:
         """Deliver _DONE to slots cancelled between dispatches; caller holds
