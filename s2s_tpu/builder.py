@@ -63,6 +63,7 @@ def build_pipeline_unit(
             speculative_turns=tracker,
             device_scheduler=GLOBAL_SCHEDULER,
             model_cache=GLOBAL_MODEL_CACHE,
+            n_units=args.module.num_pipelines,
         )
 
     vad = VADHandler(

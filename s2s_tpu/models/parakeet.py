@@ -510,6 +510,31 @@ def transcribe_step(params, cfg: ParakeetConfig, audio, n_valid):
     return tdt_greedy_decode(params, cfg, encoded, enc_len[0])
 
 
+@partial(jax.jit, static_argnums=(1,))
+def transcribe_step_batch(params, cfg: ParakeetConfig, audio, n_valid):
+    """Cross-session batched transcribe: mel -> encoder -> TDT decode for a
+    BATCH of utterances in ONE dispatch (the session-DP shape of the serving
+    config — concurrent sessions' windows share one weight read instead of
+    re-streaming the 0.6B encoder per session; reference isolates
+    ``--num_pipelines`` model copies, ``s2s_pipeline.py:551-562``).
+
+    audio: (B, N) f32 zero-padded rows (same length bucket); n_valid: (B,)
+    valid samples per row.  Returns (tokens (B, MAX_TOKENS), n_tokens (B,)).
+    Padding rows (n_valid == 0) are bit-invisible: masking in the frontend /
+    encoder zeroes them and the decode loop exits immediately (enc_len 0).
+
+    The decode is the single-utterance ``tdt_greedy_decode`` under ``vmap``:
+    XLA lifts the ``while_loop`` to run while ANY lane is live with masked
+    updates, so a batch costs max(lane steps), not sum — the right trade for
+    same-bucket windows whose step counts are audio-length-bound.
+    """
+    mel, n_frames = jax.vmap(lambda a, v: log_mel_frontend(a, v, cfg))(audio, n_valid)
+    encoded, enc_len = encode(params, cfg, mel, n_frames)
+    return jax.vmap(
+        lambda enc_row, row_len: tdt_greedy_decode(params, cfg, enc_row[None], row_len)
+    )(encoded, enc_len)
+
+
 def transcribe_tokens(params, cfg: ParakeetConfig, audio, n_valid=None) -> list[int]:
     """Host convenience: returns emitted token ids for one utterance."""
     audio = jnp.asarray(audio, jnp.float32)

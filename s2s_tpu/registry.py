@@ -38,6 +38,9 @@ class HandlerContext:
     speculative_turns: Any
     device_scheduler: Any
     model_cache: "ModelCache"
+    #: how many pipeline units share this process (cross-session batched
+    #: services — VAD ticks, STT windows — engage only when > 1)
+    n_units: int = 1
 
 
 @dataclass(frozen=True)
@@ -94,13 +97,37 @@ def _make_whisper_stt(config, ctx: HandlerContext):
 
 def _make_parakeet_stt(config, ctx: HandlerContext):
     from s2s_tpu.stt.language_id import detect_language
-    from s2s_tpu.stt.parakeet_handler import ParakeetSTTHandler
+    from s2s_tpu.stt.parakeet_handler import ParakeetSTTHandler, config_for
 
     tokenizer = None
     if config.tokenizer:
         from s2s_tpu.stt.tokenizer import SentencePieceTokenizer
 
         tokenizer = SentencePieceTokenizer.from_file(config.tokenizer)
+    params = None
+    service = None
+    if ctx.n_units > 1:
+        # N units share ONE weight set + ONE cross-session batched service:
+        # concurrent sessions' windows coalesce into a single dispatch
+        # (reference: N isolated model copies, ``s2s_pipeline.py:551-562``)
+        def build():
+            import jax
+
+            from s2s_tpu.models import parakeet
+            from s2s_tpu.runtime.batcher import BatchedParakeetSTT
+
+            cfg = config_for(config.model_size)
+            p = _load_checkpoint(config.checkpoint)
+            if p is None:
+                logger.warning("parakeet STT: random-init shared weights (no checkpoint)")
+                p = parakeet.init_params(jax.random.PRNGKey(0), cfg)
+            return BatchedParakeetSTT(p, cfg, max_batch=ctx.n_units)
+
+        service = ctx.model_cache.get(
+            ("parakeet-batched", config.model_size, config.checkpoint), build
+        )
+    else:
+        params = _load_checkpoint(config.checkpoint)
     return ParakeetSTTHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,
         setup_kwargs=dict(
@@ -110,8 +137,9 @@ def _make_parakeet_stt(config, ctx: HandlerContext):
             model_size=config.model_size,
             language=config.language,
             tokenizer=tokenizer,
-            params=_load_checkpoint(config.checkpoint),
+            params=params,
             language_detector=detect_language,
+            batch_service=service,
         ),
     )
 

@@ -180,6 +180,94 @@ class BatchedSileroVAD:
         return SileroSlotView(self, slot)
 
 
+class BatchedParakeetSTT:
+    """Shared Parakeet service: concurrent sessions' transcribe windows in
+    one batched dispatch.
+
+    The serving config runs N sessions against ONE weight set; each session's
+    progressive ticks (every ~0.5 s while speaking) and finals land on this
+    service, which coalesces submissions arriving within the micro-batch
+    window into a single ``transcribe_step_batch`` dispatch — one 0.6B
+    encoder weight read amortized over every concurrent window instead of
+    re-streamed per session (the reference isolates ``--num_pipelines`` model
+    copies, ``s2s_pipeline.py:551-562``).  Submissions are grouped by audio
+    bucket (same padded length per dispatch) and padded to a width bucket so
+    the program set stays small and pre-compilable.
+    """
+
+    #: dispatch width buckets — occupancy-sized like the LM scheduler's
+    WIDTHS = (1, 2, 4, 8, 16)
+
+    def __init__(self, params: Any, cfg: Any, window_s: float = 0.003,
+                 max_batch: int = 16) -> None:
+        self.params = params
+        self.cfg = cfg
+        self._batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
+                                     window_s=window_s)
+
+    def transcribe(self, padded: np.ndarray, n_valid: int) -> list[int]:
+        """One utterance window (zero-padded to its bucket) -> token ids."""
+        return self._batcher.submit(0, (np.asarray(padded, np.float32), int(n_valid)))
+
+    def _width(self, n: int) -> int:
+        for w in self.WIDTHS:
+            if w >= n:
+                return w
+        return n
+
+    def _run_batch(self, slots: list[int], arrays: list[Any]) -> list[Any]:
+        import jax.numpy as jnp
+
+        from s2s_tpu.models import parakeet
+
+        groups: dict[int, list[int]] = {}
+        for i, (audio, _nv) in enumerate(arrays):
+            groups.setdefault(int(audio.shape[0]), []).append(i)
+        results: list[Any] = [None] * len(arrays)
+        for length, idxs in groups.items():
+            width = self._width(len(idxs))
+            batch = np.zeros((width, length), np.float32)
+            nv = np.zeros((width,), np.int32)  # padding rows: n_valid 0, inert
+            for row, i in enumerate(idxs):
+                batch[row] = arrays[i][0]
+                nv[row] = arrays[i][1]
+            toks, ns = parakeet.transcribe_step_batch(
+                self.params, self.cfg, jnp.asarray(batch), jnp.asarray(nv)
+            )
+            toks_h = np.asarray(toks)
+            ns_h = np.asarray(ns)
+            for row, i in enumerate(idxs):
+                results[i] = [int(t) for t in toks_h[row, : int(ns_h[row])]]
+        return results
+
+    def warmup(self, lengths: tuple[int, ...] = (), widths: tuple[int, ...] = ()) -> None:
+        """Pre-compile the hot (width, length-bucket) programs (a cold
+        compile when the first concurrent windows coincide stalls every
+        session).  Defaults to the common final/progressive buckets at
+        width 1 and the full batch — the in-between widths compile on
+        first use."""
+        import jax.numpy as jnp
+
+        from s2s_tpu.models import parakeet
+
+        if not lengths:
+            # 2 s finals, 5 s utterances, the 15 s progressive window cap
+            lengths = tuple(int(s * 16000) for s in (2, 5, 15))
+        if not widths:
+            widths = tuple(sorted({1, self._batcher._max_batch}))
+        for length in lengths:
+            for width in widths:
+                toks, ns = parakeet.transcribe_step_batch(
+                    self.params, self.cfg,
+                    jnp.zeros((width, length), jnp.float32),
+                    jnp.zeros((width,), jnp.int32),
+                )
+                ns.block_until_ready()
+
+    def close(self) -> None:
+        self._batcher.close()
+
+
 class SileroSlotView:
     """Per-session facade compatible with the VAD iterator's model seam."""
 

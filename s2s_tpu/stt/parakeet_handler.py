@@ -25,6 +25,19 @@ SUPPORTED_LANGUAGES = (
 )
 
 
+def config_for(model_size: str):
+    """Model-size -> ParakeetConfig (shared by the handler and the batched
+    cross-session service in :mod:`s2s_tpu.runtime.batcher`)."""
+    from s2s_tpu.models import parakeet
+
+    return {
+        "0.6b": parakeet.ParakeetConfig.tdt_0_6b_v3,
+        "0.6b-v3": parakeet.ParakeetConfig.tdt_0_6b_v3,
+        "0.6b-v2": parakeet.ParakeetConfig.tdt_0_6b_v2,
+        "tiny": parakeet.ParakeetConfig.test_tiny,
+    }[model_size]()
+
+
 class ParakeetSTTHandler(WhisperSTTHandler):
     """Same stage contract as the whisper handler; conformer+TDT compute."""
 
@@ -41,8 +54,13 @@ class ParakeetSTTHandler(WhisperSTTHandler):
         warmup: bool = False,
         cancel_scope=None,
         language_detector: Callable[[str], str | None] | None = None,
+        batch_service=None,
     ) -> None:
         self._language_detector = language_detector
+        #: cross-session batched transcribe service (one weight set, one
+        #: dispatch for concurrent windows) — wired by the registry when
+        #: several pipeline units share the chip
+        self._batch_service = batch_service
         super().setup(
             speculative_turns=speculative_turns,
             device_scheduler=device_scheduler,
@@ -61,13 +79,11 @@ class ParakeetSTTHandler(WhisperSTTHandler):
 
         from s2s_tpu.models import parakeet
 
-        cfg = {
-            "0.6b": parakeet.ParakeetConfig.tdt_0_6b_v3,
-            "0.6b-v3": parakeet.ParakeetConfig.tdt_0_6b_v3,
-            "0.6b-v2": parakeet.ParakeetConfig.tdt_0_6b_v2,
-            "tiny": parakeet.ParakeetConfig.test_tiny,
-        }[model_size]()
-        if params is None:
+        service = self._batch_service
+        cfg = service.cfg if service is not None else config_for(model_size)
+        if service is not None:
+            params = service.params  # ONE shared weight set across units
+        elif params is None:
             logger.warning("ParakeetSTTHandler: random-init weights (no checkpoint provided)")
             params = parakeet.init_params(jax.random.PRNGKey(0), cfg)
         self._parakeet_cfg, self._parakeet_params, self._tokenizer = cfg, params, tokenizer
@@ -80,7 +96,11 @@ class ParakeetSTTHandler(WhisperSTTHandler):
             padded = np.zeros(target, np.float32)
             n_valid = min(len(audio), target)
             padded[:n_valid] = audio[:target]
-            tokens = parakeet.transcribe_tokens(params, cfg, padded, n_valid)
+            if service is not None:
+                # concurrent sessions' windows coalesce into one dispatch
+                tokens = service.transcribe(padded, n_valid)
+            else:
+                tokens = parakeet.transcribe_tokens(params, cfg, padded, n_valid)
             if self._tokenizer is not None:
                 text = self._tokenizer.decode(tokens).strip()
             else:

@@ -145,6 +145,83 @@ def test_parakeet_padding_invariance(parakeet_tiny):
     assert parakeet.transcribe_tokens(params, cfg, padded, n_valid=12000) == unpadded
 
 
+def test_parakeet_batched_transcribe_matches_single(parakeet_tiny):
+    """Cross-session batched transcribe is bit-identical to the single path;
+    zero-valid padding rows are inert (emit nothing)."""
+    from s2s_tpu.models import parakeet
+
+    cfg, params = parakeet_tiny
+    a0 = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (16000,)) * 0.1, np.float32)
+    a1 = np.zeros(16000, np.float32)
+    a1[:12000] = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (12000,)) * 0.1)
+    batch = jnp.stack([jnp.asarray(a0), jnp.asarray(a1), jnp.zeros(16000)])
+    toks, ns = parakeet.transcribe_step_batch(
+        params, cfg, batch, jnp.asarray([16000, 12000, 0], jnp.int32)
+    )
+    toks, ns = np.asarray(toks), np.asarray(ns)
+    assert [int(t) for t in toks[0, : ns[0]]] == parakeet.transcribe_tokens(params, cfg, a0)
+    assert [int(t) for t in toks[1, : ns[1]]] == parakeet.transcribe_tokens(
+        params, cfg, a1, n_valid=12000
+    )
+    assert ns[2] == 0
+
+
+def test_batched_stt_service_concurrent_submissions(parakeet_tiny):
+    """Concurrent submissions (mixed buckets) through the micro-batch service
+    return each caller its own single-path transcript."""
+    import threading
+
+    from s2s_tpu.models import parakeet
+    from s2s_tpu.runtime.batcher import BatchedParakeetSTT
+
+    cfg, params = parakeet_tiny
+    service = BatchedParakeetSTT(params, cfg, window_s=0.01, max_batch=4)
+    audios = []
+    for i, (bucket, valid) in enumerate(((16000, 16000), (16000, 9000), (32000, 25000))):
+        a = np.zeros(bucket, np.float32)
+        a[:valid] = np.asarray(jax.random.normal(jax.random.PRNGKey(10 + i), (valid,)) * 0.1)
+        audios.append((a, valid))
+    expected = [parakeet.transcribe_tokens(params, cfg, a, n_valid=v) for a, v in audios]
+    results: list = [None] * len(audios)
+
+    def call(i: int) -> None:
+        results[i] = service.transcribe(audios[i][0], audios[i][1])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(len(audios))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    service.close()
+    assert results == expected
+
+
+def test_registry_shares_batched_stt_service_across_units():
+    """n_units > 1 -> every unit's parakeet handler rides ONE shared weight
+    set / batched service from the model cache (reference: N model copies)."""
+    from queue import Queue
+    from threading import Event
+
+    from s2s_tpu.registry import HandlerContext, ModelCache, get_backend
+
+    spec = get_backend("stt", "parakeet-tdt")
+    config = spec.config_type(model_size="tiny")
+    cache = ModelCache()
+    handlers = []
+    for _ in range(2):
+        ctx = HandlerContext(
+            stop_event=Event(), queue_in=Queue(), queue_out=Queue(),
+            text_output_queue=Queue(), should_listen=Event(), cancel_scope=None,
+            speculative_turns=None, device_scheduler=None, model_cache=cache,
+            n_units=2,
+        )
+        handlers.append(spec.create_handler(config, ctx))
+    s0, s1 = (h._batch_service for h in handlers)
+    assert s0 is s1 and s0 is not None
+    assert handlers[0]._parakeet_params is handlers[1]._parakeet_params
+    s0.close()
+
+
 def test_parakeet_handler_with_fake_fn():
     from queue import Queue
 
