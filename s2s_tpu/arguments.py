@@ -143,6 +143,10 @@ class LocalLLMArgs:
     #: first-sentence latency lane: a new turn's first N tokens decode as
     #: single-slot dispatches ahead of the full-batch steps (0 disables)
     priority_tokens: int = 12
+    #: start generating on the PROGRESSIVE transcript before the STT final
+    #: and adopt on exact prompt match (batched engine only; a mismatch
+    #: falls back to the normal path and only cost a spare slot's decode)
+    speculative_prefill: bool = True
     quantize: Optional[str] = None  # "int8" / "int4" weight-only decode (HBM reads /2 or /4)
     gen_kwargs: dict[str, Any] = field(default_factory=dict)
 

@@ -118,12 +118,18 @@ def build_pipeline_unit(
     for handler in handlers:
         handler.pipeline_index = index
 
+    # speculative first-sentence generation engages when the LLM handler
+    # actually runs it: local-JAX backend on the batched engine
+    spec_prefill = bool(
+        getattr(llm, "speculative_prefill", False) and getattr(llm, "shared_lm", None) is not None
+    )
     service = RealtimeService(
         text_prompt_queue=text_prompt_queue,
         should_listen=should_listen,
         chat_size=args.server.chat_size,
         speculative_turns=tracker,
         default_instructions=args.server.default_instructions,
+        speculative_prefill=spec_prefill,
     )
 
     return PipelineUnit(

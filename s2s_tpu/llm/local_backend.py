@@ -24,9 +24,11 @@ from typing import Any, Callable, Iterator
 import numpy as np
 
 from s2s_tpu.llm.base_handler import BaseLLMHandler, StreamContext
+from s2s_tpu.llm.chat import make_user_message
 from s2s_tpu.llm.compaction import build_compactor
+from s2s_tpu.pipeline.messages import SpeculativeGenerateRequest
 from s2s_tpu.runtime.device_scheduler import GLOBAL_SCHEDULER, Lane
-from s2s_tpu.utils.common import next_power_of_2
+from s2s_tpu.utils.common import next_power_of_2, response_wants_audio
 
 logger = logging.getLogger(__name__)
 
@@ -87,6 +89,7 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         compact_history: bool = False,
         max_new_tokens: int = 256,
         shared_lm: Any | None = None,
+        speculative_prefill: bool = False,
         warmup: bool = False,
     ) -> None:
         self.cancel_scope = cancel_scope
@@ -99,6 +102,11 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         #: cross-session batched decode engine (one per weight set); when
         #: present, greedy decode goes through its shared dispatch stream
         self.shared_lm = shared_lm
+        #: start generating on the progressive transcript before the STT
+        #: final lands; adopt iff the final renders the identical prompt
+        self.speculative_prefill = bool(speculative_prefill) and shared_lm is not None
+        self._spec: tuple[list[int], Any] | None = None  # (prompt_ids, handle)
+        self._last_real_turn: tuple[str, int | None] | None = None
         self._generate_fn = generate_fn
         if generate_fn is None:
             self._build_jax_generator(model_size, params, tokenizer)
@@ -135,6 +143,12 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         temperature = float(self.gen_kwargs.get("temperature", 0.0))
 
         if self.shared_lm is not None and temperature <= 0:
+            adopted = self._adopt_speculation(ids, max_new, cancel_check)
+            if adopted is not None:
+                # the speculative slot has been decoding this exact prompt
+                # since the last progressive transcript — stream its tokens
+                yield from self._decode_token_stream(adopted)
+                return
             # cross-session batched path: this turn's decode shares ONE
             # dispatch stream (and weight set) with every other session
             yield from self._decode_token_stream(
@@ -182,6 +196,98 @@ class LocalJAXLLMHandler(BaseLLMHandler):
                     break
             if pending:
                 yield self.tokenizer.decode(pending)
+
+    # ── speculative first-sentence generation ────────────────────────
+    #
+    # The reference's speculative turns start STT/LLM on the final audio
+    # before the turn commits (SURVEY §3.4); this goes one stage earlier:
+    # generation starts on the PROGRESSIVE transcript before the STT final
+    # exists, into a spare engine slot, and the real request adopts the
+    # already-decoded tokens iff its rendered prompt is bit-identical.
+    # Wrong-text speculation costs only the spare slot's decode; it can
+    # never leak — adoption is exact-prompt-match, chat history is written
+    # only by the real request's commit path.
+
+    def process(self, request) -> Iterator[Any]:
+        if isinstance(request, SpeculativeGenerateRequest):
+            self._begin_speculation(request)
+            return
+        if getattr(request, "turn_id", None) is not None:
+            # a spec request queued behind this real one is stale by
+            # definition — remember the answered turn so it won't start
+            self._last_real_turn = (request.turn_id, request.turn_revision)
+        yield from super().process(request)
+
+    def on_session_end(self) -> None:
+        self.cancel_speculation()
+        super().on_session_end()
+
+    def cancel_speculation(self) -> None:
+        spec = self._spec
+        self._spec = None
+        if spec is not None:
+            spec[1].cancel()
+
+    def _begin_speculation(self, req: SpeculativeGenerateRequest) -> None:
+        # a newer partial supersedes any outstanding speculation
+        self.cancel_speculation()
+        if not self.speculative_prefill or self._generate_fn is not None:
+            return
+        if float(self.gen_kwargs.get("temperature", 0.0)) > 0:
+            return  # sampled decode can't be reproduced by prompt equality
+        start = getattr(self.shared_lm, "start", None)
+        if start is None:
+            return
+        if (req.turn_id is not None
+                and (req.turn_id, req.turn_revision) == getattr(self, "_last_real_turn", None)):
+            return  # the final for this (turn, rev) was already answered
+        if self.speculative_turns is not None and req.turn_id is not None:
+            if not self.speculative_turns.is_latest(req.turn_id, req.turn_revision or 0):
+                return  # superseded by a reopen while queued
+        text = (req.text or "").strip()
+        if not text:
+            return
+        ids = self._prompt_ids_for_user_text(req.runtime_config, text)
+        if not ids:
+            return
+        handle = start(ids, self.max_new_tokens)
+        if handle is not None:  # None: every slot busy — skip, don't queue
+            self._spec = (ids, handle)
+
+    def _prompt_ids_for_user_text(self, runtime_config, text: str) -> list[int] | None:
+        """Render the prompt ids the REAL request would produce if the final
+        transcript equals *text* (VAD-triggered turn: response=None, session
+        instructions/tools, user message appended by the service bridge)."""
+        try:
+            chat = runtime_config.chat.copy()
+            chat.add_item(make_user_message(text))
+            ctx = StreamContext()
+            session = runtime_config.session
+            tool_choice = session.tool_choice
+            self._apply_instructions(
+                chat, session.instructions, session.tools,
+                str(tool_choice) if tool_choice else None, ctx,
+                response_wants_audio(None),
+            )
+            messages = chat.to_chat_messages()
+            prompt = render_chat_template(messages)
+            return self.tokenizer.encode(prompt)[: self.cfg.max_seq_len - self.max_new_tokens - 1]
+        except Exception:  # noqa: BLE001 — speculation must never break the turn
+            logger.exception("speculative prompt render failed; skipping")
+            return None
+
+    def _adopt_speculation(self, ids: list[int], max_new: int, cancel_check):
+        """Return the speculative token stream iff the real request renders
+        the identical prompt (and budget); otherwise cancel it."""
+        spec = self._spec
+        if spec is None:
+            return None
+        self._spec = None
+        if spec[0] != ids or max_new != self.max_new_tokens:
+            spec[1].cancel()
+            return None
+        spec[1].bind_cancel(cancel_check)
+        return spec[1].tokens()
 
     def _decode_token_stream(self, token_ids) -> Iterator[str]:
         """Decode a stream of token ids to text at UTF-8 boundaries."""

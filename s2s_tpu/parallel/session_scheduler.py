@@ -166,6 +166,10 @@ class _PrefillRequest:
     slot: int
     tokens: np.ndarray  # (1, T_bucket) int32
     prompt_len: int
+    #: identity guard: slot ids are recycled, so a queued prefill for a
+    #: RETIRED generation (e.g. a cancelled speculation) must not prefill
+    #: the id's NEW owner — the driver drops requests whose owner changed
+    slot_obj: "_Slot | None" = None
 
 
 class BatchedLMScheduler(_TraceMixin):
@@ -270,6 +274,46 @@ class BatchedLMScheduler(_TraceMixin):
 
     # ── session API ──────────────────────────────────────────────────
 
+    def start(
+        self,
+        prompt_ids: list[int],
+        max_new: int,
+        bucket: int | None = None,
+    ) -> "GenerationHandle | None":
+        """Eagerly claim a slot and submit the prefill WITHOUT blocking and
+        WITHOUT requiring the caller to consume tokens yet — the engine's
+        driver thread decodes into the slot queue regardless.  Returns None
+        when every slot is busy (callers that would rather skip than queue:
+        speculative first-sentence generation on a progressive transcript).
+
+        The handle's ``tokens()`` streams like ``generate()``; ``cancel()``
+        aborts and frees the slot even if nothing was ever consumed.
+        """
+        from s2s_tpu.utils.common import next_power_of_2
+
+        if max_new <= 0:
+            return None
+        with self._work:
+            if not self._free:
+                return None
+            slot_id = self._free.pop()
+            slot = _Slot()
+            self._slots[slot_id] = slot
+        self._tr("claim", slot_id)
+        bucket = bucket or min(next_power_of_2(max(len(prompt_ids), 16)), self._max_t)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, : len(prompt_ids)] = prompt_ids[:bucket]
+        with self._work:
+            slot.remaining = max_new
+            slot.priority_remaining = min(self.priority_tokens, max_new)
+            if self.gate is not None and slot.priority_remaining > 0:
+                slot.gate_key = object()
+                self.gate.enter(slot.gate_key)
+            self._prefills.append(_PrefillRequest(slot_id, padded, len(prompt_ids), slot))
+            self._ensure_threads()
+            self._work.notify_all()
+        return GenerationHandle(self, slot_id, slot)
+
     def generate(
         self,
         prompt_ids: list[int],
@@ -296,7 +340,7 @@ class BatchedLMScheduler(_TraceMixin):
                 if self.gate is not None and slot.priority_remaining > 0:
                     slot.gate_key = object()
                     self.gate.enter(slot.gate_key)
-                self._prefills.append(_PrefillRequest(slot_id, padded, len(prompt_ids)))
+                self._prefills.append(_PrefillRequest(slot_id, padded, len(prompt_ids), slot))
                 self._ensure_threads()
                 self._work.notify_all()
             while True:
@@ -463,7 +507,8 @@ class BatchedLMScheduler(_TraceMixin):
             for req in prefills:
                 with self._work:
                     slot = self._slots.get(req.slot)
-                    if slot is None:
+                    if slot is None or (req.slot_obj is not None and slot is not req.slot_obj):
+                        slot = None  # owner changed: stale prefill, drop it
                         continue
                     n_prio = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
                     cap = slot.remaining
@@ -603,6 +648,66 @@ class _TTSPrefill:
     text_tokens: np.ndarray  # (1, T_bucket)
     speaker_vec: object  # (1, D)
     max_frames: int
+    #: identity guard (see _PrefillRequest.slot_obj)
+    slot_obj: "object | None" = None
+
+
+class GenerationHandle:
+    """A running generation started with :meth:`BatchedLMScheduler.start`.
+
+    Decoding proceeds in the engine's driver thread whether or not anyone
+    consumes; tokens buffer in the slot queue.  Exactly one of ``tokens()``
+    (run to exhaustion / close) or ``cancel()`` must retire the slot; both
+    are idempotent against each other.
+    """
+
+    def __init__(self, engine: "BatchedLMScheduler", slot_id: int, slot: "_Slot") -> None:
+        self._engine = engine
+        self._slot_id = slot_id
+        self._slot = slot
+        self._cancel_check: Optional[Callable[[], bool]] = None
+        self._retired = False
+
+    def bind_cancel(self, cancel_check: Optional[Callable[[], bool]]) -> None:
+        """Attach the adopting turn's staleness check (polled in tokens())."""
+        self._cancel_check = cancel_check
+
+    def tokens(self) -> Iterator[int]:
+        """Stream the generation's token ids (already-decoded ones return
+        instantly from the slot queue)."""
+        eng, slot = self._engine, self._slot
+        try:
+            while True:
+                if self._cancel_check is not None and self._cancel_check():
+                    with eng._work:
+                        slot.cancelled = True
+                        eng._work.notify_all()
+                try:
+                    item = slot.queue.get(timeout=0.1)
+                except Empty:
+                    continue
+                if item is _DONE:
+                    return
+                yield item  # type: ignore[misc]
+        finally:
+            self._retire()
+
+    def cancel(self) -> None:
+        """Abort the generation and free the slot (no consumption needed)."""
+        self._retire()
+
+    def _retire(self) -> None:
+        if self._retired:
+            return
+        self._retired = True
+        eng, slot = self._engine, self._slot
+        with eng._work:
+            slot.cancelled = True
+            if eng.gate is not None and slot.gate_key is not None:
+                eng.gate.exit(slot.gate_key)
+                slot.gate_key = None
+            eng._release(self._slot_id)
+            eng._work.notify_all()
 
 
 class BatchedTTSScheduler:
@@ -706,7 +811,7 @@ class BatchedTTSScheduler:
                     slot.gate_key = object()
                     self.gate.enter(slot.gate_key)
                 self._prefills.append(
-                    _TTSPrefill(slot_id, np.asarray(text_tokens), speaker_vec, max_frames)
+                    _TTSPrefill(slot_id, np.asarray(text_tokens), speaker_vec, max_frames, slot)
                 )
                 self._ensure_threads()
                 self._work.notify_all()
@@ -862,7 +967,8 @@ class BatchedTTSScheduler:
             for req in prefills:
                 with self._work:
                     slot = self._slots.get(req.slot)
-                    if slot is None:
+                    if slot is None or (req.slot_obj is not None and slot is not req.slot_obj):
+                        slot = None  # owner changed: stale prefill, drop it
                         continue
                     n0 = min(_TTS_RAMP[0], slot.remaining)
                     cap = slot.remaining

@@ -66,6 +66,22 @@ class Transcription(PipelineMessage):
 # ── service -> LLM ────────────────────────────────────────────────────
 
 
+class SpeculativeGenerateRequest(PipelineMessage):
+    """Start generating on the PROGRESSIVE transcript before the STT final
+    lands (local-JAX backend only).  The handler renders the prompt the
+    final WOULD produce for this text, starts a slot in the batched engine,
+    and adopts the already-decoding tokens iff the final request renders the
+    identical prompt — extending the reference's speculative-turn trick
+    (STT/LLM start before turn commit) one stage earlier.  A newer partial,
+    a mismatching final, barge-in, or SESSION_END cancels it."""
+
+    tag: Literal["speculative_generate"] = "speculative_generate"
+    runtime_config: RuntimeConfig
+    text: str
+    turn_id: str | None = None
+    turn_revision: int | None = None
+
+
 class GenerateResponseRequest(PipelineMessage):
     """Everything the LM handler needs: per-connection config+chat, per-response
     overrides, optional raw audio for direct-audio sessions."""

@@ -35,7 +35,7 @@ from s2s_tpu.pipeline.events import (
     TokenUsageEvent,
     TranscriptionCompletedEvent,
 )
-from s2s_tpu.pipeline.messages import GenerateResponseRequest
+from s2s_tpu.pipeline.messages import GenerateResponseRequest, SpeculativeGenerateRequest
 from s2s_tpu.pipeline.turns import SpeculativeTurnTracker
 from s2s_tpu.realtime.config import RuntimeConfig
 from s2s_tpu.realtime.handlers import (
@@ -243,10 +243,15 @@ class RealtimeService:
         chat_size: int = 10,
         speculative_turns: SpeculativeTurnTracker | None = None,
         default_instructions: str | None = None,
+        speculative_prefill: bool = False,
     ) -> None:
         self.text_prompt_queue = text_prompt_queue
         self.should_listen = should_listen
         self.speculative_turns = speculative_turns
+        #: forward progressive transcripts to the LLM so generation starts
+        #: before the STT final (local-JAX batched backend only; wired by
+        #: the builder from the backend's capability)
+        self.speculative_prefill = speculative_prefill
         self.total_usage = GlobalUsage()
         self._chat_size = chat_size
         self._default_instructions = default_instructions
@@ -277,8 +282,7 @@ class RealtimeService:
         self._routes: dict[type, Callable[[str, Any], list[ServerEvent]]] = {
             SpeechStartedEvent: lambda cid, ev: self.audio.on_speech_started(cid, ev),
             SpeechStoppedEvent: lambda cid, ev: self.audio.on_speech_stopped(cid, ev),
-            PartialTranscriptionEvent:
-                lambda cid, ev: self.conversation.on_partial_transcription(cid, ev),
+            PartialTranscriptionEvent: self._on_partial_transcription,
             TranscriptionCompletedEvent: self._bridge_transcription,
             AudioInputCompletedEvent: self._bridge_direct_audio,
             TokenUsageEvent: self._count_tokens,
@@ -405,6 +409,22 @@ class RealtimeService:
             speech_stopped_at_s=event.speech_stopped_at_s,
             **extra,
         ))
+
+    def _on_partial_transcription(
+        self, conn_id: str, event: PartialTranscriptionEvent
+    ) -> list[ServerEvent]:
+        """Protocol delta, plus (when enabled) a speculative generate so the
+        LLM starts on the progressive transcript before the STT final."""
+        st = self._state(conn_id)
+        if (self.speculative_prefill and self.text_prompt_queue is not None
+                and event.delta and not st.rsp.active):
+            self.text_prompt_queue.put(SpeculativeGenerateRequest(
+                runtime_config=st.runtime_config,
+                text=str(event.delta),
+                turn_id=event.turn_id,
+                turn_revision=event.turn_revision,
+            ))
+        return self.conversation.on_partial_transcription(conn_id, event)
 
     def _bridge_transcription(
         self, conn_id: str, event: TranscriptionCompletedEvent

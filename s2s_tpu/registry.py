@@ -270,6 +270,7 @@ def _make_local_llm(config, ctx: HandlerContext):
             params=params,
             tokenizer=tokenizer,
             shared_lm=shared_lm,
+            speculative_prefill=getattr(config, "speculative_prefill", False),
             max_new_tokens=config.max_new_tokens,
             stream_batch_sentences=config.stream_batch_sentences,
             compact_history=config.compact_history,

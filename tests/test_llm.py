@@ -593,3 +593,129 @@ def test_processor_confirmed_reopen_drops_held_chunk():
     tracker.confirm_reopen_candidate("t1", 0, candidate)
     t.join(timeout=5)
     assert not any(isinstance(o, TTSInput) for o in results)
+
+
+# ── speculative first-sentence generation (local JAX + batched engine) ─
+
+
+def _spec_pair(max_new_tokens=8, speculative=True):
+    """Handler + engine sharing one tiny weight set."""
+    import jax
+
+    from s2s_tpu.llm.local_backend import lm_config
+    from s2s_tpu.models import decoder_lm
+    from s2s_tpu.parallel.session_scheduler import BatchedLMScheduler
+
+    cfg = lm_config("tiny")
+    params = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+    engine = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0, chunk_tokens=4)
+    handler = LocalJAXLLMHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(
+            model_size="tiny", params=params, shared_lm=engine,
+            speculative_prefill=speculative, max_new_tokens=max_new_tokens,
+        ),
+    )
+    return handler, engine, params
+
+
+def _reply_text(outs):
+    return "".join(o.text for o in outs if isinstance(o, LLMResponseChunk))
+
+
+def test_speculative_adoption_on_exact_match():
+    """Partial == final: the real request adopts the already-decoding slot
+    (the engine's generate() is never called) and the reply is identical to
+    the non-speculative run."""
+    from s2s_tpu.pipeline.messages import SpeculativeGenerateRequest
+
+    handler, engine, params = _spec_pair()
+    plain, engine2, _ = _spec_pair(speculative=False)
+    try:
+        rc_plain = RuntimeConfig()
+        rc_plain.chat.add_item(make_user_message("hi"))
+        want = _reply_text(list(plain.process(GenerateResponseRequest(runtime_config=rc_plain))))
+
+        rc = RuntimeConfig()
+        assert list(handler.process(
+            SpeculativeGenerateRequest(runtime_config=rc, text="hi", turn_id="t", turn_revision=0)
+        )) == []
+        assert handler._spec is not None
+        time.sleep(0.5)  # speculation decodes while "STT" finishes
+
+        def boom(*a, **k):
+            raise AssertionError("generate() must not run on adoption")
+
+        engine.generate = boom
+        rc.chat.add_item(make_user_message("hi"))  # the service bridge's write
+        outs = list(handler.process(GenerateResponseRequest(
+            runtime_config=rc, turn_id="t", turn_revision=0
+        )))
+        assert isinstance(outs[-1], EndOfResponse) and outs[-1].error is None
+        assert _reply_text(outs) == want
+        assert handler._spec is None
+    finally:
+        engine.shutdown()
+        engine2.shutdown()
+
+
+def test_speculative_mismatch_falls_back():
+    """Final text differs from the partial: speculation is cancelled, the
+    normal path runs, output equals the plain run, no slot leaks."""
+    from s2s_tpu.pipeline.messages import SpeculativeGenerateRequest
+
+    handler, engine, params = _spec_pair()
+    plain, engine2, _ = _spec_pair(speculative=False)
+    try:
+        rc_plain = RuntimeConfig()
+        rc_plain.chat.add_item(make_user_message("hello there"))
+        want = _reply_text(list(plain.process(GenerateResponseRequest(runtime_config=rc_plain))))
+
+        rc = RuntimeConfig()
+        list(handler.process(SpeculativeGenerateRequest(runtime_config=rc, text="hi")))
+        rc.chat.add_item(make_user_message("hello there"))
+        outs = list(handler.process(GenerateResponseRequest(runtime_config=rc)))
+        assert _reply_text(outs) == want
+        deadline = time.monotonic() + 10
+        while sorted(engine._free) != [0, 1] and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert sorted(engine._free) == [0, 1]  # speculative slot retired
+    finally:
+        engine.shutdown()
+        engine2.shutdown()
+
+
+def test_speculation_skipped_for_answered_turn():
+    """A speculative request queued behind the real one (same turn) must not
+    start a garbage generation after the turn was answered."""
+    from s2s_tpu.pipeline.messages import SpeculativeGenerateRequest
+
+    handler, engine, _ = _spec_pair()
+    try:
+        rc = RuntimeConfig()
+        rc.chat.add_item(make_user_message("hi"))
+        list(handler.process(GenerateResponseRequest(runtime_config=rc, turn_id="t", turn_revision=1)))
+        list(handler.process(SpeculativeGenerateRequest(
+            runtime_config=rc, text="hi", turn_id="t", turn_revision=1
+        )))
+        assert handler._spec is None
+    finally:
+        engine.shutdown()
+
+
+def test_session_end_cancels_speculation():
+    from s2s_tpu.pipeline.messages import SpeculativeGenerateRequest
+
+    handler, engine, _ = _spec_pair()
+    try:
+        rc = RuntimeConfig()
+        list(handler.process(SpeculativeGenerateRequest(runtime_config=rc, text="hi")))
+        assert handler._spec is not None
+        handler.on_session_end()
+        assert handler._spec is None
+        deadline = time.monotonic() + 10
+        while sorted(engine._free) != [0, 1] and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert sorted(engine._free) == [0, 1]
+    finally:
+        engine.shutdown()

@@ -447,3 +447,48 @@ def test_interrupts_disabled_keeps_response(svc):
     # no cancellation: the active response survives the speech start
     assert "response.done" not in types(events)
     assert service._state(conn).rsp.active
+
+
+# ── speculative prefill bridge (partial transcript -> LLM engine) ────
+
+
+def _spec_svc():
+    service = RealtimeService(
+        text_prompt_queue=Queue(),
+        should_listen=Event(),
+        chat_size=10,
+        speculative_turns=SpeculativeTurnTracker(),
+        speculative_prefill=True,
+    )
+    return service, service.register()
+
+
+def test_partial_emits_speculative_request_when_enabled():
+    from s2s_tpu.pipeline.messages import SpeculativeGenerateRequest
+
+    service, conn = _spec_svc()
+    events = service.dispatch_pipeline_event(
+        conn, PartialTranscriptionEvent(delta="hello wor", turn_id="t1", turn_revision=0)
+    )
+    assert [e["type"] for e in events] == ["conversation.item.input_audio_transcription.delta"]
+    req = service.text_prompt_queue.get_nowait()
+    assert isinstance(req, SpeculativeGenerateRequest)
+    assert req.text == "hello wor" and req.turn_id == "t1" and req.turn_revision == 0
+    assert req.runtime_config is service._state(conn).runtime_config
+
+
+def test_partial_not_speculated_by_default(svc):
+    service, conn = svc  # default fixture: speculative_prefill off
+    service.dispatch_pipeline_event(
+        conn, PartialTranscriptionEvent(delta="hello", turn_id="t1", turn_revision=0)
+    )
+    assert service.text_prompt_queue.empty()
+
+
+def test_partial_not_speculated_during_active_response():
+    service, conn = _spec_svc()
+    service.begin_audio_response(conn)  # response active: engine is busy
+    service.dispatch_pipeline_event(
+        conn, PartialTranscriptionEvent(delta="barge in", turn_id="t2", turn_revision=0)
+    )
+    assert service.text_prompt_queue.empty()

@@ -584,3 +584,85 @@ def test_cancel_racing_dispatch_never_wedges(lm):
             assert len(seen) <= 1 + 2 * 2
     finally:
         sched.shutdown()
+
+
+# ── speculative generation handles (start/adopt/cancel) ──────────────
+
+
+def test_start_handle_matches_generate(lm):
+    """A generation started eagerly (no consumer) decodes the same tokens
+    generate() would; consuming later drains instantly-buffered tokens."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0, chunk_tokens=4)
+    try:
+        handle = sched.start(PROMPTS[0], max_new=12)
+        assert handle is not None
+        time.sleep(1.0)  # let the driver decode without any consumer
+        got = list(handle.tokens())
+        assert got == serial_greedy(params, cfg, PROMPTS[0], 12, eos_id=0)
+        assert sorted(sched._free) == [0, 1]  # slot retired
+    finally:
+        sched.shutdown()
+
+
+def test_start_returns_none_when_slots_busy(lm):
+    cfg, params = lm
+    sched = BatchedLMScheduler(params, cfg, n_slots=1, eos_id=0, chunk_tokens=4)
+    try:
+        h1 = sched.start(PROMPTS[0], max_new=8)
+        assert h1 is not None
+        assert sched.start(PROMPTS[1], max_new=8) is None  # no free slot: skip
+        h1.cancel()
+        deadline = time.monotonic() + 10
+        h2 = None
+        while h2 is None and time.monotonic() < deadline:
+            h2 = sched.start(PROMPTS[1], max_new=8)
+            time.sleep(0.02)
+        assert h2 is not None  # cancel freed the slot
+        assert list(h2.tokens()) == serial_greedy(params, cfg, PROMPTS[1], 8, eos_id=0)
+    finally:
+        sched.shutdown()
+
+
+def test_cancelled_handle_frees_slot_without_consumption(lm):
+    """cancel() without ever calling tokens() must retire the slot (the
+    generator-finally path never runs for an unconsumed handle)."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0, chunk_tokens=4)
+    try:
+        handle = sched.start(PROMPTS[2], max_new=64)
+        handle.cancel()
+        handle.cancel()  # idempotent
+        deadline = time.monotonic() + 10
+        while sorted(sched._free) != [0, 1] and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert sorted(sched._free) == [0, 1]
+        # engine still healthy after the cancel
+        assert list(sched.generate(PROMPTS[0], max_new=6)) == serial_greedy(
+            params, cfg, PROMPTS[0], 6, eos_id=0
+        )
+    finally:
+        sched.shutdown()
+
+
+def test_handle_bound_cancel_terminates_stream(lm):
+    """bind_cancel stops FUTURE decode work; tokens already buffered by the
+    eager driver still stream (the adopting turn's downstream staleness
+    gates drop them).  The stream must terminate promptly either way and
+    leave the engine healthy."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0, chunk_tokens=2)
+    try:
+        handle = sched.start(PROMPTS[3], max_new=32)
+        seen = []
+        handle.bind_cancel(lambda: len(seen) >= 2)
+        t0 = time.monotonic()
+        for tok in handle.tokens():
+            seen.append(tok)
+        assert time.monotonic() - t0 < 30, "cancelled handle stream wedged"
+        assert 2 <= len(seen) <= 32
+        assert list(sched.generate(PROMPTS[0], max_new=6)) == serial_greedy(
+            params, cfg, PROMPTS[0], 6, eos_id=0
+        )
+    finally:
+        sched.shutdown()
