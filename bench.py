@@ -69,6 +69,11 @@ REPLY_TOKENS = 64
 PROMPT_BUCKET = 128
 TTS_CHUNK_FRAMES = 8
 
+#: S2S_BENCH_TINY=1: tiny configs + short loaded run — a CPU smoke of the
+#: FULL bench code path (every stage, scheduler, and JSON field), so bench
+#: edits can be validated without the TPU.  Numbers are meaningless.
+TINY = os.environ.get("S2S_BENCH_TINY", "0") == "1"
+
 
 def _device_init(init_fn, key):
     """Run a param initializer as ONE jitted program (eager per-op dispatch
@@ -89,18 +94,31 @@ def build_vad():
 
     params = silero_vad.init_params(jax.random.PRNGKey(0))
     n_chunks = int(IN_SECONDS * 16000) // silero_vad.CHUNK
-    chunks = jnp.zeros((n_chunks, 1, silero_vad.CHUNK))
-    probs, _state = silero_vad.jit_scan_steps(params, silero_vad.SileroState.create(1), chunks)
-    _ = float(probs[-1, 0])
 
-    def run() -> float:
-        t0 = time.perf_counter()
-        probs, _ = silero_vad.jit_scan_steps(params, silero_vad.SileroState.create(1), chunks)
-        # a value fetch is the only true sync on the tunnel backend
+    def make(batch: int):
+        chunks = jnp.zeros((n_chunks, batch, silero_vad.CHUNK))
+        # the scan's carry is DONATED — a fresh state per call
+        probs, _ = silero_vad.jit_scan_steps(params, silero_vad.SileroState.create(batch), chunks)
         _ = float(probs[-1, 0])
-        return time.perf_counter() - t0
 
-    return run, params
+        def run() -> float:
+            t0 = time.perf_counter()
+            probs, _ = silero_vad.jit_scan_steps(
+                params, silero_vad.SileroState.create(batch), chunks
+            )
+            # a value fetch is the only true sync on the tunnel backend
+            _ = float(probs[-1, 0])
+            return time.perf_counter() - t0
+
+        return run
+
+    # Serving runs ONE batched Silero for every session: audio is continuous,
+    # so all live sessions have a chunk at every 32 ms tick and the
+    # micro-batcher (`runtime/batcher.py::BatchedSileroVAD`, wired in
+    # `builder.py`) scores them in one dispatch — the aggregate charges the
+    # batched cost, not 16 serial passes (which is the reference's N-copies
+    # shape, not this framework's).
+    return make(1), make, params
 
 
 def build_stt(seconds: float, params=None):
@@ -109,7 +127,7 @@ def build_stt(seconds: float, params=None):
 
     from s2s_tpu.models import parakeet
 
-    cfg = parakeet.ParakeetConfig.tdt_0_6b_v3()
+    cfg = parakeet.ParakeetConfig.test_tiny() if TINY else parakeet.ParakeetConfig.tdt_0_6b_v3()
     if params is None:
         params = _device_init(lambda k: parakeet.init_params(k, cfg), jax.random.PRNGKey(0))
     n = int(seconds * 16000)
@@ -127,13 +145,33 @@ def build_stt(seconds: float, params=None):
     return run, params
 
 
+def _stt_batched(params, batch: int) -> float:
+    """16 coinciding 5 s windows -> one ``transcribe_step_batch`` dispatch
+    (the cross-session service shape, ``runtime/batcher.py``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2s_tpu.models import parakeet
+
+    cfg = parakeet.ParakeetConfig.test_tiny() if TINY else parakeet.ParakeetConfig.tdt_0_6b_v3()
+    n = int(IN_SECONDS * 16000)
+    audio = jnp.zeros((batch, n), jnp.float32)
+    n_valid = jnp.full((batch,), n, jnp.int32)
+    buf, cnt = parakeet.transcribe_step_batch(params, cfg, audio, n_valid)
+    _ = int(cnt[0])
+    t0 = time.perf_counter()
+    buf, cnt = parakeet.transcribe_step_batch(params, cfg, audio, n_valid)
+    _ = int(cnt[0])
+    return time.perf_counter() - t0
+
+
 def build_llm():
     import jax
     import jax.numpy as jnp
 
     from s2s_tpu.models import decoder_lm
 
-    cfg = decoder_lm.DecoderLMConfig.smollm2_1_7b()
+    cfg = decoder_lm.DecoderLMConfig.tiny() if TINY else decoder_lm.DecoderLMConfig.smollm2_1_7b()
     params = _device_init(lambda k: decoder_lm.init_params(k, cfg), jax.random.PRNGKey(0))
     prompt = jnp.ones((1, PROMPT_BUCKET), jnp.int32)
     # serving cache bucket sized to the workload (prompt 128 + reply 64 ->
@@ -200,7 +238,7 @@ def build_tts():
 
     from s2s_tpu.models import qwen3_tts
 
-    cfg = qwen3_tts.Qwen3TTSConfig.qwen3_tts_12hz_1_7b()
+    cfg = qwen3_tts.Qwen3TTSConfig.tiny() if TINY else qwen3_tts.Qwen3TTSConfig.qwen3_tts_12hz_1_7b()
     params = _device_init(lambda k: qwen3_tts.init_params(k, cfg), jax.random.PRNGKey(0))
     tts = qwen3_tts.Qwen3TTS(params=params, cfg=cfg, chunk_frames=TTS_CHUNK_FRAMES)
     text = "This is a representative assistant reply used to benchmark synthesis."
@@ -269,7 +307,7 @@ def build_tts():
 
 
 def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
-                       n_bg: int = 15, turns: int = 12,
+                       n_bg: int = 15, turns: int = 20,
                        bg_cycle_s: float = 10.0) -> tuple[float, float]:
     """MEASURED loaded voice-to-voice latency: probe turns (STT final +
     LLM first sentence + TTS first audible chunk) through the REAL serving
@@ -325,7 +363,8 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
     bg_frames = int(OUT_SECONDS * 12.5)
     stop = threading.Event()
 
-    def bg_loop(offset_s: float) -> None:
+    def bg_loop(offset_s: float, seed: int) -> None:
+        rng = random.Random(seed)
         time.sleep(offset_s)  # stagger turn starts across the pool
         while not stop.is_set():
             t0 = time.perf_counter()
@@ -337,20 +376,34 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
             for _chunk, _sr in tts_sched.stream(tts_tokens, spk, bg_frames):
                 if stop.is_set():
                     break
-            # conversational cadence: next turn starts when the cycle elapses
-            remaining = bg_cycle_s - (time.perf_counter() - t0)
+            # conversational cadence with per-turn jitter: human turns are
+            # not synchronized, and without jitter a congested cycle can
+            # phase-lock all sessions into a thundering herd of turn starts
+            # (observed as rare multi-second probe outliers)
+            remaining = bg_cycle_s - (time.perf_counter() - t0) + rng.uniform(-1.0, 1.0)
             if remaining > 0:
                 stop.wait(remaining)
 
     phases: list[tuple[float, float, float]] = []
 
-    def probe() -> float:
+    def probe(speculative: bool = True) -> float:
         t0 = time.perf_counter()
+        # serving default (--llm_speculative_prefill): generation starts on
+        # the PROGRESSIVE transcript, so the first-sentence tokens decode
+        # WHILE the STT final runs and the real request adopts them on
+        # exact prompt match (llm/local_backend.py).  Starting the slot at
+        # t0 is conservative — serving starts it on the last partial,
+        # which precedes speech-stop.
+        spec = lm_sched.start(prompt, FIRST_SENTENCE_TOKENS) if speculative else None
         with GLOBAL_SCHEDULER.slot(Lane.INTERACTIVE):
             stt_final()
         t1 = time.perf_counter()
-        for _tok in lm_sched.generate(prompt, FIRST_SENTENCE_TOKENS):
-            pass
+        if spec is not None:
+            for _tok in spec.tokens():
+                pass
+        else:
+            for _tok in lm_sched.generate(prompt, FIRST_SENTENCE_TOKENS):
+                pass
         t2 = time.perf_counter()
         for _chunk, _sr in tts_sched.stream(tts_tokens, spk, TTS_CHUNK_FRAMES):
             break  # first audible chunk ends the latency chain
@@ -371,19 +424,33 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
         for _chunk, _sr in tts_sched.stream(tts_tokens, spk, bg_frames):
             pass
         threads = [
-            threading.Thread(target=bg_loop, args=(i * bg_cycle_s / n_bg,), daemon=True)
+            threading.Thread(target=bg_loop, args=(i * bg_cycle_s / n_bg, 100 + i), daemon=True)
             for i in range(n_bg)
         ]
         for t in threads:
             t.start()
-        time.sleep(3.0)  # let the first background turns land
+        # Let the pool reach its cadence steady state before measuring: all
+        # 15 sessions spin up together, so their FIRST turns herd (up to
+        # ~3 s of queued single-slot prefills — the capacity-limited cold
+        # start, traced to device-queue depth, not a scheduler artifact).
+        # The workload model is the reference soak harness's steady
+        # conversational cadence, so probes sample that regime.
+        time.sleep(bg_cycle_s * 1.5)
         rng = random.Random(0)
         times = []
         for _ in range(turns):
             times.append(probe())
             # probes land at random phases of the background cadence
             time.sleep(rng.uniform(0.2, 1.2))
+        n_measured = len(times)
         times.sort()
+        # comparison set: the same chain WITHOUT speculative prefill
+        # (generation starts only after the STT final) — the r2-shape chain
+        nospec = []
+        for _ in range(min(8, turns)):
+            nospec.append(probe(speculative=False))
+            time.sleep(rng.uniform(0.2, 1.2))
+        nospec.sort()
     finally:
         stop.set()
     for t in threads:
@@ -393,21 +460,31 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
     GLOBAL_SCHEDULER.priority_gate = None
     p50 = statistics.median(times)
     p95 = times[min(len(times) - 1, int(round(0.95 * (len(times) - 1))))]
-    measured = phases[-len(times):]  # skip warm probes
+    measured = phases[1:1 + n_measured]  # skip the warm probe; exclude nospec
     phase_p50 = tuple(
         round(statistics.median(p[i] for p in measured), 4) for i in range(3)
     )
-    return p50, p95, phase_p50
+    return (p50, p95, phase_p50, [tuple(round(x, 4) for x in p) for p in measured],
+            statistics.median(nospec))
 
 
 def main() -> None:
-    vad_run, _vad_params = build_vad()
+    vad_run, vad_batched, _vad_params = build_vad()
     t_vad = min(vad_run() for _ in range(3))
+    # serving shape: ONE batched dispatch scores every session's tick
+    t_vad_b8 = min(vad_batched(8)() for _ in range(2))
+    t_vad_b16 = min(vad_batched(16)() for _ in range(2))
+    t_vad_b32 = min(vad_batched(32)() for _ in range(2))
 
     stt_run, stt_params = build_stt(IN_SECONDS)
     t_stt = min(stt_run() for _ in range(3))
     # 2 s bucket for the latency chain; same weights, different shape bucket
     stt_final, _ = build_stt(2.0, params=stt_params)
+    # cross-session batched transcribe (runtime/batcher.py service): when
+    # concurrent windows coincide they share ONE 0.6B weight read.  The
+    # aggregate still charges finals per session (they arrive spread out at
+    # conversational cadence); this records the capability headroom.
+    t_stt_b16 = min(_stt_batched(stt_params, 16) for _ in range(2))
     gc.collect()
 
     llm_turn, llm_batched, llm_to_int8, llm_holder, llm_cfg = build_llm()
@@ -417,6 +494,7 @@ def main() -> None:
     llm_turn(FIRST_SENTENCE_TOKENS)  # warm the first-sentence program on int8
     t_llm_b8 = min(llm_batched(8) for _ in range(3))
     t_llm_b16 = min(llm_batched(16) for _ in range(2))
+    t_llm_b32 = min(llm_batched(32) for _ in range(2))
 
     tts_first, tts_full, tts_batched, tts_to_int8, tts_obj, tts_cfg = build_tts()
     t_tts_bf16 = min(tts_full(OUT_SECONDS) for _ in range(2))
@@ -425,6 +503,7 @@ def main() -> None:
     tts_first()  # warm streaming programs on int8
     t_tts_b8 = tts_batched(8, OUT_SECONDS)
     t_tts_b16 = tts_batched(16, OUT_SECONDS)
+    t_tts_b32 = tts_batched(32, OUT_SECONDS)
 
     # voice-to-voice latency chain at real sizes, all models resident
     def one_turn() -> float:
@@ -441,18 +520,30 @@ def main() -> None:
 
     # MEASURED loaded latency: probe turns through the serving schedulers
     # while 15 background sessions decode (priority lanes active)
-    loaded_p50, loaded_p95, loaded_phases = measure_loaded_v2v(
-        stt_final, llm_holder["params"], llm_cfg, tts_obj, tts_cfg,
+    loaded_kw = dict(n_bg=3, turns=4, bg_cycle_s=4.0) if TINY else {}
+    loaded_p50, loaded_p95, loaded_phases, loaded_all, loaded_nospec_p50 = measure_loaded_v2v(
+        stt_final, llm_holder["params"], llm_cfg, tts_obj, tts_cfg, **loaded_kw,
     )
 
     # BASELINE.md headline: aggregate RTFx per chip on the full cascade —
-    # 16 concurrent sessions sharing one weight set, batched LLM decode and
-    # batched TTS frame decode+vocode, per-session VAD/STT
+    # 16 concurrent sessions sharing one weight set; batched LLM decode,
+    # batched TTS frame decode+vocode, and batched VAD ticks (audio is
+    # continuous, so every session has a chunk at every 32 ms tick — the
+    # serving micro-batcher scores them in one dispatch); STT finals stay
+    # charged per session (they arrive spread out at conversational
+    # cadence, so no batch forms reliably — honesty over headroom).
     aggregate = 16 * (IN_SECONDS + OUT_SECONDS) / (
-        t_vad * 16 + t_stt * 16 + t_llm_b16 + t_tts_b16
+        t_vad_b16 + t_stt * 16 + t_llm_b16 + t_tts_b16
     )
     aggregate8 = 8 * (IN_SECONDS + OUT_SECONDS) / (
-        t_vad * 8 + t_stt * 8 + t_llm_b8 + t_tts_b8
+        t_vad_b8 + t_stt * 8 + t_llm_b8 + t_tts_b8
+    )
+    # capacity mode: 32 slots fit (weights int8 + 32 KV rows well under
+    # 16 GB HBM) and batched decode stays bandwidth-bound, so doubling the
+    # slots costs ~1.5-1.7x per chunk; per-session STT becomes the
+    # co-limiter at this width.  16 stays the default (latency-balanced).
+    aggregate32 = 32 * (IN_SECONDS + OUT_SECONDS) / (
+        t_vad_b32 + t_stt * 32 + t_llm_b32 + t_tts_b32
     )
     single = (IN_SECONDS + OUT_SECONDS) / (t_vad + t_stt + t_llm + t_tts)
     result = {
@@ -467,7 +558,13 @@ def main() -> None:
                 "16 sessions/chip)"
             ),
             "vad_s": round(t_vad, 4),
+            "vad_s_batch16": round(t_vad_b16, 4),
             "stt_s": round(t_stt, 4),
+            # capability: 16 coinciding 5 s windows through ONE batched
+            # dispatch (progressive ticks under load); aggregates do NOT
+            # use this — finals are charged per session
+            "stt_s_batch16_total": round(t_stt_b16, 4),
+            "stt_rtfx_batch16": round(16 * IN_SECONDS / t_stt_b16, 2),
             "llm_s": round(t_llm, 4),
             "llm_s_bf16": round(t_llm_bf16, 4),
             "llm_tokens_per_s": round(REPLY_TOKENS / t_llm, 1),
@@ -479,6 +576,9 @@ def main() -> None:
             "tts_rtf_batch8": round(8 * OUT_SECONDS / t_tts_b8, 2),
             "tts_rtf_batch16": round(16 * OUT_SECONDS / t_tts_b16, 2),
             "aggregate_rtfx_8_sessions": round(aggregate8, 2),
+            "aggregate_rtfx_32_sessions_capacity": round(aggregate32, 2),
+            "llm_tokens_per_s_batch32": round(32 * REPLY_TOKENS / t_llm_b32, 1),
+            "tts_rtf_batch32": round(32 * OUT_SECONDS / t_tts_b32, 2),
             "audio_s": IN_SECONDS + OUT_SECONDS,
             "single_session_rtfx": round(single, 2),
             "voice_to_voice_p50_s": round(v2v_p50, 4),
@@ -489,8 +589,18 @@ def main() -> None:
             # 16-session serving config; priority lanes active)
             "voice_to_voice_loaded_p50_s": round(loaded_p50, 4),
             "voice_to_voice_loaded_p95_s": round(loaded_p95, 4),
+            # serving default: speculative first-sentence generation (start
+            # on the progressive transcript, adopt on exact prompt match —
+            # llm/local_backend.py); the nospec p50 is the same chain with
+            # generation starting only after the STT final
+            "voice_to_voice_loaded_speculative": True,
+            "voice_to_voice_loaded_nospec_p50_s": round(loaded_nospec_p50, 4),
             # per-phase p50 under load: (stt, llm-first-sentence, tts-first-chunk)
             "voice_to_voice_loaded_phases_s": list(loaded_phases),
+            # every measured probe's (stt, llm, tts) phases, chronological —
+            # the full distribution behind the percentiles (tail outliers on
+            # this single-core host + tunnel are visible here, not hidden)
+            "voice_to_voice_loaded_probes_s": loaded_all,
             "voice_to_voice_target_s": 0.3,
         },
     }

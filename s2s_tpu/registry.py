@@ -66,6 +66,21 @@ class ModelCache:
                 self._models[key] = factory()
             return self._models[key]
 
+    def clear(self) -> None:
+        """Drop every cached model/engine, shutting down engines that have a
+        shutdown() (tests; a serve process keeps the cache for its lifetime)."""
+        with self._lock:
+            values, self._models = list(self._models.values()), {}
+        for value in values:
+            engines = value if isinstance(value, tuple) else (value,)
+            for engine in engines:
+                stop = getattr(engine, "shutdown", None) or getattr(engine, "close", None)
+                if callable(stop):
+                    try:
+                        stop()
+                    except Exception:  # noqa: BLE001
+                        logger.exception("engine shutdown during cache clear failed")
+
 
 GLOBAL_MODEL_CACHE = ModelCache()
 

@@ -219,3 +219,63 @@ def test_soak_client_utterances_are_distinct():
     c = make_utterance(0, 1)
     assert not np.array_equal(a, b) and not np.array_equal(a, c)
     assert a.dtype == np.int16 and len(a) > 16000
+
+
+# ── speculative prefill through the real builder wiring ──────────────
+
+
+def test_speculative_prefill_wired_through_builder(monkeypatch):
+    """build_pipeline_unit with the local-JAX batched backend must (a) flip
+    the service's speculative_prefill flag on, (b) start a speculation when
+    a partial transcript arrives, and (c) have the final's generation adopt
+    it (the engine's blocking generate() path is never used)."""
+    import threading
+
+    from s2s_tpu.arguments import parse_arguments
+    from s2s_tpu.builder import build_pipeline_unit
+    from s2s_tpu.pipeline.events import (
+        PartialTranscriptionEvent,
+        TranscriptionCompletedEvent,
+    )
+    from s2s_tpu.pipeline.messages import EndOfResponse, LLMResponseChunk
+    from s2s_tpu.registry import GLOBAL_MODEL_CACHE
+
+    GLOBAL_MODEL_CACHE.clear()
+    args = parse_arguments([
+        "serve", "--stt", "whisper", "--stt_model_size", "tiny",
+        "--llm_backend", "local-jax", "--llm_model_size", "tiny",
+        "--llm_batched_slots", "2", "--llm_max_new_tokens", "8",
+        "--tts", "kokoro", "--tts_model_size", "tiny",
+    ])
+    stop = threading.Event()
+    unit = build_pipeline_unit(0, args, stop)
+    try:
+        service = unit.service
+        assert service.speculative_prefill is True
+        llm = next(h for h in unit.handlers if type(h).__name__ == "LocalJAXLLMHandler")
+        assert llm.speculative_prefill and llm.shared_lm is not None
+
+        conn = service.register()
+        service.dispatch_pipeline_event(
+            conn, PartialTranscriptionEvent(delta="hi", turn_id="t1", turn_revision=0)
+        )
+        spec_req = service.text_prompt_queue.get(timeout=5)
+        list(llm.process(spec_req))
+        assert llm._spec is not None
+
+        # the engine's blocking path must not run on adoption
+        monkeypatch.setattr(
+            llm.shared_lm, "generate",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("generate() ran")),
+        )
+        service.dispatch_pipeline_event(
+            conn, TranscriptionCompletedEvent(transcript="hi", turn_id="t1", turn_revision=0)
+        )
+        real_req = service.text_prompt_queue.get(timeout=5)
+        outs = list(llm.process(real_req))
+        assert any(isinstance(o, LLMResponseChunk) and o.text for o in outs)
+        assert isinstance(outs[-1], EndOfResponse) and outs[-1].error is None
+        assert llm._spec is None
+    finally:
+        stop.set()
+        GLOBAL_MODEL_CACHE.clear()
