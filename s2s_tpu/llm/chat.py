@@ -85,6 +85,7 @@ class Chat:
         self._user_turns = 0
         self._lock = threading.Lock()
         self._compacting = False
+        self._compact_thread: threading.Thread | None = None  # latest worker (join handle)
         self._epoch = 0  # bumped on reset/close to void in-flight compactions
         self._closed = threading.Event()
 
@@ -500,12 +501,14 @@ class Chat:
             return
         epoch = self._epoch
         self._compacting = True
-        threading.Thread(
+        thread = threading.Thread(
             target=self._compact_worker,
             args=(compactor, snapshot, marker_ids, epoch),
             daemon=True,
             name="chat-compact",
-        ).start()
+        )
+        self._compact_thread = thread
+        thread.start()
         logger.info("Chat compaction triggered for %d turn(s)", n_turns)
 
     def _compact_worker(
