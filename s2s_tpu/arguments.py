@@ -123,6 +123,9 @@ class RemoteLLMArgs:
     disable_thinking: bool = True
     reasoning_effort: Optional[str] = None
     timeout_s: float = 60.0
+    #: Chat Completions audio part shape: OpenAI "input_audio" object or a
+    #: llama.cpp-style "audio_url" base64 data URL
+    audio_content_type: str = "input_audio"
     gen_kwargs: dict[str, Any] = field(default_factory=dict)
 
 

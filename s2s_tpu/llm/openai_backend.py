@@ -91,6 +91,51 @@ def audio_to_wav_base64(audio: np.ndarray, sample_rate: int) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+def to_chat_content_part(part: dict[str, Any], audio_content_type: str = "input_audio") -> dict[str, Any]:
+    """Convert one realtime content part to the Chat Completions wire shape
+    (reference ``chat_completions_language_model.py:96-136``): ``input_text``
+    -> ``text``, ``input_image`` -> ``image_url``, ``input_audio`` -> either
+    the OpenAI ``input_audio`` object or a llama.cpp-style ``audio_url``
+    base64 data URL, per *audio_content_type*."""
+    ptype = part.get("type")
+    if ptype == "input_text":
+        return {"type": "text", "text": part.get("text") or ""}
+    if ptype == "input_image":
+        raw_url = part.get("image_url")
+        if isinstance(raw_url, dict):
+            image_url = raw_url
+        else:
+            image_url = {"url": raw_url}
+            if part.get("detail") is not None:
+                image_url["detail"] = part["detail"]
+        return {"type": "image_url", "image_url": image_url}
+    if ptype == "input_audio":
+        audio_b64 = part.get("audio") or ""
+        if audio_content_type == "audio_url":
+            return {"type": "audio_url", "audio_url": {"url": f"data:audio/wav;base64,{audio_b64}"}}
+        return {"type": "input_audio", "input_audio": {"data": audio_b64, "format": "wav"}}
+    return part
+
+
+def chat_wire_messages(chat: Chat, audio_content_type: str = "input_audio") -> list[dict[str, Any]]:
+    """Serialize history for a real Chat Completions server (reference
+    ``chat_completions_language_model.py:139-157``): tool-call arguments
+    must be JSON *strings*, media content parts use the chat shapes, and
+    ``tool`` role messages carry no ``name`` key."""
+    messages = chat.to_chat_messages()
+    for message in messages:
+        for tool_call in message.get("tool_calls") or []:
+            fn = tool_call.get("function")
+            if fn is not None and not isinstance(fn.get("arguments"), str):
+                fn["arguments"] = json.dumps(fn.get("arguments") or {}, ensure_ascii=False)
+        content = message.get("content")
+        if isinstance(content, list):
+            message["content"] = [to_chat_content_part(p, audio_content_type) for p in content]
+        if message.get("role") == "tool":
+            message.pop("name", None)
+    return messages
+
+
 def iter_sse_data(response: httpx.Response) -> Iterator[dict[str, Any]]:
     """Yield parsed ``data:`` JSON payloads from an SSE byte stream."""
     for line in response.iter_lines():
@@ -128,6 +173,7 @@ class RemoteLLMHandler(BaseLLMHandler):
         timeout_s: float = 60.0,
         client: httpx.Client | None = None,
         warmup: bool = False,
+        audio_content_type: str = "input_audio",
     ) -> None:
         self.cancel_scope = cancel_scope
         self.speculative_turns = speculative_turns
@@ -136,6 +182,7 @@ class RemoteLLMHandler(BaseLLMHandler):
         self.stream_batch_sentences = max(1, stream_batch_sentences)
         self.enable_lang_prompt = enable_lang_prompt
         self.gen_kwargs = gen_kwargs or {}
+        self.audio_content_type = audio_content_type
         if api_key is None and base_url is not None and _is_local_base_url(base_url):
             api_key = "none"
         self.base_url = (base_url or "https://api.openai.com/v1").rstrip("/")
@@ -178,7 +225,9 @@ class RemoteLLMHandler(BaseLLMHandler):
         if self.api_shape == "responses":
             yield from self._responses_request(chat, tools, tool_choice, max_tokens)
         else:
-            yield from self._chat_request(chat.to_chat_messages(), tools, tool_choice, max_tokens)
+            yield from self._chat_request(
+                chat_wire_messages(chat, self.audio_content_type), tools, tool_choice, max_tokens
+            )
 
     def _responses_request(self, chat: Chat, tools, tool_choice, max_tokens) -> Iterator[ProviderEvent]:
         body: dict[str, Any] = {
@@ -250,6 +299,22 @@ class RemoteLLMHandler(BaseLLMHandler):
             )
 
     @staticmethod
+    def _flush_tool_acc(tool_acc: dict[int, dict[str, str]]) -> Iterator[ToolCall]:
+        """Accumulated tool deltas -> normalized events; nameless slots are
+        provider noise and are skipped, empty arguments default to '{}'."""
+        for idx in sorted(tool_acc):
+            slot = tool_acc[idx]
+            if not slot["name"]:
+                continue
+            yield ToolCall(
+                call=FunctionToolCall(
+                    name=slot["name"], arguments=slot["arguments"] or "{}",
+                    call_id=generate_id("call"), id=generate_id("fc"),
+                    status="in_progress",
+                )
+            )
+
+    @staticmethod
     def _tools_to_chat_format(tools) -> list[dict[str, Any]]:
         return [
             {
@@ -287,8 +352,10 @@ class RemoteLLMHandler(BaseLLMHandler):
                 for ev in iter_sse_data(resp):
                     for choice in ev.get("choices", []):
                         delta = choice.get("delta") or {}
-                        if delta.get("content"):
-                            yield TextDelta(text=delta["content"])
+                        # a refusal is spoken/stored exactly like content
+                        piece = delta.get("content") or delta.get("refusal")
+                        if piece:
+                            yield TextDelta(text=piece)
                         for tc in delta.get("tool_calls") or []:
                             slot = tool_acc.setdefault(tc.get("index", 0), {"name": "", "arguments": ""})
                             fn = tc.get("function") or {}
@@ -300,15 +367,7 @@ class RemoteLLMHandler(BaseLLMHandler):
                             # flush accumulated calls on ANY finish marker —
                             # providers that interleave text after a call
                             # finish with "stop", not "tool_calls"
-                            for idx in sorted(tool_acc):
-                                slot = tool_acc[idx]
-                                yield ToolCall(
-                                    call=FunctionToolCall(
-                                        name=slot["name"], arguments=slot["arguments"],
-                                        call_id=generate_id("call"), id=generate_id("fc"),
-                                        status="in_progress",
-                                    )
-                                )
+                            yield from self._flush_tool_acc(tool_acc)
                             tool_acc.clear()
                     usage = ev.get("usage")
                     if usage:
@@ -317,27 +376,25 @@ class RemoteLLMHandler(BaseLLMHandler):
                             output_tokens=usage.get("completion_tokens", 0),
                         )
                 # stream ended without a finish marker: don't drop the calls
-                for idx in sorted(tool_acc):
-                    slot = tool_acc[idx]
-                    yield ToolCall(
-                        call=FunctionToolCall(
-                            name=slot["name"], arguments=slot["arguments"],
-                            call_id=generate_id("call"), id=generate_id("fc"),
-                            status="in_progress",
-                        )
-                    )
+                yield from self._flush_tool_acc(tool_acc)
         else:
             resp = self.client.post("/chat/completions", json=body)
             resp.raise_for_status()
             data = resp.json()
-            msg = data["choices"][0]["message"]
-            if msg.get("content"):
-                yield AssistantMessage(text=msg["content"])
+            choices = data.get("choices") or []
+            # some providers return no choices on filtered input: complete
+            # cleanly instead of crashing the generation
+            msg = (choices[0].get("message") or {}) if choices else {}
+            raw = msg.get("content") or msg.get("refusal")
+            if raw:
+                yield AssistantMessage(text=raw)
             for tc in msg.get("tool_calls") or []:
                 fn = tc.get("function") or {}
+                if not fn.get("name"):
+                    continue
                 yield ToolCall(
                     call=FunctionToolCall(
-                        name=fn.get("name", ""), arguments=fn.get("arguments", ""),
+                        name=fn["name"], arguments=fn.get("arguments") or "{}",
                         call_id=generate_id("call"), id=generate_id("fc"), status="in_progress",
                     )
                 )
@@ -466,14 +523,10 @@ class RemoteLLMHandler(BaseLLMHandler):
             else runtime_config.session.instructions
         )
         self._apply_instructions(active, instructions, None, None, ctx, True)
-        messages = active.to_chat_messages()
-        # rewrite audio placeholders on the LAST user message into input_audio
-        for msg in reversed(messages):
-            if msg.get("role") == "user":
-                msg["content"] = [
-                    {"type": "input_audio", "input_audio": {"data": wav_b64, "format": "wav"}}
-                ]
-                break
+        # wire conversion handles every audio-carrying turn still in history
+        # (compact_audio_history keeps the newest 2) plus any image parts,
+        # honoring the configured audio payload shape
+        messages = chat_wire_messages(active, self.audio_content_type)
         gen = ctx.cancel_generation
         try:
             pieces = self._chat_request(messages, [], None, None)

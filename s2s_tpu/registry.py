@@ -207,6 +207,7 @@ def _make_remote_llm(shape: str):
                 disable_thinking=config.disable_thinking,
                 reasoning_effort=config.reasoning_effort,
                 timeout_s=config.timeout_s,
+                audio_content_type=config.audio_content_type,
                 gen_kwargs=config.gen_kwargs,
             ),
         )
