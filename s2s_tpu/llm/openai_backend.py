@@ -174,6 +174,8 @@ class RemoteLLMHandler(BaseLLMHandler):
         client: httpx.Client | None = None,
         warmup: bool = False,
         audio_content_type: str = "input_audio",
+        audio_max_tokens: int = 256,
+        audio_history_turns: int = 2,
     ) -> None:
         self.cancel_scope = cancel_scope
         self.speculative_turns = speculative_turns
@@ -182,7 +184,11 @@ class RemoteLLMHandler(BaseLLMHandler):
         self.stream_batch_sentences = max(1, stream_batch_sentences)
         self.enable_lang_prompt = enable_lang_prompt
         self.gen_kwargs = gen_kwargs or {}
+        if audio_content_type not in ("input_audio", "audio_url"):
+            raise ValueError("audio_content_type must be 'input_audio' or 'audio_url'")
         self.audio_content_type = audio_content_type
+        self.audio_max_tokens = audio_max_tokens
+        self.audio_history_turns = max(0, audio_history_turns)
         if api_key is None and base_url is not None and _is_local_base_url(base_url):
             api_key = "none"
         self.base_url = (base_url or "https://api.openai.com/v1").rstrip("/")
@@ -498,65 +504,117 @@ class RemoteLLMHandler(BaseLLMHandler):
     # ── audio-input turns (direct audio sessions) ────────────────────
 
     def _process_audio(self, request: GenerateResponseRequest) -> Iterator[Any]:
-        """Audio turns serialize the WAV into an ``input_audio`` content part
-        (Chat Completions shape on either backend) with a transactional user
-        message: rolled back if the request fails."""
+        """Audio turns route the WAV through the Chat Completions protocol on
+        either backend with the FULL text-turn feature set (reference
+        ``base_openai_compatible_language_model.py:684-764``): native tool
+        calling, out-of-band responses, instructions, and a transactional
+        user message + eagerly-recorded tool calls that roll back when the
+        turn fails OR is interrupted before commit."""
+        from s2s_tpu.llm.chat import ChatItemError, build_active_chat, make_assistant_message
         from s2s_tpu.pipeline.messages import EndOfResponse, TokenUsage
+        from s2s_tpu.realtime.types import FunctionCallItem
+        from s2s_tpu.utils.common import is_out_of_band
 
         runtime_config = request.runtime_config
-        chat = runtime_config.chat
-        wav_b64 = audio_to_wav_base64(request.audio, request.audio_sample_rate)
-        user_msg = chat.add_item(make_user_audio_message(wav_b64))
-        active = chat.copy()
+        response = request.response
+        original_chat = runtime_config.chat
+        out_of_band = is_out_of_band(response)
         ctx = StreamContext(
             turn_id=request.turn_id,
             turn_revision=request.turn_revision,
             speech_stopped_at_s=request.speech_stopped_at_s,
             cancel_generation=self.cancel_scope.generation if self.cancel_scope else None,
         )
-        # session/response instructions apply to audio turns too — the text
-        # path injects them per generation; without this the upstream model
-        # ran promptless on --stt none sessions
-        response = request.response
+        if out_of_band:
+            try:
+                active = build_active_chat(original_chat, response)
+            except ChatItemError as exc:
+                yield EndOfResponse(turn_id=ctx.turn_id, turn_revision=ctx.turn_revision, error=str(exc))
+                return
+        else:
+            active = original_chat.copy()
+
+        wav_b64 = audio_to_wav_base64(request.audio, request.audio_sample_rate)
+        audio_msg = active.add_item(make_user_audio_message(wav_b64))
+        user_msg = None
+        if not out_of_band:
+            # same id in both chats so speculative revisions/rollback find it
+            provisional = make_user_audio_message(wav_b64)
+            provisional.id = audio_msg.id
+            user_msg = original_chat.add_item(provisional)
+
         instructions = (
             response.instructions if response and response.instructions
             else runtime_config.session.instructions
         )
-        self._apply_instructions(active, instructions, None, None, ctx, True)
+        tools = response.tools if response and response.tools else runtime_config.session.tools
+        tool_choice = (
+            response.tool_choice if response and response.tool_choice
+            else runtime_config.session.tool_choice
+        ) if runtime_config else None
+        self._apply_instructions(active, instructions, tools, tool_choice, ctx, True)
+        max_tokens = (
+            response.max_output_tokens if response and response.max_output_tokens else None
+        )
+        if max_tokens in (None, "inf"):
+            max_tokens = self.audio_max_tokens
         # wire conversion handles every audio-carrying turn still in history
-        # (compact_audio_history keeps the newest 2) plus any image parts,
-        # honoring the configured audio payload shape
+        # plus any image parts, honoring the configured audio payload shape
         messages = chat_wire_messages(active, self.audio_content_type)
         gen = ctx.cancel_generation
-        try:
-            pieces = self._chat_request(messages, [], None, None)
+        recorded_calls: set[str] = set()
 
-            def text_iter():
+        def rollback() -> None:
+            if out_of_band:
+                return
+            original_chat.rollback_generation(
+                (user_msg.id if user_msg else None) or "", item_ids=set(), call_ids=recorded_calls
+            )
+
+        try:
+            pieces = self._chat_request(messages, ctx.function_tools, tool_choice, max_tokens)
+
+            def piece_iter():
                 for event in pieces:
                     if isinstance(event, (TextDelta, AssistantMessage)):
                         yield event.text
+                    elif isinstance(event, ToolCall):
+                        if not out_of_band:
+                            # eager record: a fast client may answer the call
+                            # before EndOfResponse
+                            original_chat.add_item(
+                                FunctionCallItem(
+                                    id=event.call.id, call_id=event.call.call_id,
+                                    name=event.call.name, arguments=event.call.arguments,
+                                    status=event.call.status,
+                                )
+                            )
+                            recorded_calls.add(event.call.call_id)
+                        yield event.call
                     elif isinstance(event, Usage):
                         ctx.input_tokens = event.input_tokens
                         ctx.output_tokens = event.output_tokens
 
-            yield from self._stream(text_iter(), gen, None, ctx, runtime_config, request.response)
+            yield from self._stream(piece_iter(), gen, None, ctx, runtime_config, response)
             output_allowed = not ctx.cancelled and self._turn_output_allowed(ctx.turn_id, ctx.turn_revision)
             if output_allowed:
-                from s2s_tpu.llm.chat import make_assistant_message
-
-                chat.add_item(make_assistant_message(ctx.clean_text))
-                chat.compact_audio_history(max_audio_turns=2)
+                if not out_of_band:
+                    original_chat.add_item(make_assistant_message(ctx.clean_text))
+                    original_chat.compact_audio_history(max_audio_turns=self.audio_history_turns)
                 if ctx.printable.strip():
-                    yield self._chunk(ctx.printable.strip(), ctx, None, runtime_config, request.response)
+                    yield self._chunk(ctx.printable.strip(), ctx, None, runtime_config, response)
                 if ctx.input_tokens or ctx.output_tokens:
                     yield TokenUsage(
                         input_tokens=ctx.input_tokens, output_tokens=ctx.output_tokens,
                         turn_id=ctx.turn_id, turn_revision=ctx.turn_revision,
                     )
+            else:
+                # interrupted/stale before commit: the audio turn never
+                # happened — remove the user message and any eager tool calls
+                rollback()
         except Exception as exc:
-            if user_msg.id:
-                chat.remove_user_message(user_msg.id)  # transactional rollback
-            logger.exception("Audio LLM turn failed; rolled back user message")
+            rollback()
+            logger.exception("Audio LLM turn failed; rolled back transactional items")
             yield EndOfResponse(
                 turn_id=ctx.turn_id, turn_revision=ctx.turn_revision,
                 cancel_generation=ctx.cancel_generation,
