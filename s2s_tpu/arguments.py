@@ -126,6 +126,12 @@ class RemoteLLMArgs:
     #: Chat Completions audio part shape: OpenAI "input_audio" object or a
     #: llama.cpp-style "audio_url" base64 data URL
     audio_content_type: str = "input_audio"
+    #: default reply cap for audio turns when neither the response nor the
+    #: session sets max_output_tokens
+    audio_max_tokens: int = 256
+    #: newest N user turns keep raw audio in history; older ones collapse to
+    #: a text placeholder
+    audio_history_turns: int = 2
     gen_kwargs: dict[str, Any] = field(default_factory=dict)
 
 

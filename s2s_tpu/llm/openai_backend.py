@@ -453,41 +453,41 @@ class RemoteLLMHandler(BaseLLMHandler):
                 logger.info("Rolled back provisional tool calls after failed generation")
             yield item
 
-    def _generate_stream(self, chat: Chat, ctx: StreamContext, runtime_config, response) -> Iterator[str]:
-        tools = ctx.function_tools
-        tool_choice = (
-            response.tool_choice if response and response.tool_choice else runtime_config.session.tool_choice
-        ) if runtime_config else None
+    def _resolve_max_tokens(self, response, runtime_config) -> Any:
+        """Response cap wins, then the session's; ``"inf"`` means uncapped."""
         max_tokens = (
             response.max_output_tokens if response and response.max_output_tokens
             else (runtime_config.session.max_output_tokens if runtime_config else None)
         )
-        if max_tokens == "inf":
-            max_tokens = None
-        original_chat = runtime_config.chat if runtime_config else None
+        return None if max_tokens == "inf" else max_tokens
+
+    def _event_pieces(
+        self, events: Iterator[ProviderEvent], ctx: StreamContext,
+        record_chat: Chat | None, recorded_calls: set[str],
+    ) -> Iterator[Any]:
+        """Normalized provider events -> stream pieces (text / tool call) for
+        the base ``_stream``.  Shared by the text and audio paths: eager
+        tool-call history recording (a fast client may send the tool output
+        before EndOfResponse; its FC must already exist), usage capture, and
+        the ReadTimeout -> spoken-apology conversion."""
         try:
-            for event in self._request_events(chat, tools, tool_choice, max_tokens):
-                if isinstance(event, TextDelta):
-                    yield event.text
-                elif isinstance(event, AssistantMessage):
+            for event in events:
+                if isinstance(event, (TextDelta, AssistantMessage)):
                     yield event.text
                 elif isinstance(event, ToolCall):
-                    # Eager history record: a fast client may send the tool
-                    # output before EndOfResponse; its FC must already exist.
-                    # The call itself is forwarded through the stream so the
-                    # base flushes lead-in text first and emits the tool
-                    # chunk in order (ctx.tools is appended there).
-                    if original_chat is not None:
+                    if record_chat is not None:
                         from s2s_tpu.realtime.types import FunctionCallItem
 
-                        original_chat.add_item(
+                        record_chat.add_item(
                             FunctionCallItem(
                                 id=event.call.id, call_id=event.call.call_id,
                                 name=event.call.name, arguments=event.call.arguments,
                                 status=event.call.status,
                             )
                         )
-                        self._provisional_calls.add(event.call.call_id)
+                        recorded_calls.add(event.call.call_id)
+                    # forwarded through the stream so the base flushes lead-in
+                    # text first and emits the tool chunk in order
                     yield event.call
                 elif isinstance(event, Usage):
                     ctx.input_tokens = event.input_tokens
@@ -495,6 +495,16 @@ class RemoteLLMHandler(BaseLLMHandler):
         except httpx.ReadTimeout:
             logger.warning("LLM API read timeout; speaking canned apology")
             yield READ_TIMEOUT_APOLOGY
+
+    def _generate_stream(self, chat: Chat, ctx: StreamContext, runtime_config, response) -> Iterator[str]:
+        tools = ctx.function_tools
+        tool_choice = (
+            response.tool_choice if response and response.tool_choice else runtime_config.session.tool_choice
+        ) if runtime_config else None
+        max_tokens = self._resolve_max_tokens(response, runtime_config)
+        original_chat = runtime_config.chat if runtime_config else None
+        events = self._request_events(chat, tools, tool_choice, max_tokens)
+        yield from self._event_pieces(events, ctx, original_chat, self._provisional_calls)
 
     # Eager FCs are recorded during streaming; keep base write-back from
     # double-adding them.
@@ -512,7 +522,6 @@ class RemoteLLMHandler(BaseLLMHandler):
         turn fails OR is interrupted before commit."""
         from s2s_tpu.llm.chat import ChatItemError, build_active_chat, make_assistant_message
         from s2s_tpu.pipeline.messages import EndOfResponse, TokenUsage
-        from s2s_tpu.realtime.types import FunctionCallItem
         from s2s_tpu.utils.common import is_out_of_band
 
         runtime_config = request.runtime_config
@@ -553,15 +562,14 @@ class RemoteLLMHandler(BaseLLMHandler):
             else runtime_config.session.tool_choice
         ) if runtime_config else None
         self._apply_instructions(active, instructions, tools, tool_choice, ctx, True)
-        max_tokens = (
-            response.max_output_tokens if response and response.max_output_tokens else None
-        )
-        if max_tokens in (None, "inf"):
-            max_tokens = self.audio_max_tokens
+        # response/session caps win (like text turns); otherwise audio replies
+        # default to a bounded audio_max_tokens instead of running uncapped
+        max_tokens = self._resolve_max_tokens(response, runtime_config) or self.audio_max_tokens
         # wire conversion handles every audio-carrying turn still in history
         # plus any image parts, honoring the configured audio payload shape
         messages = chat_wire_messages(active, self.audio_content_type)
         gen = ctx.cancel_generation
+        consumed_image_ids = active.image_message_ids()
         recorded_calls: set[str] = set()
 
         def rollback() -> None:
@@ -572,35 +580,21 @@ class RemoteLLMHandler(BaseLLMHandler):
             )
 
         try:
-            pieces = self._chat_request(messages, ctx.function_tools, tool_choice, max_tokens)
-
-            def piece_iter():
-                for event in pieces:
-                    if isinstance(event, (TextDelta, AssistantMessage)):
-                        yield event.text
-                    elif isinstance(event, ToolCall):
-                        if not out_of_band:
-                            # eager record: a fast client may answer the call
-                            # before EndOfResponse
-                            original_chat.add_item(
-                                FunctionCallItem(
-                                    id=event.call.id, call_id=event.call.call_id,
-                                    name=event.call.name, arguments=event.call.arguments,
-                                    status=event.call.status,
-                                )
-                            )
-                            recorded_calls.add(event.call.call_id)
-                        yield event.call
-                    elif isinstance(event, Usage):
-                        ctx.input_tokens = event.input_tokens
-                        ctx.output_tokens = event.output_tokens
-
-            yield from self._stream(piece_iter(), gen, None, ctx, runtime_config, response)
+            events = self._chat_request(messages, ctx.function_tools, tool_choice, max_tokens)
+            pieces = self._event_pieces(
+                events, ctx, None if out_of_band else original_chat, recorded_calls
+            )
+            yield from self._stream(pieces, gen, None, ctx, runtime_config, response)
+            if ctx.stopped:
+                # handler shutdown mid-generation: no commit, no trailing output
+                return
             output_allowed = not ctx.cancelled and self._turn_output_allowed(ctx.turn_id, ctx.turn_revision)
             if output_allowed:
                 if not out_of_band:
                     original_chat.add_item(make_assistant_message(ctx.clean_text))
+                    original_chat.strip_images(consumed_image_ids)
                     original_chat.compact_audio_history(max_audio_turns=self.audio_history_turns)
+                    original_chat.trim_if_needed(self.compactor)
                 if ctx.printable.strip():
                     yield self._chunk(ctx.printable.strip(), ctx, None, runtime_config, response)
                 if ctx.input_tokens or ctx.output_tokens:

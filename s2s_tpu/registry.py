@@ -208,6 +208,8 @@ def _make_remote_llm(shape: str):
                 reasoning_effort=config.reasoning_effort,
                 timeout_s=config.timeout_s,
                 audio_content_type=config.audio_content_type,
+                audio_max_tokens=config.audio_max_tokens,
+                audio_history_turns=config.audio_history_turns,
                 gen_kwargs=config.gen_kwargs,
             ),
         )

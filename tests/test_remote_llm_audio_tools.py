@@ -154,6 +154,75 @@ def test_invalid_audio_content_type_rejected():
         make_remote(lambda r: httpx.Response(200), audio_content_type="bogus")
 
 
+def test_audio_request_honors_session_max_output_tokens():
+    """An explicit session/response cap beats the audio default, exactly like
+    text turns; 'inf' falls back to the bounded audio default."""
+    def respond(request):
+        respond.body = json.loads(request.read())
+        return httpx.Response(200, text=sse([
+            {"choices": [{"delta": {"content": "ok."}, "finish_reason": "stop"}]},
+        ]), headers={"content-type": "text/event-stream"})
+
+    handler = make_remote(respond, audio_max_tokens=123)
+    rc = RuntimeConfig()
+    rc.session.max_output_tokens = 4096
+    list(handler.process(audio_request(rc)))
+    assert respond.body["max_tokens"] == 4096
+
+    rc2 = RuntimeConfig()
+    rc2.session.max_output_tokens = "inf"
+    handler2 = make_remote(respond, audio_max_tokens=123)
+    list(handler2.process(audio_request(rc2)))
+    assert respond.body["max_tokens"] == 123
+
+
+def test_audio_read_timeout_speaks_apology_and_keeps_turn():
+    """A ReadTimeout mid-audio-turn speaks the canned apology and ends the
+    response cleanly — the user's utterance is NOT erased from history."""
+    from s2s_tpu.llm.openai_backend import READ_TIMEOUT_APOLOGY
+
+    def respond(request):
+        raise httpx.ReadTimeout("slow upstream")
+
+    handler = make_remote(respond)
+    rc = RuntimeConfig()
+    outs = list(handler.process(audio_request(rc)))
+    spoken = "".join(o.text for o in outs if isinstance(o, LLMResponseChunk))
+    assert READ_TIMEOUT_APOLOGY in spoken
+    assert isinstance(outs[-1], EndOfResponse) and outs[-1].error is None
+    users = [i for i in rc.chat.buffer if isinstance(i, MessageItem) and i.role == "user"]
+    assert len(users) == 1  # turn survives for a retry
+
+
+def test_audio_commit_trims_history_to_size():
+    """Audio turns run the same end-of-turn trim as text turns — without it a
+    long --stt none session grows until the 2*size hard cap."""
+    def respond(request):
+        return httpx.Response(200, text=sse([
+            {"choices": [{"delta": {"content": "heard."}, "finish_reason": "stop"}]},
+        ]), headers={"content-type": "text/event-stream"})
+
+    handler = make_remote(respond)
+    rc = RuntimeConfig()
+    rc.chat.size = 2
+    for turn in range(4):
+        list(handler.process(audio_request(rc, turn_id=f"t{turn}")))
+    assert rc.chat.user_turn_count <= 2
+
+
+def test_audio_knobs_reach_handler_from_cli():
+    from s2s_tpu.arguments import parse_arguments
+
+    args = parse_arguments([
+        "serve", "--llm_backend", "chat-completions",
+        "--llm_audio_max_tokens", "512", "--llm_audio_history_turns", "3",
+        "--llm_audio_content_type", "audio_url",
+    ])
+    assert args.llm_config.audio_max_tokens == 512
+    assert args.llm_config.audio_history_turns == 3
+    assert args.llm_config.audio_content_type == "audio_url"
+
+
 def test_failed_audio_tool_turn_rolls_back_everything():
     calls = {"n": 0}
 
