@@ -292,3 +292,27 @@ def test_session_update_nested_output_format_changes_client_rate(svc):
          "audio": {"output": {"format": {"type": "audio/pcm", "rate": 24_000}}}},
     )
     assert service.audio.client_output_rate(conn) == 24_000
+
+
+# ── empty revised transcription (reference
+#    test_empty_revised_transcription_removes_speculative_user_message) ──
+
+
+def test_empty_revised_transcription_removes_speculative_user_message(svc):
+    """A same-turn revision whose transcript is EMPTY retracts the turn: the
+    speculative user message committed by the first final is removed from
+    chat instead of lingering as a phantom question."""
+    service, conn = svc
+    voice_turn_start(service, conn, turn="t1", rev=0)
+    st = service._state(conn)
+    chat = st.runtime_config.chat
+    assert st.spec.user_item_id is not None
+    assert chat.user_turn_count == 1
+
+    service.speculative_turns.observe("t1", 1)
+    service.dispatch_pipeline_event(
+        conn,
+        TranscriptionCompletedEvent(transcript="", turn_id="t1", turn_revision=1),
+    )
+    assert st.spec.user_item_id is None
+    assert chat.user_turn_count == 0
