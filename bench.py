@@ -388,25 +388,46 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
 
     def probe(speculative: bool = True) -> float:
         t0 = time.perf_counter()
-        # serving default (--llm_speculative_prefill): generation starts on
-        # the PROGRESSIVE transcript, so the first-sentence tokens decode
-        # WHILE the STT final runs and the real request adopts them on
-        # exact prompt match (llm/local_backend.py).  Starting the slot at
-        # t0 is conservative — serving starts it on the last partial,
-        # which precedes speech-stop.
-        spec = lm_sched.start(prompt, FIRST_SENTENCE_TOKENS) if speculative else None
+        # serving default: WHOLE-CHAIN speculation.  Generation starts on
+        # the PROGRESSIVE transcript (--llm_speculative_prefill) and, the
+        # moment the first sentence batch decodes, the watcher announces it
+        # to TTS which pre-synthesizes in an ungated spare slot
+        # (--tts_speculative_synthesis).  The real request adopts both on
+        # exact match (llm/local_backend.py, tts/qwen3_handler.py).
+        # Starting at t0 is conservative — serving starts on the last
+        # partial, which precedes speech-stop.
+        state: dict = {}
+        watcher = None
+        if speculative:
+            lm_spec = lm_sched.start(prompt, FIRST_SENTENCE_TOKENS)
+
+            def watch() -> None:
+                # the speculation watcher: drain the first-sentence tokens
+                # as they decode, then start pre-synthesis (serving shape)
+                if lm_spec is not None:
+                    for _tok in lm_spec.tokens():
+                        pass
+                state["tts"] = tts_sched.start(tts_tokens, spk, TTS_CHUNK_FRAMES, gated=False)
+
+            watcher = threading.Thread(target=watch, daemon=True)
+            watcher.start()
         with GLOBAL_SCHEDULER.slot(Lane.INTERACTIVE):
             stt_final()
         t1 = time.perf_counter()
-        if spec is not None:
-            for _tok in spec.tokens():
-                pass
+        if speculative:
+            watcher.join()  # first-sentence tokens: usually done long ago
         else:
             for _tok in lm_sched.generate(prompt, FIRST_SENTENCE_TOKENS):
                 pass
         t2 = time.perf_counter()
-        for _chunk, _sr in tts_sched.stream(tts_tokens, spk, TTS_CHUNK_FRAMES):
-            break  # first audible chunk ends the latency chain
+        tts_handle = state.get("tts")
+        if tts_handle is not None:
+            for _chunk in tts_handle.chunks():
+                break  # first audible chunk ends the latency chain
+            tts_handle.cancel()
+        else:
+            for _chunk, _sr in tts_sched.stream(tts_tokens, spk, TTS_CHUNK_FRAMES):
+                break
         t3 = time.perf_counter()
         phases.append((t1 - t0, t2 - t1, t3 - t2))
         return t3 - t0

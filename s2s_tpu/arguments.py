@@ -156,6 +156,9 @@ class LocalLLMArgs:
     #: and adopt on exact prompt match (batched engine only; a mismatch
     #: falls back to the normal path and only cost a spare slot's decode)
     speculative_prefill: bool = True
+    #: whole-chain mode: also announce the speculation's first sentence
+    #: batch to the TTS stage so synthesis starts before the final too
+    speculative_tts: bool = True
     quantize: Optional[str] = None  # "int8" / "int4" weight-only decode (HBM reads /2 or /4)
     gen_kwargs: dict[str, Any] = field(default_factory=dict)
 
@@ -179,6 +182,9 @@ class Qwen3TTSArgs:
     #: cross-session batched synthesis slots over ONE weight set; 0/1 = single
     batched_slots: int = 0
     quantize: Optional[str] = None  # "int8" / "int8+cp4" (int4 code predictor) / "int4"
+    #: whole-chain speculation: pre-synthesize the LLM speculation's first
+    #: sentence batch in a spare ungated slot (batched engine only)
+    speculative_synthesis: bool = True
 
 
 @dataclass

@@ -19,6 +19,7 @@ whole model for tests; ``tokenizer`` (encode/decode) is injectable.
 from __future__ import annotations
 
 import logging
+import threading
 from typing import Any, Callable, Iterator
 
 import numpy as np
@@ -26,11 +27,96 @@ import numpy as np
 from s2s_tpu.llm.base_handler import BaseLLMHandler, StreamContext
 from s2s_tpu.llm.chat import make_user_message
 from s2s_tpu.llm.compaction import build_compactor
-from s2s_tpu.pipeline.messages import SpeculativeGenerateRequest
+from s2s_tpu.llm.utils import first_tts_chunk_text
+from s2s_tpu.pipeline.messages import SpeculativeGenerateRequest, SpeculativeTTSText
 from s2s_tpu.runtime.device_scheduler import GLOBAL_SCHEDULER, Lane
 from s2s_tpu.utils.common import next_power_of_2, response_wants_audio
 
 logger = logging.getLogger(__name__)
+
+
+class _Speculation:
+    """A speculative generation plus its watcher thread (whole-chain mode).
+
+    The watcher is the slot queue's SOLE consumer: it buffers token ids (so a
+    later adoption can replay them) and, once enough decoded text forms the
+    first sentence batch, reports it via ``on_first_chunk`` — the handler
+    turns that into a :class:`SpeculativeTTSText` so synthesis also starts
+    before the STT final.  Without a watcher (``watch()`` never called) the
+    class degrades to a thin wrapper over the engine handle."""
+
+    def __init__(self, ids: list[int], handle) -> None:
+        self.ids = ids
+        self.handle = handle
+        self._buffer: list[int] = []
+        self._cond = threading.Condition()
+        self._done = False
+        self._watching = False
+
+    def watch(self, decode_pieces, n_sentences: int, on_first_chunk) -> None:
+        """Start the watcher thread.  *decode_pieces* maps an ``Iterator[int]``
+        to decoded text pieces (the handler's UTF-8-boundary decoder)."""
+        self._watching = True
+        threading.Thread(
+            target=self._feed, args=(decode_pieces, n_sentences, on_first_chunk),
+            daemon=True, name="llm-spec-watch",
+        ).start()
+
+    def _feed(self, decode_pieces, n_sentences: int, on_first_chunk) -> None:
+        # sole engine consumer; the strong local ref keeps the GC-close of
+        # any abandoned wrapper generator below from retiring the slot
+        token_iter = self.handle.tokens()
+
+        def _buffer_token(tok: int) -> int:
+            with self._cond:
+                self._buffer.append(int(tok))
+                self._cond.notify_all()
+            return int(tok)
+
+        try:
+            text = first_tts_chunk_text(
+                decode_pieces(_buffer_token(t) for t in token_iter), n_sentences
+            )
+            if text:
+                try:
+                    on_first_chunk(text)
+                except Exception:  # noqa: BLE001 — speculation must never break serving
+                    logger.exception("speculative TTS emit failed")
+            # keep draining (and buffering) so adoption sees the full
+            # generation; same engine stream, so nothing is double-consumed
+            for tok in token_iter:
+                _buffer_token(tok)
+        finally:
+            with self._cond:
+                self._done = True
+                self._cond.notify_all()
+
+    def tokens(self, cancel_check: Callable[[], bool] | None = None) -> Iterator[int]:
+        """Adoption stream: replay buffered ids, then follow the watcher."""
+        if not self._watching:
+            self.handle.bind_cancel(cancel_check)
+            yield from self.handle.tokens()
+            return
+        i = 0
+        while True:
+            if cancel_check is not None and cancel_check():
+                self.handle.cancel()  # watcher drains _DONE and exits
+            with self._cond:
+                while i >= len(self._buffer) and not self._done:
+                    self._cond.wait(timeout=0.1)
+                    if cancel_check is not None and cancel_check():
+                        self.handle.cancel()
+                if i < len(self._buffer):
+                    tok = self._buffer[i]
+                    i += 1
+                elif self._done:
+                    return
+                else:
+                    continue
+            yield tok
+
+    def cancel(self) -> None:
+        self.handle.cancel()
 
 
 class SimpleCharTokenizer:
@@ -90,6 +176,7 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         max_new_tokens: int = 256,
         shared_lm: Any | None = None,
         speculative_prefill: bool = False,
+        speculative_tts: bool = False,
         warmup: bool = False,
     ) -> None:
         self.cancel_scope = cancel_scope
@@ -105,7 +192,10 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         #: start generating on the progressive transcript before the STT
         #: final lands; adopt iff the final renders the identical prompt
         self.speculative_prefill = bool(speculative_prefill) and shared_lm is not None
-        self._spec: tuple[list[int], Any] | None = None  # (prompt_ids, handle)
+        #: whole-chain mode: a watcher thread reports the speculation's first
+        #: sentence batch as SpeculativeTTSText so synthesis starts early too
+        self.speculative_tts = bool(speculative_tts) and self.speculative_prefill
+        self._spec: _Speculation | None = None
         self._last_real_turn: tuple[str, int | None] | None = None
         self._generate_fn = generate_fn
         if generate_fn is None:
@@ -226,7 +316,7 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         spec = self._spec
         self._spec = None
         if spec is not None:
-            spec[1].cancel()
+            spec.cancel()
 
     def _begin_speculation(self, req: SpeculativeGenerateRequest) -> None:
         # a newer partial supersedes any outstanding speculation
@@ -251,8 +341,29 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         if not ids:
             return
         handle = start(ids, self.max_new_tokens)
-        if handle is not None:  # None: every slot busy — skip, don't queue
-            self._spec = (ids, handle)
+        if handle is None:  # every slot busy — skip, don't queue
+            return
+        spec = _Speculation(ids, handle)
+        self._spec = spec
+        # whole-chain mode: also pre-synthesize the first sentence batch —
+        # skipped for tool sessions (a <code> block would make the real
+        # first chunk unpredictable; mismatches are safe but pointless)
+        if self.speculative_tts and not req.runtime_config.session.tools:
+            runtime_config, turn_id, turn_revision = (
+                req.runtime_config, req.turn_id, req.turn_revision,
+            )
+
+            def emit(chunk_text: str) -> None:
+                if self._spec is not spec:
+                    return  # superseded/cancelled while the sentence formed
+                self.queue_out.put(
+                    SpeculativeTTSText(
+                        runtime_config=runtime_config, text=chunk_text,
+                        turn_id=turn_id, turn_revision=turn_revision,
+                    )
+                )
+
+            spec.watch(self._decode_token_stream, self.stream_batch_sentences, emit)
 
     def _prompt_ids_for_user_text(self, runtime_config, text: str) -> list[int] | None:
         """Render the prompt ids the REAL request would produce if the final
@@ -283,11 +394,10 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         if spec is None:
             return None
         self._spec = None
-        if spec[0] != ids or max_new != self.max_new_tokens:
-            spec[1].cancel()
+        if spec.ids != ids or max_new != self.max_new_tokens:
+            spec.cancel()
             return None
-        spec[1].bind_cancel(cancel_check)
-        return spec[1].tokens()
+        return spec.tokens(cancel_check)
 
     def _decode_token_stream(self, token_ids) -> Iterator[str]:
         """Decode a stream of token ids to text at UTF-8 boundaries."""

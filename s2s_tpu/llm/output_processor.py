@@ -12,7 +12,13 @@ from queue import Queue
 from typing import Any, Iterator
 
 from s2s_tpu.pipeline.events import AssistantTextEvent, ResponseFailedEvent, TokenUsageEvent
-from s2s_tpu.pipeline.messages import EndOfResponse, LLMResponseChunk, TokenUsage, TTSInput
+from s2s_tpu.pipeline.messages import (
+    EndOfResponse,
+    LLMResponseChunk,
+    SpeculativeTTSText,
+    TokenUsage,
+    TTSInput,
+)
 from s2s_tpu.pipeline.turns import SpeculativeTurnTracker
 from s2s_tpu.runtime.base_handler import BaseHandler
 from s2s_tpu.utils.common import response_wants_audio
@@ -35,6 +41,15 @@ class LMOutputProcessor(BaseHandler):
         return self.speculative_turns.is_latest_after_reopen_grace(turn_id, revision)
 
     def process(self, item) -> Iterator[Any]:
+        if isinstance(item, SpeculativeTTSText):
+            # whole-chain speculation: straight to TTS, never to the client;
+            # a superseded turn's speculation is pointless — drop it
+            if self.speculative_turns is None or self.speculative_turns.is_latest(
+                item.turn_id, item.turn_revision
+            ):
+                yield item
+            return
+
         if isinstance(item, TokenUsage):
             if not self._allowed(item.turn_id, item.turn_revision):
                 return

@@ -21,6 +21,31 @@ def remove_unspeechable(text: str) -> str:
     return _SPEECHABLE.sub("", text.translate(SMART_PUNCT))
 
 
+def first_tts_chunk_text(pieces, n_sentences: int) -> str | None:
+    """The text of the FIRST sentence-batched TTS chunk the LLM stream loop
+    (``base_handler._stream`` + ``_drain_printable``) would emit for this
+    decoded-piece stream on an audio-wanting turn — used by whole-chain
+    speculation to pre-synthesize it.  Returns None when the stream ends
+    before any speakable text forms.  Mismatches are safe (the real input
+    simply doesn't adopt), so the tool-block path is not replicated —
+    speculation is skipped for tool sessions upstream."""
+    from s2s_tpu.utils.sentences import split_complete
+
+    batch: list[str] = []
+    printable = ""
+    for piece in pieces:
+        printable += remove_unspeechable(piece)
+        complete, printable = split_complete(printable)
+        for sentence in complete:
+            batch.append(sentence)
+            if len(batch) >= n_sentences:
+                return " ".join(batch)
+    # stream ended early: the loop's tail flush joins what accumulated
+    if printable.strip():
+        batch.append(printable.strip())
+    return " ".join(batch) if batch else None
+
+
 #: STT language code -> lowercase language name for the reply-language prompt.
 #: Must cover every language any bundled STT backend can report (CI-checked).
 STT_LANGUAGE_NAMES = {

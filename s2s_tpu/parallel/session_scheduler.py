@@ -710,6 +710,64 @@ class GenerationHandle:
             eng._work.notify_all()
 
 
+class TTSGenerationHandle:
+    """A running synthesis started with :meth:`BatchedTTSScheduler.start`
+    (or serving :meth:`BatchedTTSScheduler.stream`).  Audio chunks buffer in
+    the slot queue whether or not anyone consumes.  Exactly one of
+    ``chunks()`` (run to exhaustion / close) or ``cancel()`` must retire the
+    slot; both are idempotent against each other."""
+
+    def __init__(self, engine: "BatchedTTSScheduler", slot_id: int, slot: "_TTSSlot") -> None:
+        self._engine = engine
+        self._slot_id = slot_id
+        self._slot = slot
+        self._cancel_check: Optional[Callable[[], bool]] = None
+        self._retired = False
+
+    def bind_cancel(self, cancel_check: Optional[Callable[[], bool]]) -> None:
+        """Attach the adopting turn's staleness check (polled in chunks())."""
+        self._cancel_check = cancel_check
+
+    def chunks(self) -> Iterator[tuple[np.ndarray, int]]:
+        """Stream (float32 audio chunk @ 24 kHz, sample_rate) — already-
+        synthesized chunks return instantly from the slot queue."""
+        from s2s_tpu.models.qwen3_tts import SAMPLE_RATE
+
+        eng, slot = self._engine, self._slot
+        try:
+            while True:
+                if self._cancel_check is not None and self._cancel_check():
+                    with eng._work:
+                        slot.cancelled = True
+                        eng._work.notify_all()
+                try:
+                    item = slot.queue.get(timeout=0.1)
+                except Empty:
+                    continue
+                if item is _DONE:
+                    return
+                yield item, SAMPLE_RATE  # type: ignore[misc]
+        finally:
+            self._retire()
+
+    def cancel(self) -> None:
+        """Abort the synthesis and free the slot (no consumption needed)."""
+        self._retire()
+
+    def _retire(self) -> None:
+        if self._retired:
+            return
+        self._retired = True
+        eng, slot = self._engine, self._slot
+        with eng._work:
+            slot.cancelled = True
+            if eng.gate is not None and slot.gate_key is not None:
+                eng.gate.exit(slot.gate_key)
+                slot.gate_key = None
+            eng._release(self._slot_id)
+            eng._work.notify_all()
+
+
 class BatchedTTSScheduler:
     """Slot-based batched Qwen3-TTS serving: N sessions' codec-frame decode
     (talker + MTP code predictor) and vocoding run as ONE fused program per
@@ -790,6 +848,19 @@ class BatchedTTSScheduler:
 
     # ── session API ──────────────────────────────────────────────────
 
+    def _submit(self, slot_id: int, slot: "_TTSSlot", text_tokens, speaker_vec,
+                max_frames: int, gated: bool) -> None:
+        with self._work:
+            slot.remaining = max_frames
+            if gated and self.gate is not None:
+                slot.gate_key = object()
+                self.gate.enter(slot.gate_key)
+            self._prefills.append(
+                _TTSPrefill(slot_id, np.asarray(text_tokens), speaker_vec, max_frames, slot)
+            )
+            self._ensure_threads()
+            self._work.notify_all()
+
     def stream(
         self,
         text_tokens: np.ndarray,
@@ -799,41 +870,39 @@ class BatchedTTSScheduler:
     ) -> Iterator[tuple[np.ndarray, int]]:
         """Yield (float32 audio chunk @ 24 kHz, sample_rate) for one
         utterance; shares the dispatch stream with every other session."""
-        from s2s_tpu.models.qwen3_tts import SAMPLE_RATE
-
         if max_frames <= 0:
             return
         slot_id, slot = self._claim()
-        try:
-            with self._work:
-                slot.remaining = max_frames
-                if self.gate is not None:
-                    slot.gate_key = object()
-                    self.gate.enter(slot.gate_key)
-                self._prefills.append(
-                    _TTSPrefill(slot_id, np.asarray(text_tokens), speaker_vec, max_frames, slot)
-                )
-                self._ensure_threads()
-                self._work.notify_all()
-            while True:
-                if cancel_check is not None and cancel_check():
-                    with self._work:
-                        slot.cancelled = True
-                        self._work.notify_all()
-                try:
-                    item = slot.queue.get(timeout=0.1)
-                except Empty:
-                    continue
-                if item is _DONE:
-                    return
-                yield item, SAMPLE_RATE  # type: ignore[misc]
-        finally:
-            with self._work:
-                slot.cancelled = True
-                if self.gate is not None and slot.gate_key is not None:
-                    self.gate.exit(slot.gate_key)
-                self._release(slot_id)
-                self._work.notify_all()
+        handle = TTSGenerationHandle(self, slot_id, slot)
+        self._submit(slot_id, slot, text_tokens, speaker_vec, max_frames, gated=True)
+        handle.bind_cancel(cancel_check)
+        yield from handle.chunks()
+
+    def start(
+        self,
+        text_tokens: np.ndarray,
+        speaker_vec,
+        max_frames: int,
+        gated: bool = True,
+    ) -> "TTSGenerationHandle | None":
+        """Eagerly claim a slot and begin synthesis WITHOUT blocking — audio
+        chunks buffer in the slot queue whether or not anyone consumes.
+        Returns None when every slot is busy (speculative callers skip
+        rather than queue).  ``gated=False`` keeps the speculative ramp from
+        holding the cross-scheduler priority gate (it is not yet
+        latency-critical; it becomes so only on adoption, by which time its
+        ramp is typically already decoded)."""
+        if max_frames <= 0:
+            return None
+        with self._work:
+            if not self._free:
+                return None
+            slot_id = self._free.pop()
+            slot = _TTSSlot()
+            self._slots[slot_id] = slot
+        handle = TTSGenerationHandle(self, slot_id, slot)
+        self._submit(slot_id, slot, text_tokens, speaker_vec, max_frames, gated=gated)
+        return handle
 
     # ── slot bookkeeping (same protocol as the LM scheduler) ────────
 

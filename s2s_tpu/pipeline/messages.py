@@ -82,6 +82,23 @@ class SpeculativeGenerateRequest(PipelineMessage):
     turn_revision: int | None = None
 
 
+class SpeculativeTTSText(PipelineMessage):
+    """Pre-synthesize the speculative generation's FIRST sentence batch
+    before the STT final lands (whole-chain speculation, stage three).  The
+    LLM handler's speculation watcher emits this the moment the first
+    sentence batch completes; the TTS handler starts an UNGATED engine slot
+    and the real ``TTSInput`` adopts the buffered audio iff its coalesced
+    text, speaker, and token budget are identical.  Wrong speculation costs
+    one spare slot's synthesis and can never leak — nothing is emitted until
+    the real input adopts."""
+
+    tag: Literal["speculative_tts_text"] = "speculative_tts_text"
+    runtime_config: RuntimeConfig
+    text: str
+    turn_id: str | None = None
+    turn_revision: int | None = None
+
+
 class GenerateResponseRequest(PipelineMessage):
     """Everything the LM handler needs: per-connection config+chat, per-response
     overrides, optional raw audio for direct-audio sessions."""

@@ -289,6 +289,7 @@ def _make_local_llm(config, ctx: HandlerContext):
             tokenizer=tokenizer,
             shared_lm=shared_lm,
             speculative_prefill=getattr(config, "speculative_prefill", False),
+            speculative_tts=getattr(config, "speculative_tts", False),
             max_new_tokens=config.max_new_tokens,
             stream_batch_sentences=config.stream_batch_sentences,
             compact_history=config.compact_history,
@@ -393,6 +394,7 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
             ref_audio=ref_audio,
             speaker_vec=speaker_vec,
             shared_tts=shared_tts,
+            speculative_synthesis=getattr(config, "speculative_synthesis", True),
             streaming_chunk_size=config.streaming_chunk_size,
             max_new_tokens=config.max_new_tokens,
             blocksize=config.blocksize,

@@ -20,7 +20,13 @@ import numpy as np
 
 from s2s_tpu.audio.resample import resample_float
 from s2s_tpu.pipeline.control import SESSION_END, is_control
-from s2s_tpu.pipeline.messages import AUDIO_RESPONSE_DONE, PIPELINE_END, EndOfResponse, TTSInput
+from s2s_tpu.pipeline.messages import (
+    AUDIO_RESPONSE_DONE,
+    PIPELINE_END,
+    EndOfResponse,
+    SpeculativeTTSText,
+    TTSInput,
+)
 from s2s_tpu.runtime.base_handler import BaseHandler
 from s2s_tpu.runtime.device_scheduler import GLOBAL_SCHEDULER, Lane
 
@@ -172,8 +178,17 @@ class BaseTTSHandler(BaseHandler):
 
     # ── main entry ───────────────────────────────────────────────────
 
+    def _begin_speculative_synthesis(self, item: SpeculativeTTSText) -> None:
+        """Whole-chain speculation hook — backends with a batched engine
+        override this to pre-synthesize; the default ignores the message."""
+
     def process(self, item) -> Iterator[Any]:
         tracker = self.speculative_turns
+        if isinstance(item, SpeculativeTTSText):
+            if tracker is None or tracker.is_latest(item.turn_id, item.turn_revision):
+                self._begin_speculative_synthesis(item)
+            return
+
         if isinstance(item, EndOfResponse):
             if tracker and not tracker.is_latest_after_reopen_grace(item.turn_id, item.turn_revision):
                 return

@@ -87,6 +87,7 @@ class Qwen3TTSHandler(BaseTTSHandler):
         model=None,
         model_size: str = "1.7b",
         shared_tts=None,
+        speculative_synthesis: bool = True,
         warmup: bool = False,
     ) -> None:
         self.setup_base(
@@ -103,6 +104,12 @@ class Qwen3TTSHandler(BaseTTSHandler):
         self._synthesize_fn = synthesize_fn
         #: cross-session batched synthesis engine (one per weight set)
         self.shared_tts = shared_tts
+        #: whole-chain speculation: pre-synthesize the LLM speculation's
+        #: first sentence batch into a spare (ungated) engine slot; the real
+        #: TTSInput adopts the buffered audio on exact (text, speaker,
+        #: budget) match
+        self.speculative_synthesis = bool(speculative_synthesis) and shared_tts is not None
+        self._spec_synth: tuple[tuple, Any] | None = None  # (plan_key, handle)
         self._speaker_vec = speaker_vec  # precomputed .spk embedding (cached-reference mode)
         if synthesize_fn is None:
             if model is None:
@@ -134,17 +141,15 @@ class Qwen3TTSHandler(BaseTTSHandler):
         # engine batches all of them through one dispatch stream
         return self.shared_tts is not None
 
-    def _synthesize(self, text: str, language: Optional[str], runtime_config, response) -> Iterator:
-        if self._synthesize_fn is not None:
-            yield from self._synthesize_fn(text, language)
-            return
+    def _plan_utterance(self, text: str, runtime_config, response):
+        """Resolve everything device dispatch depends on for one utterance:
+        (final_text, speaker_vec_or_None, plan_key, max_new).  ``plan_key``
+        identifies the dispatch-identical plan — speculative synthesis is
+        adopted only when the real input produces the same key."""
         max_new = estimate_max_new_tokens(text, self.streaming_chunk_size, self.max_new_tokens)
-        cancel = None
-        if self.cancel_scope is not None:
-            gen = self.cancel_scope.generation
-            cancel = lambda: self.cancel_scope.is_stale(gen)  # noqa: E731
         mode = self._model_type()
         speaker_vec = None
+        speaker_id = 0
         if mode == "voice_clone":
             speaker_vec = self._speaker_vec
         else:
@@ -152,12 +157,69 @@ class Qwen3TTSHandler(BaseTTSHandler):
                 text = f"[{self.voice_instruct}] {text}"
             voice = self._session_voice(runtime_config, response) or self.voice or PRESET_SPEAKERS[0]
             speaker_id = _SPEAKER_IDS.get(str(voice).lower(), 0)
+        key = (text, mode, speaker_id, max_new)
+        return text, speaker_vec, speaker_id, key, max_new
+
+    def _cancel_speculative_synthesis(self) -> None:
+        spec = self._spec_synth
+        self._spec_synth = None
+        if spec is not None:
+            spec[1].cancel()
+
+    def _begin_speculative_synthesis(self, item) -> None:
+        """Start pre-synthesis of the speculation's first sentence batch in
+        an UNGATED spare slot; nothing is emitted until adoption."""
+        self._cancel_speculative_synthesis()
+        if not self.speculative_synthesis or self._synthesize_fn is not None:
+            return
+        text = (item.text or "").strip()
+        if not text:
+            return
+        import jax.numpy as jnp
+
+        final_text, speaker_vec, speaker_id, key, max_new = self._plan_utterance(
+            text, item.runtime_config, None
+        )
+        tokens, _ = self.model._encode_text(final_text)
+        if speaker_vec is None:
+            speaker_vec = self.model.params["speakers"][jnp.asarray([speaker_id])]
+        handle = self.shared_tts.start(
+            np.asarray(tokens), speaker_vec, max_new, gated=False
+        )
+        if handle is not None:  # None: every slot busy — skip, don't queue
+            self._spec_synth = (key, handle)
+
+    def on_session_end(self) -> None:
+        self._cancel_speculative_synthesis()
+        super().on_session_end()
+
+    def _synthesize(self, text: str, language: Optional[str], runtime_config, response) -> Iterator:
+        if self._synthesize_fn is not None:
+            yield from self._synthesize_fn(text, language)
+            return
+        cancel = None
+        if self.cancel_scope is not None:
+            gen = self.cancel_scope.generation
+            cancel = lambda: self.cancel_scope.is_stale(gen)  # noqa: E731
+        text, speaker_vec, speaker_id, key, max_new = self._plan_utterance(
+            text, runtime_config, response
+        )
         if self.shared_tts is not None:
             # batched path: this utterance shares ONE dispatch stream with
             # every other session's synthesis
             import jax.numpy as jnp
-            import numpy as np
 
+            spec = self._spec_synth
+            self._spec_synth = None
+            if spec is not None and spec[0] == key:
+                # adoption: the engine has been synthesizing this exact
+                # utterance since the speculation's first sentence formed —
+                # buffered chunks return instantly
+                spec[1].bind_cancel(cancel)
+                yield from spec[1].chunks()
+                return
+            if spec is not None:
+                spec[1].cancel()
             tokens, _ = self.model._encode_text(text)
             if speaker_vec is None:
                 speaker_vec = self.model.params["speakers"][jnp.asarray([speaker_id])]

@@ -308,6 +308,13 @@ def test_speculative_prefill_wired_through_builder(monkeypatch):
         spec_req = service.text_prompt_queue.get(timeout=5)
         list(llm.process(spec_req))
         assert llm._spec is not None
+        # whole-chain mode is on by default: the watcher announces the
+        # speculation's first sentence batch toward the TTS stage
+        assert llm.speculative_tts
+        from s2s_tpu.pipeline.messages import SpeculativeTTSText
+
+        announced = llm.queue_out.get(timeout=10)
+        assert isinstance(announced, SpeculativeTTSText) and announced.turn_id == "t1"
 
         # the engine's blocking path must not run on adoption
         monkeypatch.setattr(
