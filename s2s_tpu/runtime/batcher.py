@@ -104,7 +104,10 @@ class _Future:
         self._error = exc
         self._event.set()
 
-    def wait(self, timeout: float = 10.0) -> Any:
+    def wait(self, timeout: float = 120.0) -> Any:
+        # deadlock detection only — generous enough for a cold XLA compile
+        # of an unwarmed width bucket (20-40 s on the TPU tunnel) or a
+        # contended single-core CI host; latency bounding happens upstream
         if not self._event.wait(timeout):
             raise TimeoutError("micro-batch result timed out")
         if self._error is not None:

@@ -56,6 +56,9 @@ class BaseTTSHandler(BaseHandler):
         self.scheduler = device_scheduler or GLOBAL_SCHEDULER
         self.should_listen = should_listen
         self.blocksize = blocksize
+        #: last real turn synthesized — a speculation announced late (its
+        #: final already answered) must not strand an engine slot
+        self._last_answered_turn: tuple | None = None
 
     # ── subclass hooks ───────────────────────────────────────────────
 
@@ -185,6 +188,10 @@ class BaseTTSHandler(BaseHandler):
     def process(self, item) -> Iterator[Any]:
         tracker = self.speculative_turns
         if isinstance(item, SpeculativeTTSText):
+            if item.turn_id is not None and (
+                (item.turn_id, item.turn_revision) == self._last_answered_turn
+            ):
+                return  # the final for this (turn, rev) was already spoken
             if tracker is None or tracker.is_latest(item.turn_id, item.turn_revision):
                 self._begin_speculative_synthesis(item)
             return
@@ -201,6 +208,8 @@ class BaseTTSHandler(BaseHandler):
         if tracker:
             # First audible output commits the speculative turn.
             tracker.commit(item.turn_id, item.turn_revision)
+        if item.turn_id is not None:
+            self._last_answered_turn = (item.turn_id, item.turn_revision)
 
         text, language = self._coalesce(item)
         text = text or "Hello."

@@ -303,3 +303,19 @@ def test_processor_forwards_spec_text_to_tts_only():
 
     tracker.observe("t1", 1)  # reopened: rev 0 is stale now
     assert list(proc.process(spec_text("Hello.", turn="t1", rev=0))) == []
+
+
+def test_late_spec_for_answered_turn_is_ignored():
+    """A speculation announced after its turn was already synthesized must
+    not strand an engine slot."""
+    handler, sched = _spec_tts_handler()
+    try:
+        chunks = list(handler.process(TTSInput(text="Hello there.", turn_id="t1", turn_revision=0)))
+        assert chunks
+        assert list(handler.process(spec_text("Hello there.", turn="t1", rev=0))) == []
+        assert handler._spec_synth is None
+        # a speculation for the NEXT turn still starts
+        list(handler.process(spec_text("And more.", turn="t2", rev=0)))
+        assert handler._spec_synth is not None
+    finally:
+        sched.shutdown()
