@@ -403,9 +403,14 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
 
             def watch() -> None:
                 # the speculation watcher: drain the first-sentence tokens
-                # as they decode, then start pre-synthesis (serving shape)
+                # as they decode, then start pre-synthesis (serving shape).
+                # No free slot (lm_spec None): the real request generates
+                # normally — the probe must still charge a full LLM phase.
                 if lm_spec is not None:
                     for _tok in lm_spec.tokens():
+                        pass
+                else:
+                    for _tok in lm_sched.generate(prompt, FIRST_SENTENCE_TOKENS):
                         pass
                 state["tts"] = tts_sched.start(tts_tokens, spk, TTS_CHUNK_FRAMES, gated=False)
 

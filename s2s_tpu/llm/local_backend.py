@@ -74,9 +74,14 @@ class _Speculation:
             return int(tok)
 
         try:
-            text = first_tts_chunk_text(
-                decode_pieces(_buffer_token(t) for t in token_iter), n_sentences
-            )
+            try:
+                text = first_tts_chunk_text(
+                    decode_pieces(_buffer_token(t) for t in token_iter), n_sentences
+                )
+            except Exception:  # noqa: BLE001 — the announcement is optional;
+                # the token BUFFER must stay intact for adoption
+                logger.exception("speculation watcher decode failed; announcement skipped")
+                text = None
             if text:
                 try:
                     on_first_chunk(text)
@@ -310,6 +315,9 @@ class LocalJAXLLMHandler(BaseLLMHandler):
 
     def on_session_end(self) -> None:
         self.cancel_speculation()
+        # turn ids restart per session; a stale answered-turn marker would
+        # silently disable speculation for the next session's matching turn
+        self._last_real_turn = None
         super().on_session_end()
 
     def cancel_speculation(self) -> None:

@@ -652,16 +652,16 @@ class _TTSPrefill:
     slot_obj: "object | None" = None
 
 
-class GenerationHandle:
-    """A running generation started with :meth:`BatchedLMScheduler.start`.
+class _SlotHandle:
+    """A running slot in a batched engine (LM generation or TTS synthesis).
 
-    Decoding proceeds in the engine's driver thread whether or not anyone
-    consumes; tokens buffer in the slot queue.  Exactly one of ``tokens()``
-    (run to exhaustion / close) or ``cancel()`` must retire the slot; both
-    are idempotent against each other.
-    """
+    The engine's driver thread keeps producing into the slot queue whether
+    or not anyone consumes.  Exactly one of the consuming iterator (run to
+    exhaustion / close) or ``cancel()`` must retire the slot; both are
+    idempotent against each other.  Engines only need matching ``_work`` /
+    ``gate`` / ``_release`` members."""
 
-    def __init__(self, engine: "BatchedLMScheduler", slot_id: int, slot: "_Slot") -> None:
+    def __init__(self, engine, slot_id: int, slot) -> None:
         self._engine = engine
         self._slot_id = slot_id
         self._slot = slot
@@ -669,12 +669,10 @@ class GenerationHandle:
         self._retired = False
 
     def bind_cancel(self, cancel_check: Optional[Callable[[], bool]]) -> None:
-        """Attach the adopting turn's staleness check (polled in tokens())."""
+        """Attach the adopting turn's staleness check (polled while consuming)."""
         self._cancel_check = cancel_check
 
-    def tokens(self) -> Iterator[int]:
-        """Stream the generation's token ids (already-decoded ones return
-        instantly from the slot queue)."""
+    def _consume(self) -> Iterator[Any]:
         eng, slot = self._engine, self._slot
         try:
             while True:
@@ -688,12 +686,12 @@ class GenerationHandle:
                     continue
                 if item is _DONE:
                     return
-                yield item  # type: ignore[misc]
+                yield item
         finally:
             self._retire()
 
     def cancel(self) -> None:
-        """Abort the generation and free the slot (no consumption needed)."""
+        """Abort and free the slot (no consumption needed)."""
         self._retire()
 
     def _retire(self) -> None:
@@ -710,62 +708,26 @@ class GenerationHandle:
             eng._work.notify_all()
 
 
-class TTSGenerationHandle:
+class GenerationHandle(_SlotHandle):
+    """A running generation started with :meth:`BatchedLMScheduler.start`."""
+
+    def tokens(self) -> Iterator[int]:
+        """Stream the generation's token ids (already-decoded ones return
+        instantly from the slot queue)."""
+        yield from self._consume()
+
+
+class TTSGenerationHandle(_SlotHandle):
     """A running synthesis started with :meth:`BatchedTTSScheduler.start`
-    (or serving :meth:`BatchedTTSScheduler.stream`).  Audio chunks buffer in
-    the slot queue whether or not anyone consumes.  Exactly one of
-    ``chunks()`` (run to exhaustion / close) or ``cancel()`` must retire the
-    slot; both are idempotent against each other."""
-
-    def __init__(self, engine: "BatchedTTSScheduler", slot_id: int, slot: "_TTSSlot") -> None:
-        self._engine = engine
-        self._slot_id = slot_id
-        self._slot = slot
-        self._cancel_check: Optional[Callable[[], bool]] = None
-        self._retired = False
-
-    def bind_cancel(self, cancel_check: Optional[Callable[[], bool]]) -> None:
-        """Attach the adopting turn's staleness check (polled in chunks())."""
-        self._cancel_check = cancel_check
+    (or serving :meth:`BatchedTTSScheduler.stream`)."""
 
     def chunks(self) -> Iterator[tuple[np.ndarray, int]]:
         """Stream (float32 audio chunk @ 24 kHz, sample_rate) — already-
         synthesized chunks return instantly from the slot queue."""
         from s2s_tpu.models.qwen3_tts import SAMPLE_RATE
 
-        eng, slot = self._engine, self._slot
-        try:
-            while True:
-                if self._cancel_check is not None and self._cancel_check():
-                    with eng._work:
-                        slot.cancelled = True
-                        eng._work.notify_all()
-                try:
-                    item = slot.queue.get(timeout=0.1)
-                except Empty:
-                    continue
-                if item is _DONE:
-                    return
-                yield item, SAMPLE_RATE  # type: ignore[misc]
-        finally:
-            self._retire()
-
-    def cancel(self) -> None:
-        """Abort the synthesis and free the slot (no consumption needed)."""
-        self._retire()
-
-    def _retire(self) -> None:
-        if self._retired:
-            return
-        self._retired = True
-        eng, slot = self._engine, self._slot
-        with eng._work:
-            slot.cancelled = True
-            if eng.gate is not None and slot.gate_key is not None:
-                eng.gate.exit(slot.gate_key)
-                slot.gate_key = None
-            eng._release(self._slot_id)
-            eng._work.notify_all()
+        for item in self._consume():
+            yield item, SAMPLE_RATE
 
 
 class BatchedTTSScheduler:

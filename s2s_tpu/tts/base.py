@@ -60,6 +60,12 @@ class BaseTTSHandler(BaseHandler):
         #: final already answered) must not strand an engine slot
         self._last_answered_turn: tuple | None = None
 
+    def on_session_end(self) -> None:
+        # turn ids restart per session: a stale marker would silently
+        # disable speculation for the next session's matching turn
+        self._last_answered_turn = None
+        super().on_session_end()
+
     # ── subclass hooks ───────────────────────────────────────────────
 
     def _synthesize(
@@ -185,6 +191,12 @@ class BaseTTSHandler(BaseHandler):
         """Whole-chain speculation hook — backends with a batched engine
         override this to pre-synthesize; the default ignores the message."""
 
+    def _discard_speculation_for(self, turn_id) -> None:
+        """Drop a pending speculation for *turn_id* (any revision) — called
+        when that turn can no longer adopt it (its response ended, or its
+        input went stale on reopen/barge-in), so the engine slot frees
+        instead of lingering until the next speculation.  Default no-op."""
+
     def process(self, item) -> Iterator[Any]:
         tracker = self.speculative_turns
         if isinstance(item, SpeculativeTTSText):
@@ -197,6 +209,9 @@ class BaseTTSHandler(BaseHandler):
             return
 
         if isinstance(item, EndOfResponse):
+            # the turn is over either way: a speculation it never adopted
+            # (failed/text-only/reopened response) must release its slot
+            self._discard_speculation_for(item.turn_id)
             if tracker and not tracker.is_latest_after_reopen_grace(item.turn_id, item.turn_revision):
                 return
             yield AUDIO_RESPONSE_DONE
@@ -204,6 +219,7 @@ class BaseTTSHandler(BaseHandler):
 
         if tracker and not tracker.is_latest_after_reopen_grace(item.turn_id, item.turn_revision):
             logger.debug("Dropping stale TTS input turn=%s rev=%s", item.turn_id, item.turn_revision)
+            self._discard_speculation_for(item.turn_id)
             return
         if tracker:
             # First audible output commits the speculative turn.

@@ -110,6 +110,7 @@ class Qwen3TTSHandler(BaseTTSHandler):
         #: budget) match
         self.speculative_synthesis = bool(speculative_synthesis) and shared_tts is not None
         self._spec_synth: tuple[tuple, Any] | None = None  # (plan_key, handle)
+        self._spec_turn: str | None = None  # turn the speculation belongs to
         self._speaker_vec = speaker_vec  # precomputed .spk embedding (cached-reference mode)
         if synthesize_fn is None:
             if model is None:
@@ -163,8 +164,13 @@ class Qwen3TTSHandler(BaseTTSHandler):
     def _cancel_speculative_synthesis(self) -> None:
         spec = self._spec_synth
         self._spec_synth = None
+        self._spec_turn = None
         if spec is not None:
             spec[1].cancel()
+
+    def _discard_speculation_for(self, turn_id) -> None:
+        if turn_id is not None and turn_id == self._spec_turn:
+            self._cancel_speculative_synthesis()
 
     def _begin_speculative_synthesis(self, item) -> None:
         """Start pre-synthesis of the speculation's first sentence batch in
@@ -188,6 +194,7 @@ class Qwen3TTSHandler(BaseTTSHandler):
         )
         if handle is not None:  # None: every slot busy — skip, don't queue
             self._spec_synth = (key, handle)
+            self._spec_turn = item.turn_id
 
     def on_session_end(self) -> None:
         self._cancel_speculative_synthesis()
@@ -211,6 +218,7 @@ class Qwen3TTSHandler(BaseTTSHandler):
 
             spec = self._spec_synth
             self._spec_synth = None
+            self._spec_turn = None
             if spec is not None and spec[0] == key:
                 # adoption: the engine has been synthesizing this exact
                 # utterance since the speculation's first sentence formed —

@@ -319,3 +319,60 @@ def test_late_spec_for_answered_turn_is_ignored():
         assert handler._spec_synth is not None
     finally:
         sched.shutdown()
+
+
+def test_end_of_response_discards_unadopted_spec_for_that_turn():
+    """A turn that ends without adopting (failed/text-only response) must
+    release the speculative slot — but a pending spec for a LATER turn
+    survives its predecessor's EndOfResponse."""
+    handler, sched = _spec_tts_handler()
+    try:
+        list(handler.process(spec_text("Hello there.", turn="t1")))
+        spec_handle = handler._spec_synth[1]
+        list(handler.process(EndOfResponse(turn_id="t1", turn_revision=0)))
+        assert handler._spec_synth is None and spec_handle._retired
+
+        list(handler.process(spec_text("Next turn.", turn="t3")))
+        keep = handler._spec_synth[1]
+        list(handler.process(EndOfResponse(turn_id="t2", turn_revision=0)))
+        assert handler._spec_synth is not None and not keep._retired
+    finally:
+        sched.shutdown()
+
+
+def test_stale_input_drop_discards_spec_for_that_turn():
+    """Barge-in/reopen makes the real TTSInput stale; the speculation for
+    that turn must release its slot instead of lingering."""
+    from s2s_tpu.pipeline.turns import SpeculativeTurnTracker
+
+    model, sched = _tts_engine()
+    tracker = SpeculativeTurnTracker()
+    handler = Qwen3TTSHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(model=model, shared_tts=sched, streaming_chunk_size=4,
+                          max_new_tokens=6, speculative_turns=tracker),
+    )
+    try:
+        tracker.observe("t1", 0)
+        list(handler.process(spec_text("Hello there.", turn="t1", rev=0)))
+        spec_handle = handler._spec_synth[1]
+        tracker.observe("t1", 1)  # reopen: rev 0 goes stale
+        outs = list(handler.process(TTSInput(text="Hello there.", turn_id="t1", turn_revision=0)))
+        assert outs == []  # dropped as stale
+        assert handler._spec_synth is None and spec_handle._retired
+    finally:
+        sched.shutdown()
+
+
+def test_session_end_resets_answered_turn_marker():
+    handler, sched = _spec_tts_handler()
+    try:
+        list(handler.process(TTSInput(text="Hi.", turn_id="t1", turn_revision=0)))
+        assert handler._last_answered_turn == ("t1", 0)
+        handler.on_session_end()
+        assert handler._last_answered_turn is None
+        # next session's colliding turn id still gets speculation
+        list(handler.process(spec_text("Hi.", turn="t1", rev=0)))
+        assert handler._spec_synth is not None
+    finally:
+        sched.shutdown()
