@@ -271,10 +271,11 @@ def test_tts_checkpoint_flag_loads_converted_weights_and_speaks(tmp_path):
 
 
 def test_speculative_prefill_wired_through_builder(monkeypatch):
-    """build_pipeline_unit with the local-JAX batched backend must (a) flip
-    the service's speculative_prefill flag on, (b) start a speculation when
-    a partial transcript arrives, and (c) have the final's generation adopt
-    it (the engine's blocking generate() path is never used)."""
+    """build_pipeline_unit with the batched local-JAX LLM + batched Qwen3-TTS
+    must wire the WHOLE speculation chain: a partial transcript starts the
+    LLM speculation, its watcher announces the first sentence batch, the TTS
+    handler pre-synthesizes it, and the final's generation AND synthesis both
+    adopt (neither engine's blocking path ever runs)."""
     import threading
 
     from s2s_tpu.arguments import parse_arguments
@@ -283,7 +284,12 @@ def test_speculative_prefill_wired_through_builder(monkeypatch):
         PartialTranscriptionEvent,
         TranscriptionCompletedEvent,
     )
-    from s2s_tpu.pipeline.messages import EndOfResponse, LLMResponseChunk
+    from s2s_tpu.pipeline.messages import (
+        EndOfResponse,
+        LLMResponseChunk,
+        SpeculativeTTSText,
+        TTSInput,
+    )
     from s2s_tpu.registry import GLOBAL_MODEL_CACHE
 
     GLOBAL_MODEL_CACHE.clear()
@@ -291,7 +297,8 @@ def test_speculative_prefill_wired_through_builder(monkeypatch):
         "serve", "--stt", "whisper", "--stt_model_size", "tiny",
         "--llm_backend", "local-jax", "--llm_model_size", "tiny",
         "--llm_batched_slots", "2", "--llm_max_new_tokens", "8",
-        "--tts", "kokoro", "--tts_model_size", "tiny",
+        "--tts", "qwen3", "--tts_model_size", "tiny", "--tts_batched_slots", "2",
+        "--tts_streaming_chunk_size", "4", "--tts_max_new_tokens", "8",
     ])
     stop = threading.Event()
     unit = build_pipeline_unit(0, args, stop)
@@ -299,7 +306,10 @@ def test_speculative_prefill_wired_through_builder(monkeypatch):
         service = unit.service
         assert service.speculative_prefill is True
         llm = next(h for h in unit.handlers if type(h).__name__ == "LocalJAXLLMHandler")
+        proc = next(h for h in unit.handlers if type(h).__name__ == "LMOutputProcessor")
+        tts = next(h for h in unit.handlers if type(h).__name__ == "Qwen3TTSHandler")
         assert llm.speculative_prefill and llm.shared_lm is not None
+        assert llm.speculative_tts and tts.speculative_synthesis
 
         conn = service.register()
         service.dispatch_pipeline_event(
@@ -308,18 +318,22 @@ def test_speculative_prefill_wired_through_builder(monkeypatch):
         spec_req = service.text_prompt_queue.get(timeout=5)
         list(llm.process(spec_req))
         assert llm._spec is not None
-        # whole-chain mode is on by default: the watcher announces the
-        # speculation's first sentence batch toward the TTS stage
-        assert llm.speculative_tts
-        from s2s_tpu.pipeline.messages import SpeculativeTTSText
-
+        # the watcher announces the first sentence batch toward TTS...
         announced = llm.queue_out.get(timeout=10)
         assert isinstance(announced, SpeculativeTTSText) and announced.turn_id == "t1"
+        # ...through the processor, and the TTS handler pre-synthesizes it
+        assert list(proc.process(announced)) == [announced]
+        assert list(tts.process(announced)) == []
+        assert tts._spec_synth is not None
 
-        # the engine's blocking path must not run on adoption
+        # neither engine's blocking path may run on adoption
         monkeypatch.setattr(
             llm.shared_lm, "generate",
-            lambda *a, **k: (_ for _ in ()).throw(AssertionError("generate() ran")),
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("lm generate() ran")),
+        )
+        monkeypatch.setattr(
+            tts.shared_tts, "stream",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("tts stream() ran")),
         )
         service.dispatch_pipeline_event(
             conn, TranscriptionCompletedEvent(transcript="hi", turn_id="t1", turn_revision=0)
@@ -329,6 +343,17 @@ def test_speculative_prefill_wired_through_builder(monkeypatch):
         assert any(isinstance(o, LLMResponseChunk) and o.text for o in outs)
         assert isinstance(outs[-1], EndOfResponse) and outs[-1].error is None
         assert llm._spec is None
+
+        # the first routed TTSInput adopts the pre-synthesized audio
+        audio_blocks = []
+        for out in outs:
+            for routed in proc.process(out):
+                if isinstance(routed, TTSInput):
+                    audio_blocks.extend(
+                        b for b in tts.process(routed) if isinstance(b, np.ndarray)
+                    )
+        assert audio_blocks and all(len(b) == 512 for b in audio_blocks)
+        assert tts._spec_synth is None
     finally:
         stop.set()
         GLOBAL_MODEL_CACHE.clear()
