@@ -399,7 +399,9 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
         state: dict = {}
         watcher = None
         if speculative:
-            lm_spec = lm_sched.start(prompt, FIRST_SENTENCE_TOKENS)
+            # serving shape: speculation is non-priority (it decodes during
+            # STT dead time; preempting steady chunks would tax throughput)
+            lm_spec = lm_sched.start(prompt, FIRST_SENTENCE_TOKENS, priority=False)
 
             def watch() -> None:
                 # the speculation watcher: drain the first-sentence tokens

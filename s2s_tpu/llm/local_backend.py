@@ -348,7 +348,9 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         ids = self._prompt_ids_for_user_text(req.runtime_config, text)
         if not ids:
             return
-        handle = start(ids, self.max_new_tokens)
+        # non-priority: the speculation decodes during STT dead time, so it
+        # must not preempt other sessions' steady chunks on every partial
+        handle = start(ids, self.max_new_tokens, priority=False)
         if handle is None:  # every slot busy — skip, don't queue
             return
         spec = _Speculation(ids, handle)

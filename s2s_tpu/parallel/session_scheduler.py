@@ -279,12 +279,19 @@ class BatchedLMScheduler(_TraceMixin):
         prompt_ids: list[int],
         max_new: int,
         bucket: int | None = None,
+        priority: bool = True,
     ) -> "GenerationHandle | None":
         """Eagerly claim a slot and submit the prefill WITHOUT blocking and
         WITHOUT requiring the caller to consume tokens yet — the engine's
         driver thread decodes into the slot queue regardless.  Returns None
         when every slot is busy (callers that would rather skip than queue:
         speculative first-sentence generation on a progressive transcript).
+
+        ``priority=False`` skips the first-sentence latency lane AND the
+        cross-scheduler gate: a speculation runs during STT dead time
+        (~0.5-2 s before the final), so even steady-cadence decode finishes
+        the first sentence long before adoption — preempting every other
+        session's steady chunks for it would tax throughput for nothing.
 
         The handle's ``tokens()`` streams like ``generate()``; ``cancel()``
         aborts and frees the slot even if nothing was ever consumed.
@@ -305,7 +312,7 @@ class BatchedLMScheduler(_TraceMixin):
         padded[0, : len(prompt_ids)] = prompt_ids[:bucket]
         with self._work:
             slot.remaining = max_new
-            slot.priority_remaining = min(self.priority_tokens, max_new)
+            slot.priority_remaining = min(self.priority_tokens, max_new) if priority else 0
             if self.gate is not None and slot.priority_remaining > 0:
                 slot.gate_key = object()
                 self.gate.enter(slot.gate_key)

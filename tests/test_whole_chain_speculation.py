@@ -376,3 +376,26 @@ def test_session_end_resets_answered_turn_marker():
         assert handler._spec_synth is not None
     finally:
         sched.shutdown()
+
+
+def test_lm_non_priority_start_skips_gate_and_lane():
+    """Speculative LM starts must not preempt steady decode: no gate entry,
+    no first-sentence priority lane — but the tokens still stream correctly."""
+    import jax
+
+    from s2s_tpu.llm.local_backend import lm_config
+    from s2s_tpu.models import decoder_lm
+    from s2s_tpu.parallel.session_scheduler import BatchedLMScheduler, PriorityGate
+
+    cfg = lm_config("tiny")
+    params = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+    engine = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0, chunk_tokens=4)
+    engine.gate = PriorityGate()
+    try:
+        want = list(engine.generate([1, 2, 3], 8))
+        handle = engine.start([1, 2, 3], 8, priority=False)
+        assert handle is not None
+        assert not engine.gate.busy()
+        assert list(handle.tokens()) == want  # greedy: identical stream
+    finally:
+        engine.shutdown()
