@@ -200,6 +200,9 @@ class KokoroTTSArgs:
     #: input text is already a phoneme string — skip G2P (test/power-user path)
     phoneme_input: bool = False
     blocksize: int = 512
+    #: whole-chain speculation: pre-synthesize the announced first sentence
+    #: batch on a background side thread; adopted on exact match
+    speculative_synthesis: bool = True
 
 
 @dataclass
@@ -210,6 +213,10 @@ class MMSTTSArgs:
     speed: float = 1.0
     checkpoint: Optional[str] = None
     blocksize: int = 512
+
+    #: whole-chain speculation: pre-synthesize the announced first sentence
+    #: batch on a background side thread; adopted on exact match
+    speculative_synthesis: bool = True
 
 
 @dataclass
@@ -224,6 +231,10 @@ class PocketTTSArgs:
     checkpoint: Optional[str] = None
     blocksize: int = 512
 
+    #: whole-chain speculation: pre-synthesize the announced first sentence
+    #: batch on a background side thread; adopted on exact match
+    speculative_synthesis: bool = True
+
 
 @dataclass
 class ChatTTSArgs:
@@ -233,6 +244,10 @@ class ChatTTSArgs:
     seed: Optional[int] = None
     checkpoint: Optional[str] = None
     blocksize: int = 512
+
+    #: whole-chain speculation: pre-synthesize the announced first sentence
+    #: batch on a background side thread; adopted on exact match
+    speculative_synthesis: bool = True
 
 
 @dataclass

@@ -436,6 +436,7 @@ def _make_kokoro_tts(config, ctx: HandlerContext):
             voice=config.voice,
             speed=config.speed,
             blocksize=config.blocksize,
+            speculative_synthesis=getattr(config, "speculative_synthesis", True),
         ),
     )
 
@@ -460,6 +461,7 @@ def _make_mms_tts(config, ctx: HandlerContext):
             language=config.language,
             speed=config.speed,
             blocksize=config.blocksize,
+            speculative_synthesis=getattr(config, "speculative_synthesis", True),
         ),
     )
 
@@ -507,6 +509,7 @@ def _make_pocket_tts(config, ctx: HandlerContext):
             voice_ref_audio=ref,
             speed=config.speed,
             blocksize=config.blocksize,
+            speculative_synthesis=getattr(config, "speculative_synthesis", True),
         ),
     )
 
@@ -530,6 +533,7 @@ def _make_chattts(config, ctx: HandlerContext):
             stream=config.stream,
             seed=config.seed,
             blocksize=config.blocksize,
+            speculative_synthesis=getattr(config, "speculative_synthesis", True),
         ),
     )
 

@@ -12,6 +12,7 @@ metric.
 from __future__ import annotations
 
 import logging
+import threading
 from contextlib import nullcontext
 from time import perf_counter
 from typing import Any, Iterator, Optional
@@ -38,6 +39,53 @@ _PREROLL_S = 0.040
 _SILENCE_THRESHOLD = int(32768 * 0.01)
 
 
+class _BufferedSpeculation:
+    """Side-thread speculative synthesis into a growing piece buffer
+    (single-stream backends — the batched Qwen3 engine has its own slot
+    path).  ``pieces()`` replays buffered pieces then follows the producer;
+    ``cancel()`` stops the producer between pieces."""
+
+    def __init__(self) -> None:
+        self._pieces: list = []
+        self._cond = threading.Condition()
+        self._done = False
+        self.cancelled = threading.Event()
+
+    def feed(self, piece_iter) -> None:
+        try:
+            for piece in piece_iter:
+                if self.cancelled.is_set():
+                    break
+                with self._cond:
+                    self._pieces.append(piece)
+                    self._cond.notify_all()
+        except Exception:  # noqa: BLE001 — speculation must never break serving
+            logger.exception("speculative synthesis failed; buffer truncated")
+            self.cancelled.set()  # a partial buffer must not be adopted
+        finally:
+            with self._cond:
+                self._done = True
+                self._cond.notify_all()
+
+    def pieces(self) -> Iterator:
+        i = 0
+        while True:
+            with self._cond:
+                while i >= len(self._pieces) and not self._done:
+                    self._cond.wait(timeout=0.1)
+                if i < len(self._pieces):
+                    piece = self._pieces[i]
+                    i += 1
+                elif self._done:
+                    return
+                else:
+                    continue
+            yield piece
+
+    def cancel(self) -> None:
+        self.cancelled.set()
+
+
 class BaseTTSHandler(BaseHandler):
     """Streaming synthesis base; subclasses implement ``_synthesize``."""
 
@@ -50,12 +98,19 @@ class BaseTTSHandler(BaseHandler):
         device_scheduler=None,
         should_listen=None,
         blocksize: int = BLOCKSIZE,
+        speculative_synthesis: bool = True,
     ) -> None:
         self.cancel_scope = cancel_scope
         self.speculative_turns = speculative_turns
         self.scheduler = device_scheduler or GLOBAL_SCHEDULER
         self.should_listen = should_listen
         self.blocksize = blocksize
+        #: whole-chain speculation on single-stream backends: a BACKGROUND-
+        #: lane side thread synthesizes the announced first sentence batch
+        #: into a buffer; the real input adopts on (text, voice) match
+        self.speculative_synthesis_fallback = bool(speculative_synthesis)
+        self._spec_fallback: tuple[tuple, _BufferedSpeculation] | None = None
+        self._spec_fallback_turn: str | None = None
         #: last real turn synthesized — a speculation announced late (its
         #: final already answered) must not strand an engine slot
         self._last_answered_turn: tuple | None = None
@@ -64,6 +119,7 @@ class BaseTTSHandler(BaseHandler):
         # turn ids restart per session: a stale marker would silently
         # disable speculation for the next session's matching turn
         self._last_answered_turn = None
+        self._cancel_fallback_speculation()
         super().on_session_end()
 
     # ── subclass hooks ───────────────────────────────────────────────
@@ -187,15 +243,67 @@ class BaseTTSHandler(BaseHandler):
 
     # ── main entry ───────────────────────────────────────────────────
 
+    def _utterance_key(self, text: str, runtime_config, response, language=None) -> tuple:
+        """Identity of one synthesis request for speculation adoption —
+        anything device output depends on beyond the handler's fixed setup.
+        Speculations synthesize with ``language=None``, so a real input
+        carrying a language code never adopts (safe fallback)."""
+        return (text, self._session_voice(runtime_config, response), language)
+
+    def _cancel_fallback_speculation(self) -> None:
+        spec = self._spec_fallback
+        self._spec_fallback = None
+        self._spec_fallback_turn = None
+        if spec is not None:
+            spec[1].cancel()
+
     def _begin_speculative_synthesis(self, item: SpeculativeTTSText) -> None:
-        """Whole-chain speculation hook — backends with a batched engine
-        override this to pre-synthesize; the default ignores the message."""
+        """Whole-chain speculation hook.  The base implementation runs
+        ``_synthesize`` on a BACKGROUND-lane side thread into a buffer;
+        backends with a batched engine (Qwen3) override with a slot-based
+        path.  Nothing is emitted until the real input adopts."""
+        self._cancel_fallback_speculation()
+        if not self.speculative_synthesis_fallback:
+            return
+        text = (item.text or "").strip()
+        if not text:
+            return
+        key = self._utterance_key(text, item.runtime_config, None)
+        spec = _BufferedSpeculation()
+        runtime_config = item.runtime_config
+
+        def run() -> None:
+            # BACKGROUND lane: speculation yields to every real utterance
+            with self.scheduler.slot(Lane.BACKGROUND):
+                spec.feed(self._synthesize(text, None, runtime_config, None))
+
+        threading.Thread(target=run, daemon=True, name="tts-spec-fallback").start()
+        self._spec_fallback = (key, spec)
+        self._spec_fallback_turn = item.turn_id
+
+    def _adopt_speculation_pieces(self, text: str, runtime_config, response, language=None):
+        """Return the buffered speculative piece stream iff it matches this
+        real utterance (and wasn't truncated by a failure); else cancel it."""
+        spec = self._spec_fallback
+        if spec is None:
+            return None
+        self._spec_fallback = None
+        self._spec_fallback_turn = None
+        key, buffered = spec
+        if buffered.cancelled.is_set() or key != self._utterance_key(
+            text, runtime_config, response, language
+        ):
+            buffered.cancel()
+            return None
+        return buffered.pieces()
 
     def _discard_speculation_for(self, turn_id) -> None:
         """Drop a pending speculation for *turn_id* (any revision) — called
         when that turn can no longer adopt it (its response ended, or its
-        input went stale on reopen/barge-in), so the engine slot frees
-        instead of lingering until the next speculation.  Default no-op."""
+        input went stale on reopen/barge-in), so the slot/side thread frees
+        instead of lingering until the next speculation."""
+        if turn_id is not None and turn_id == self._spec_fallback_turn:
+            self._cancel_fallback_speculation()
 
     def process(self, item) -> Iterator[Any]:
         tracker = self.speculative_turns
@@ -231,9 +339,15 @@ class BaseTTSHandler(BaseHandler):
         text = text or "Hello."
         logger.info("ASSISTANT: %s", text)
 
+        adopted = self._adopt_speculation_pieces(text, item.runtime_config, item.response, language)
         try:
-            with self._device_slot():
-                piece_iter = self._synthesize(text, language, item.runtime_config, item.response)
+            # adopted pieces come from the speculation's own side thread /
+            # engine slot — no device slot needed here
+            with nullcontext() if adopted is not None else self._device_slot():
+                piece_iter = (
+                    adopted if adopted is not None
+                    else self._synthesize(text, language, item.runtime_config, item.response)
+                )
                 first_audio = True
                 for chunk in self._stream(piece_iter, type(self).__name__):
                     if first_audio:

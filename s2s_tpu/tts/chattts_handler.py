@@ -26,6 +26,7 @@ class ChatTTSHandler(BaseTTSHandler):
         device_scheduler=None,
         should_listen=None,
         blocksize: int = 512,
+        speculative_synthesis: bool = True,
         stream: bool = True,
         seed: int | None = None,
         synthesize_fn=None,
@@ -38,6 +39,7 @@ class ChatTTSHandler(BaseTTSHandler):
             device_scheduler=device_scheduler,
             should_listen=should_listen,
             blocksize=blocksize,
+            speculative_synthesis=speculative_synthesis,
         )
         self.stream_mode = stream
         self._synthesize_fn = synthesize_fn

@@ -26,6 +26,7 @@ class KokoroTTSHandler(BaseTTSHandler):
         device_scheduler=None,
         should_listen=None,
         blocksize: int = 512,
+        speculative_synthesis: bool = True,
         voice: str | None = None,
         speed: float = 1.0,
         synthesize_fn=None,
@@ -38,6 +39,7 @@ class KokoroTTSHandler(BaseTTSHandler):
             device_scheduler=device_scheduler,
             should_listen=should_listen,
             blocksize=blocksize,
+            speculative_synthesis=speculative_synthesis,
         )
         self.voice = voice
         self.speed = speed

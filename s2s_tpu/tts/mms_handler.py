@@ -23,6 +23,7 @@ class MMSTTSHandler(BaseTTSHandler):
         device_scheduler=None,
         should_listen=None,
         blocksize: int = 512,
+        speculative_synthesis: bool = True,
         language: str | None = None,
         speed: float = 1.0,
         synthesize_fn=None,
@@ -35,6 +36,7 @@ class MMSTTSHandler(BaseTTSHandler):
             device_scheduler=device_scheduler,
             should_listen=should_listen,
             blocksize=blocksize,
+            speculative_synthesis=speculative_synthesis,
         )
         self.default_language = language
         self.speed = speed

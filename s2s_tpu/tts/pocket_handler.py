@@ -29,6 +29,7 @@ class PocketTTSHandler(BaseTTSHandler):
         device_scheduler=None,
         should_listen=None,
         blocksize: int = 512,
+        speculative_synthesis: bool = True,
         voice: str | None = None,
         speed: float = 1.0,
         synthesize_fn=None,
@@ -42,6 +43,7 @@ class PocketTTSHandler(BaseTTSHandler):
             device_scheduler=device_scheduler,
             should_listen=should_listen,
             blocksize=blocksize,
+            speculative_synthesis=speculative_synthesis,
         )
         self.speed = speed
         self._synthesize_fn = synthesize_fn

@@ -399,3 +399,91 @@ def test_lm_non_priority_start_skips_gate_and_lane():
         assert list(handle.tokens()) == want  # greedy: identical stream
     finally:
         engine.shutdown()
+
+
+# ── single-stream fallback (side-thread buffer) ──────────────────────
+
+
+def _kokoro_handler(**kw):
+    from s2s_tpu.tts.kokoro_handler import KokoroTTSHandler
+
+    pieces_log = []
+
+    def synthesize_fn(text, language):
+        pieces_log.append(text)
+        for i in range(3):
+            yield np.full(2400, 0.2 + 0.1 * i, dtype=np.float32), 24000
+
+    handler = KokoroTTSHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(synthesize_fn=synthesize_fn, **kw),
+    )
+    return handler, pieces_log
+
+
+def _wait_spec_done(handler, timeout=5.0):
+    spec = handler._spec_fallback
+    assert spec is not None
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        with spec[1]._cond:
+            if spec[1]._done:
+                return
+        time.sleep(0.02)
+    raise TimeoutError("fallback speculation never finished")
+
+
+def test_fallback_speculation_adopted_by_single_stream_backend():
+    handler, pieces_log = _kokoro_handler()
+    assert list(handler.process(spec_text("Hello there."))) == []
+    _wait_spec_done(handler)
+    assert pieces_log == ["Hello there."]  # synthesized once, speculatively
+
+    chunks = list(handler.process(TTSInput(text="Hello there.", turn_id="t1", turn_revision=0)))
+    assert chunks and all(len(c) == 512 for c in chunks)
+    assert pieces_log == ["Hello there."]  # NOT synthesized a second time
+    assert handler._spec_fallback is None
+
+
+def test_fallback_mismatch_or_language_falls_back_to_real_synthesis():
+    handler, pieces_log = _kokoro_handler()
+    list(handler.process(spec_text("Hello there.")))
+    _wait_spec_done(handler)
+    chunks = list(handler.process(
+        TTSInput(text="Different.", turn_id="t1", turn_revision=0)
+    ))
+    assert chunks
+    assert pieces_log == ["Hello there.", "Different."]  # real path ran
+    assert handler._spec_fallback is None
+
+
+def test_fallback_failed_speculation_never_adopted():
+    from s2s_tpu.tts.kokoro_handler import KokoroTTSHandler
+
+    calls = {"n": 0}
+
+    def synthesize_fn(text, language):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            yield np.full(2400, 0.3, dtype=np.float32), 24000
+            raise RuntimeError("boom mid-speculation")
+        for _ in range(3):
+            yield np.full(2400, 0.3, dtype=np.float32), 24000
+
+    handler = KokoroTTSHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(synthesize_fn=synthesize_fn),
+    )
+    list(handler.process(spec_text("Hello there.")))
+    _wait_spec_done(handler)
+    chunks = list(handler.process(TTSInput(text="Hello there.", turn_id="t1", turn_revision=0)))
+    assert chunks  # full real synthesis, not the truncated buffer
+    assert calls["n"] == 2
+
+
+def test_fallback_discarded_on_end_of_response():
+    handler, pieces_log = _kokoro_handler()
+    list(handler.process(spec_text("Hello there.", turn="t1")))
+    spec = handler._spec_fallback[1]
+    list(handler.process(EndOfResponse(turn_id="t1", turn_revision=0)))
+    assert handler._spec_fallback is None and spec.cancelled.is_set()
