@@ -75,6 +75,40 @@ TTS_CHUNK_FRAMES = 8
 TINY = os.environ.get("S2S_BENCH_TINY", "0") == "1"
 
 
+def _backend_watchdog(init_timeout_s: float = 600.0) -> None:
+    """Fail LOUDLY if PJRT init wedges (the axon pool can hang forever in
+    ``make_c_api_client`` after a lost claim) instead of letting the driver's
+    outer timeout kill the run with no output: probe the backend on a side
+    thread and print an explanatory JSON line if it never comes up."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe() -> None:
+        import jax
+        import jax.numpy as jnp
+
+        jnp.zeros((1,)).block_until_ready()
+        _ = jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(init_timeout_s):
+        print(json.dumps({
+            "metric": "aggregate_cascade_rtfx_per_chip",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": (
+                f"device backend failed to initialize within {init_timeout_s:.0f}s: "
+                "the axon TPU pool claim is wedged (PJRT init hangs in "
+                "make_c_api_client) — environmental, not a framework failure; "
+                "see .claude/skills/verify/SKILL.md for the wedge playbook"
+            ),
+        }))
+        os._exit(2)
+
+
 def _device_init(init_fn, key):
     """Run a param initializer as ONE jitted program (eager per-op dispatch
     through the remote-device tunnel would take minutes at 1.7B scale)."""
@@ -497,6 +531,7 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
 
 
 def main() -> None:
+    _backend_watchdog()
     vad_run, vad_batched, _vad_params = build_vad()
     t_vad = min(vad_run() for _ in range(3))
     # serving shape: ONE batched dispatch scores every session's tick
