@@ -25,6 +25,7 @@ import base64
 import io
 import json
 import logging
+import os
 import struct
 from typing import Any, Iterator, Optional
 from urllib.parse import urlparse
@@ -189,6 +190,9 @@ class RemoteLLMHandler(BaseLLMHandler):
         self.audio_content_type = audio_content_type
         self.audio_max_tokens = audio_max_tokens
         self.audio_history_turns = max(0, audio_history_turns)
+        if api_key is None:
+            # SDK convention: the environment key authenticates by default
+            api_key = os.environ.get("OPENAI_API_KEY")
         if api_key is None and base_url is not None and _is_local_base_url(base_url):
             api_key = "none"
         self.base_url = (base_url or "https://api.openai.com/v1").rstrip("/")

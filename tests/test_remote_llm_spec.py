@@ -249,3 +249,26 @@ def test_audio_second_turn_retains_recent_audio_then_compacts_older():
     assert not has_audio(user_msgs[0])  # oldest: compacted to placeholder
     assert isinstance(user_msgs[0]["content"], str)
     assert all(has_audio(m) for m in user_msgs[1:])
+
+
+def test_environment_api_key_authenticates_by_default(monkeypatch):
+    """SDK convention: OPENAI_API_KEY authenticates when no explicit key is
+    configured — for the official endpoint AND custom remote base URLs."""
+    import threading
+    from queue import Queue
+
+    from s2s_tpu.llm.openai_backend import ChatCompletionsHandler
+
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-env")
+    handler = ChatCompletionsHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(base_url="https://provider.example/v1"),
+    )
+    assert handler.client.headers["Authorization"] == "Bearer sk-env"
+
+    # explicit key still wins over the environment
+    handler2 = ChatCompletionsHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(base_url="https://provider.example/v1", api_key="sk-explicit"),
+    )
+    assert handler2.client.headers["Authorization"] == "Bearer sk-explicit"
