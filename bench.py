@@ -456,6 +456,11 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
             stt_final()
         t1 = time.perf_counter()
         if speculative:
+            # adoption (serving: local_backend._adopt_speculation): if the
+            # speculation hasn't finished decoding yet, its remainder is now
+            # the latency chain — promote it into the priority lane
+            if lm_spec is not None:
+                lm_spec.promote()
             watcher.join()  # first-sentence tokens: usually done long ago
         else:
             for _tok in lm_sched.generate(prompt, FIRST_SENTENCE_TOKENS):
@@ -463,6 +468,7 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
         t2 = time.perf_counter()
         tts_handle = state.get("tts")
         if tts_handle is not None:
+            tts_handle.promote()  # remaining ramp chunks hold the gate
             for _chunk in tts_handle.chunks():
                 break  # first audible chunk ends the latency chain
             tts_handle.cancel()

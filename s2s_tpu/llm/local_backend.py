@@ -123,6 +123,13 @@ class _Speculation:
     def cancel(self) -> None:
         self.handle.cancel()
 
+    def promote(self) -> None:
+        """On adoption: any not-yet-decoded remainder is now the latency
+        chain — move the slot into the engine's priority lane."""
+        promote = getattr(self.handle, "promote", None)
+        if promote is not None:
+            promote()
+
 
 class SimpleCharTokenizer:
     """Byte-level fallback tokenizer (random-weight demos and tests)."""
@@ -407,6 +414,7 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         if spec.ids != ids or max_new != self.max_new_tokens:
             spec.cancel()
             return None
+        spec.promote()  # the undecoded remainder is now latency-critical
         return spec.tokens(cancel_check)
 
     def _decode_token_stream(self, token_ids) -> Iterator[str]:

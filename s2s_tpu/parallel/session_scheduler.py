@@ -723,10 +723,54 @@ class GenerationHandle(_SlotHandle):
         instantly from the slot queue)."""
         yield from self._consume()
 
+    def promote(self, window: int | None = None) -> None:
+        """Enter the priority lane mid-flight.
+
+        A speculation starts with ``priority=False`` (it decodes during STT
+        dead time, advancing only in the steady full-batch chunks).  The
+        moment a real request ADOPTS it, any not-yet-decoded remainder of
+        the first-sentence window IS the latency chain — so it must switch
+        to single-slot dispatches and hold the steady lane back exactly as
+        a fresh priority generation would.  *window* defaults to the
+        engine's ``priority_tokens``; capped at the undispatched remainder.
+        Idempotent, and a no-op on finished/cancelled slots (the common
+        case: speculation completed long before adoption)."""
+        eng, slot = self._engine, self._slot
+        with eng._work:
+            if self._retired or slot.cancelled or slot.done_sent:
+                return
+            n = eng.priority_tokens if window is None else window
+            slot.priority_remaining = max(
+                slot.priority_remaining, min(n, slot.remaining)
+            )
+            if (eng.gate is not None and slot.gate_key is None
+                    and slot.priority_remaining > 0):
+                slot.gate_key = object()
+                eng.gate.enter(slot.gate_key)
+            eng._work.notify_all()
+
 
 class TTSGenerationHandle(_SlotHandle):
     """A running synthesis started with :meth:`BatchedTTSScheduler.start`
     (or serving :meth:`BatchedTTSScheduler.stream`)."""
+
+    def promote(self) -> None:
+        """Enter the cross-scheduler gate mid-flight (TTS counterpart of
+        :meth:`GenerationHandle.promote`).  An ungated speculative slot
+        already rides the single-slot TTFA ramp dispatches; what it lacks
+        is the gate hold that makes OTHER engines' steady chunks yield.  On
+        adoption the remaining ramp is latency-critical, so assert the hold
+        — ``_finish`` releases it when the ramp completes.  No-op once the
+        ramp is done or the slot is finished/cancelled."""
+        eng, slot = self._engine, self._slot
+        with eng._work:
+            if (self._retired or slot.cancelled or slot.done_sent
+                    or slot.chunks_done >= len(_TTS_RAMP)):
+                return
+            if eng.gate is not None and slot.gate_key is None:
+                slot.gate_key = object()
+                eng.gate.enter(slot.gate_key)
+            eng._work.notify_all()
 
     def chunks(self) -> Iterator[tuple[np.ndarray, int]]:
         """Stream (float32 audio chunk @ 24 kHz, sample_rate) — already-

@@ -222,7 +222,9 @@ class Qwen3TTSHandler(BaseTTSHandler):
             if spec is not None and spec[0] == key:
                 # adoption: the engine has been synthesizing this exact
                 # utterance since the speculation's first sentence formed —
-                # buffered chunks return instantly
+                # buffered chunks return instantly.  Promote: any remaining
+                # ramp chunks now hold the cross-scheduler gate.
+                spec[1].promote()
                 spec[1].bind_cancel(cancel)
                 yield from spec[1].chunks()
                 return

@@ -666,3 +666,122 @@ def test_handle_bound_cancel_terminates_stream(lm):
         )
     finally:
         sched.shutdown()
+
+
+# ── promote(): speculation adoption moves a slot into the priority lane ──
+
+
+def test_promote_moves_speculation_into_priority_lane(lm, monkeypatch):
+    """A ``start(priority=False)`` generation advances only in steady
+    full-batch chunks; ``promote()`` mid-flight (the adoption path —
+    ``local_backend._adopt_speculation``) switches its undecoded remainder
+    to single-slot dispatches without changing the tokens."""
+    cfg, params = lm
+    from s2s_tpu.parallel import batched_decode as bd
+
+    calls = {"slot": 0, "fused": 0}
+    real_slot, real_fused = bd.jit_decode_chunk_slot, bd.jit_prefill_and_chunk_slot
+
+    def spy_slot(*a, **k):
+        calls["slot"] += 1
+        return real_slot(*a, **k)
+
+    def spy_fused(*a, **k):
+        calls["fused"] += 1
+        return real_fused(*a, **k)
+
+    sched = BatchedLMScheduler(
+        params, cfg, n_slots=2, eos_id=0, chunk_tokens=2,
+        priority_tokens=8, priority_chunk=2,
+    )
+    monkeypatch.setattr(sched._bd, "jit_decode_chunk_slot", spy_slot)
+    monkeypatch.setattr(sched._bd, "jit_prefill_and_chunk_slot", spy_fused)
+    try:
+        handle = sched.start(PROMPTS[3], max_new=24, priority=False)
+        assert handle is not None
+        handle.promote()
+        got = list(handle.tokens())
+        assert got == serial_greedy(params, cfg, PROMPTS[3], 24, eos_id=0)
+        # the promoted window ran through the latency lane (fused if promote
+        # landed before the prefill dispatched, slot dispatches otherwise)
+        assert calls["slot"] + calls["fused"] >= 1
+    finally:
+        sched.shutdown()
+
+
+def test_promote_after_finish_is_noop(lm):
+    """promote() on a consumed/retired handle must not throw, wedge the
+    engine, or leak a gate hold."""
+    cfg, params = lm
+    from s2s_tpu.parallel.session_scheduler import PriorityGate
+
+    gate = PriorityGate()
+    sched = BatchedLMScheduler(
+        params, cfg, n_slots=2, eos_id=0, chunk_tokens=4,
+        priority_tokens=4, gate=gate,
+    )
+    try:
+        handle = sched.start(PROMPTS[0], max_new=6, priority=False)
+        got = list(handle.tokens())
+        handle.promote()
+        handle.promote()  # idempotent
+        assert got == serial_greedy(params, cfg, PROMPTS[0], 6, eos_id=0)
+        assert not gate.busy()
+        # engine still healthy
+        assert list(sched.generate(PROMPTS[1], max_new=6)) == serial_greedy(
+            params, cfg, PROMPTS[1], 6, eos_id=0
+        )
+    finally:
+        sched.shutdown()
+
+
+def test_promote_gate_hold_released_when_window_drains(lm):
+    """promote() asserts the cross-scheduler gate for the promoted window
+    and the engine releases it when the window (or generation) drains."""
+    cfg, params = lm
+    from s2s_tpu.parallel.session_scheduler import PriorityGate
+
+    gate = PriorityGate()
+    sched = BatchedLMScheduler(
+        params, cfg, n_slots=2, eos_id=0, chunk_tokens=2,
+        priority_tokens=32, priority_chunk=2, gate=gate,
+    )
+    try:
+        handle = sched.start(PROMPTS[1], max_new=8, priority=False)
+        assert not gate.busy()  # non-priority start never holds the gate
+        handle.promote()
+        got = list(handle.tokens())  # exhausting the stream retires the slot
+        assert got == serial_greedy(params, cfg, PROMPTS[1], 8, eos_id=0)
+        assert not gate.busy()
+    finally:
+        sched.shutdown()
+
+
+def test_tts_promote_gate_hold_and_release(tts):
+    """TTS promote(): an ungated speculative slot asserts the gate on
+    adoption; cancel/retire releases it."""
+    qwen3_tts, cfg, params = tts
+    from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler, PriorityGate
+
+    gate = PriorityGate()
+    sched = BatchedTTSScheduler(
+        params, cfg, n_slots=2, max_t=64, context_frames=4, chunk_frames=4,
+        gate=gate,
+    )
+    ids = np.zeros((1, 16), np.int32)
+    ids[0, :5] = [3, 5, 7, 9, 11]
+    spk = params["speakers"][jnp.asarray([0])]
+    try:
+        handle = sched.start(ids, spk, max_frames=16, gated=False)
+        assert handle is not None
+        assert not gate.busy()  # ungated speculation never holds the gate
+        handle.promote()
+        for _chunk, _sr in handle.chunks():
+            break  # first audible chunk = adoption satisfied
+        handle.cancel()
+        deadline = time.monotonic() + 10
+        while gate.busy() and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert not gate.busy()
+    finally:
+        sched.shutdown()
