@@ -51,10 +51,26 @@ class _BufferedSpeculation:
         self._done = False
         self.cancelled = threading.Event()
 
-    def feed(self, piece_iter) -> None:
+    def feed(self, piece_iter, scheduler=None, lane=None) -> None:
+        """Drive *piece_iter* to exhaustion into the buffer.
+
+        When *scheduler* is given, the device slot is acquired PER PIECE
+        (around each ``next()``, where the generator's compute runs) rather
+        than for the whole synthesis: lane priority is admission-only — a
+        holder is never preempted — so a whole-utterance hold would block
+        the REALTIME VAD tick and any real INTERACTIVE synthesis for
+        seconds.  Per-piece acquisition bounds that to one piece and lets
+        higher lanes barge in between pieces."""
+        sentinel = object()
+        it = iter(piece_iter)
         try:
-            for piece in piece_iter:
-                if self.cancelled.is_set():
+            while not self.cancelled.is_set():
+                if scheduler is not None:
+                    with scheduler.slot(lane):
+                        piece = next(it, sentinel)
+                else:
+                    piece = next(it, sentinel)
+                if piece is sentinel:
                     break
                 with self._cond:
                     self._pieces.append(piece)
@@ -273,9 +289,13 @@ class BaseTTSHandler(BaseHandler):
         runtime_config = item.runtime_config
 
         def run() -> None:
-            # BACKGROUND lane: speculation yields to every real utterance
-            with self.scheduler.slot(Lane.BACKGROUND):
-                spec.feed(self._synthesize(text, None, runtime_config, None))
+            # BACKGROUND lane, acquired per piece inside feed(): speculation
+            # yields to every real utterance AND to the REALTIME VAD tick
+            # between pieces (a whole-utterance hold would block them)
+            spec.feed(
+                self._synthesize(text, None, runtime_config, None),
+                scheduler=self.scheduler, lane=Lane.BACKGROUND,
+            )
 
         threading.Thread(target=run, daemon=True, name="tts-spec-fallback").start()
         self._spec_fallback = (key, spec)

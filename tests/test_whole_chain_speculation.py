@@ -487,3 +487,38 @@ def test_fallback_discarded_on_end_of_response():
     spec = handler._spec_fallback[1]
     list(handler.process(EndOfResponse(turn_id="t1", turn_revision=0)))
     assert handler._spec_fallback is None and spec.cancelled.is_set()
+
+
+def test_fallback_speculation_yields_slot_between_pieces():
+    """Per-piece slot acquisition in the side thread: real INTERACTIVE work
+    barges into a running speculation at the next piece boundary instead of
+    waiting for the whole utterance (lane priority is admission-only — a
+    whole-synthesis hold would block the REALTIME VAD tick and any real
+    synthesis for the full utterance duration)."""
+    from s2s_tpu.runtime.device_scheduler import DeviceScheduler, Lane
+    from s2s_tpu.tts.kokoro_handler import KokoroTTSHandler
+
+    sched = DeviceScheduler()
+    started = threading.Event()
+
+    def synthesize_fn(text, language):
+        for _ in range(100):
+            started.set()
+            time.sleep(0.02)  # "device work" for one piece, slot held
+            yield np.full(480, 0.2, dtype=np.float32), 24000
+
+    handler = KokoroTTSHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(synthesize_fn=synthesize_fn, device_scheduler=sched),
+    )
+    list(handler.process(spec_text("Hello there.")))
+    assert started.wait(10)
+    spec = handler._spec_fallback[1]
+    assert sched.acquire(Lane.INTERACTIVE, timeout=10)
+    try:
+        with spec._cond:
+            still_producing = not spec._done
+    finally:
+        sched.release()
+    assert still_producing, "INTERACTIVE admitted only after the whole speculation"
+    spec.cancel()
