@@ -719,3 +719,37 @@ def test_session_end_cancels_speculation():
         assert sorted(engine._free) == [0, 1]
     finally:
         engine.shutdown()
+
+
+def test_speculative_adoption_promotes_to_priority_lane():
+    """Adoption promotes the speculative slot mid-flight: any not-yet-decoded
+    remainder moves from the steady lane into the priority lane (the serving
+    default measured 0.63 s of loaded-latency LLM phase without this)."""
+    from s2s_tpu.pipeline.messages import SpeculativeGenerateRequest
+
+    handler, engine, params = _spec_pair(max_new_tokens=24)
+    promoted = []
+    real_start = engine.start
+
+    def spy_start(*a, **k):
+        h = real_start(*a, **k)
+        if h is not None:
+            real_promote = h.promote
+            h.promote = lambda *pa, **pk: (promoted.append(True), real_promote(*pa, **pk))
+        return h
+
+    engine.start = spy_start
+    try:
+        rc = RuntimeConfig()
+        list(handler.process(
+            SpeculativeGenerateRequest(runtime_config=rc, text="hi", turn_id="t", turn_revision=0)
+        ))
+        assert handler._spec is not None
+        rc.chat.add_item(make_user_message("hi"))
+        outs = list(handler.process(GenerateResponseRequest(
+            runtime_config=rc, turn_id="t", turn_revision=0
+        )))
+        assert isinstance(outs[-1], EndOfResponse) and outs[-1].error is None
+        assert promoted, "adoption must promote the speculative slot"
+    finally:
+        engine.shutdown()
