@@ -50,6 +50,17 @@ class _BufferedSpeculation:
         self._cond = threading.Condition()
         self._done = False
         self.cancelled = threading.Event()
+        #: admission lane for per-piece slot acquisition; promote() raises
+        #: it mid-flight (read per piece, so the next acquisition uses it)
+        self._lane = None
+
+    def promote(self, lane) -> None:
+        """Raise the producer's admission lane mid-flight — called on
+        adoption: the remaining pieces are now the latency chain (the user
+        is listening), so they should no longer queue behind other
+        sessions' INTERACTIVE work.  Single-stream counterpart of
+        ``TTSGenerationHandle.promote``."""
+        self._lane = lane
 
     def feed(self, piece_iter, scheduler=None, lane=None) -> None:
         """Drive *piece_iter* to exhaustion into the buffer.
@@ -63,10 +74,12 @@ class _BufferedSpeculation:
         higher lanes barge in between pieces."""
         sentinel = object()
         it = iter(piece_iter)
+        if self._lane is None:  # a promote() that raced ahead wins
+            self._lane = lane
         try:
             while not self.cancelled.is_set():
                 if scheduler is not None:
-                    with scheduler.slot(lane):
+                    with scheduler.slot(self._lane):
                         piece = next(it, sentinel)
                 else:
                     piece = next(it, sentinel)
@@ -315,6 +328,9 @@ class BaseTTSHandler(BaseHandler):
         ):
             buffered.cancel()
             return None
+        # remaining pieces are now the latency chain — stop queueing them
+        # behind other sessions' interactive work
+        buffered.promote(Lane.INTERACTIVE)
         return buffered.pieces()
 
     def _discard_speculation_for(self, turn_id) -> None:

@@ -522,3 +522,16 @@ def test_fallback_speculation_yields_slot_between_pieces():
         sched.release()
     assert still_producing, "INTERACTIVE admitted only after the whole speculation"
     spec.cancel()
+
+
+def test_fallback_adoption_promotes_side_thread_lane():
+    """Adoption raises the side thread's admission lane: remaining pieces
+    stop queueing behind other sessions' interactive work."""
+    from s2s_tpu.runtime.device_scheduler import Lane
+
+    handler, _pieces = _kokoro_handler()
+    list(handler.process(spec_text("Hello there.")))
+    spec = handler._spec_fallback[1]
+    _wait_spec_done(handler)
+    list(handler.process(TTSInput(text="Hello there.", turn_id="t1", turn_revision=0)))
+    assert spec._lane == Lane.INTERACTIVE
