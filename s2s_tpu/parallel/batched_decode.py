@@ -288,6 +288,223 @@ def decode_chunk_slot(
     return toks[:, 0], emitted[:, 0], tok[0], MultiDecodeState(KVCache(new_k, new_v), pos)
 
 
+# ── tail-buffer chunk decode (the TPU serving path) ──────────────────
+#
+# The legacy chunk above rewrites the KV caches every step: the layer scan
+# takes the stacked (L, B, KV, T, hd) caches as xs and emits updated copies
+# as ys, and the per-row write is a vmapped dynamic_update_slice (a scatter,
+# since rows sit at different positions).  On-chip attribution (round 4)
+# measured a 16-slot SmolLM2-1.7B int8 step at ~23 ms against a ~3 ms
+# HBM-roofline floor (int8 weights + one KV read) — the cache round-trips,
+# not the math, dominate.  The tail design removes every per-step cache
+# write:
+#
+# - the big caches are FROZEN chunk inputs (closure constants of the step
+#   scan — read once per step by attention, never copied);
+# - each step's fresh K/V goes into a small (L, B, KV, n_chunk, hd) TAIL
+#   buffer at the static step index (one cheap DUS, no scatter);
+# - attention concatenates [frozen cache | tail] scores in one softmax,
+#   masking cache keys to < chunk-start pos and tail keys to the row's
+#   active prefix;
+# - at chunk end the tail is blended into the caches ONCE (per-row masked
+#   write of an n_chunk-length block).
+#
+# Per-step HBM traffic drops to weights + ONE cache read.  Emitted-token
+# semantics match the legacy chunk exactly (tests/test_batched_decode.py
+# pins token-for-token equality, including mid-chunk EOS); post-EOS cache
+# garbage differs but is invisible (a frozen row's next real turn rewrites
+# its rows before attending, same argument as the legacy path's).
+
+
+def _tail_blend(cache, tail, pos0, n_act):
+    """Blend each row's tail prefix into its cache at the row's chunk-start
+    position.  cache: (B, KV, T, hd); tail: (B, KV, n, hd); pos0/n_act: (B,).
+    Only tail slots j < n_act[b] are real (the row's active prefix)."""
+    n = tail.shape[2]
+
+    def one(cache_row, tail_row, p, na):
+        block = jax.lax.dynamic_slice(
+            cache_row, (0, p, 0), (cache_row.shape[0], n, cache_row.shape[2])
+        )
+        keep = (jnp.arange(n) < na)[None, :, None]
+        return jax.lax.dynamic_update_slice(
+            cache_row, jnp.where(keep, tail_row, block), (0, p, 0)
+        )
+
+    return jax.vmap(one)(cache, tail, pos0, n_act)
+
+
+def decode_chunk_tail(
+    params, cfg: DecoderLMConfig, tokens, state: MultiDecodeState, n_tokens: int,
+    eos_id: int, active,
+):
+    """Tail-buffer greedy chunk decode; same contract and emitted-token
+    semantics as :func:`decode_chunk_multi`, ~an-order-of-magnitude less
+    KV-cache HBM traffic per step (see module comment above)."""
+    b = tokens.shape[0]
+    n = n_tokens
+    kc, vc = state.caches.k, state.caches.v  # frozen chunk inputs
+    pos0 = state.pos
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    max_t = kc.shape[3]
+    # cache keys valid strictly BELOW the chunk-start position (this chunk's
+    # keys live in the tail); (B, 1, 1, T)
+    cache_mask = (jnp.arange(max_t)[None, :] < pos0[:, None])[:, None, None, :]
+    tail_shape = (cfg.n_layers, b, cfg.n_kv_heads, n, cfg.head_dim)
+    tail_k0 = jnp.zeros(tail_shape, cfg.dtype)
+    tail_v0 = jnp.zeros(tail_shape, cfg.dtype)
+    steps = jnp.arange(n)
+
+    def step(carry, i):
+        tok, tk, tv, n_act, act = carry
+        x = params["embed"][tok][:, None, :].astype(cfg.dtype)
+        pos = pos0 + n_act  # per-row query position (frozen after EOS)
+        cos_b = cos_full[pos][:, None, :]
+        sin_b = sin_full[pos][:, None, :]
+        # tail keys valid over each row's active prefix INCLUDING this step's
+        # write at slot i for rows still active; (B, 1, 1, n)
+        tail_mask = (steps[None, :] < (n_act + act.astype(jnp.int32))[:, None])[:, None, None, :]
+
+        def body(h, xs):
+            lp, ck, cv, tkl, tvl = xs
+            hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+            q = linear(hn, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+            k = linear(hn, lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+            if cfg.qk_norm:
+                q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+                k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+            q = q.transpose(0, 2, 1, 3)
+            k = k.transpose(0, 2, 1, 3)
+            v = linear(hn, lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+            q = jax.vmap(lambda qq, c, s: apply_rope(qq[None], c, s)[0])(q, cos_b, sin_b)
+            k = jax.vmap(lambda kk, c, s: apply_rope(kk[None], c, s)[0])(k, cos_b, sin_b)
+            # static step index: ONE slice update, no per-row scatter
+            tkl = jax.lax.dynamic_update_slice_in_dim(tkl, k, i, axis=2)
+            tvl = jax.lax.dynamic_update_slice_in_dim(tvl, v, i, axis=2)
+            attn = _concat_attention(q, ck, cv, tkl, tvl, cache_mask, tail_mask, cfg)
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.n_heads * cfg.head_dim)
+            h = h + linear(attn, lp["wo"])
+            hn = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
+            h = h + swiglu(hn, lp["w_gate"], lp["w_up"], lp["w_down"])
+            return h, (tkl, tvl)
+
+        x, (tk, tv) = jax.lax.scan(body, x, (params["layers"], kc, vc, tk, tv))
+        logits = _logits(x, params, cfg)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(act, nxt, tok)
+        n_act_next = n_act + act.astype(jnp.int32)
+        act_next = act & (tok != eos_id)
+        return (nxt, tk, tv, n_act_next, act_next), (tok, act)
+
+    n_act0 = jnp.zeros((b,), jnp.int32)
+    (tok, tail_k, tail_v, n_act, active), (toks, emitted) = jax.lax.scan(
+        step, (tokens, tail_k0, tail_v0, n_act0, active), steps
+    )
+    # one blended write per chunk: vmap over layers x rows
+    new_k = jax.vmap(_tail_blend, in_axes=(0, 0, None, None))(kc, tail_k, pos0, n_act)
+    new_v = jax.vmap(_tail_blend, in_axes=(0, 0, None, None))(vc, tail_v, pos0, n_act)
+    new_pos = pos0 + n_act
+    return toks, emitted, tok, MultiDecodeState(KVCache(new_k, new_v), new_pos), active
+
+
+def _concat_attention(q, ck, cv, tk, tv, cache_mask, tail_mask, cfg: DecoderLMConfig):
+    """SDPA over [frozen cache | tail] with one softmax.  q: (B, H, 1, hd);
+    ck/cv: (B, KV, T, hd); tk/tv: (B, KV, n, hd); masks broadcast over the
+    key axis.  GQA runs as a grouped einsum (query heads reshaped onto
+    their shared KV head) — the caches are never repeat-materialised.
+    f32 scores/softmax — identical math to ``models.common.attention``
+    over the concatenated key set.  Returns (B, H, 1, hd)."""
+    b, h, _, hd = q.shape
+    hkv = ck.shape[1]
+    g = h // hkv
+    qg = q[:, :, 0, :].reshape(b, hkv, g, hd)
+    scale = cfg.head_dim ** -0.5
+    s_c = jnp.einsum("bkgd,bktd->bkgt", qg, ck, preferred_element_type=jnp.float32) * scale
+    s_t = jnp.einsum("bkgd,bktd->bkgt", qg, tk, preferred_element_type=jnp.float32) * scale
+    # masks are (B, 1, 1, T/n): broadcast straight onto (B, KV, G, T/n)
+    s_c = jnp.where(cache_mask, s_c, jnp.float32(-1e30))
+    s_t = jnp.where(tail_mask, s_t, jnp.float32(-1e30))
+    s = jnp.concatenate([s_c, s_t], axis=-1)
+    p = jax.nn.softmax(s, axis=-1)
+    t_cache = ck.shape[2]
+    p_c = p[..., :t_cache].astype(cv.dtype)
+    p_t = p[..., t_cache:].astype(tv.dtype)
+    out = (
+        jnp.einsum("bkgt,bktd->bkgd", p_c, cv, preferred_element_type=jnp.float32)
+        + jnp.einsum("bkgt,bktd->bkgd", p_t, tv, preferred_element_type=jnp.float32)
+    )
+    return out.reshape(b, h, hd)[:, :, None, :].astype(q.dtype)
+
+
+def decode_chunk_gathered_tail(
+    params, cfg: DecoderLMConfig, tokens, state: MultiDecodeState, n_tokens: int,
+    eos_id: int, slot_ids,
+):
+    """:func:`decode_chunk_gathered` with the tail-buffer chunk inside —
+    the serving steady lane.  Same contract; duplicate padded ids stay
+    benign (identical gathered state -> identical compute -> identical
+    scattered values)."""
+    row = MultiDecodeState(
+        KVCache(state.caches.k[:, slot_ids], state.caches.v[:, slot_ids]),
+        state.pos[slot_ids],
+    )
+    toks, emitted, tok, row, _ = decode_chunk_tail(
+        params, cfg, tokens, row, n_tokens, eos_id,
+        jnp.ones(slot_ids.shape, bool),
+    )
+    new_k = state.caches.k.at[:, slot_ids].set(row.caches.k)
+    new_v = state.caches.v.at[:, slot_ids].set(row.caches.v)
+    new_pos = state.pos.at[slot_ids].set(row.pos)
+    return toks, emitted, tok, MultiDecodeState(KVCache(new_k, new_v), new_pos)
+
+
+def decode_chunk_slot_tail(
+    params, cfg: DecoderLMConfig, token, state: MultiDecodeState, n_tokens: int,
+    eos_id: int, slot,
+):
+    """:func:`decode_chunk_slot` with the tail-buffer chunk inside — the
+    serving priority lane.  Same contract."""
+    row = MultiDecodeState(
+        KVCache(
+            jax.lax.dynamic_slice_in_dim(state.caches.k, slot, 1, axis=1),
+            jax.lax.dynamic_slice_in_dim(state.caches.v, slot, 1, axis=1),
+        ),
+        jax.lax.dynamic_slice_in_dim(state.pos, slot, 1, axis=0),
+    )
+    toks, emitted, tok, row, _ = decode_chunk_tail(
+        params, cfg, token[None], row, n_tokens, eos_id, jnp.ones((1,), bool)
+    )
+    new_k = jax.lax.dynamic_update_slice(
+        state.caches.k, row.caches.k, (0, slot, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(
+        state.caches.v, row.caches.v, (0, slot, 0, 0, 0))
+    pos = jax.lax.dynamic_update_slice(state.pos, row.pos, (slot,))
+    return toks[:, 0], emitted[:, 0], tok[0], MultiDecodeState(KVCache(new_k, new_v), pos)
+
+
+def prefill_and_chunk_slot_tail(
+    params, cfg: DecoderLMConfig, tokens, prompt_len, state: MultiDecodeState,
+    slot, n_tokens: int, eos_id: int,
+):
+    """:func:`prefill_and_chunk_slot` with the tail-buffer chunk inside."""
+    token, state = prefill_slot(params, cfg, tokens, prompt_len, state, slot)
+    return decode_chunk_slot_tail(params, cfg, token, state, n_tokens, eos_id, slot)
+
+
+jit_decode_chunk_tail = partial(jax.jit, static_argnums=(1, 4, 5), donate_argnums=(3,))(
+    decode_chunk_tail
+)
+jit_decode_chunk_gathered_tail = partial(jax.jit, static_argnums=(1, 4, 5), donate_argnums=(3,))(
+    decode_chunk_gathered_tail
+)
+jit_decode_chunk_slot_tail = partial(jax.jit, static_argnums=(1, 4, 5), donate_argnums=(3,))(
+    decode_chunk_slot_tail
+)
+jit_prefill_and_chunk_slot_tail = partial(jax.jit, static_argnums=(1, 6, 7), donate_argnums=(4,))(
+    prefill_and_chunk_slot_tail
+)
+
+
 # ── fused-attention chunk decode (the TPU serving path) ─────────────
 #
 # The scan-over-stacked-layers structure above makes XLA slice each

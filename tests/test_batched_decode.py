@@ -154,3 +154,114 @@ def test_fused_kernel_path_matches_fallback_interpret():
     out, k_out, v_out = decode_attention(q[:, :, 0, :], k, v, ck, cv, pos, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(k_out), np.asarray(ck2), atol=0)
+
+
+# ── tail-buffer chunk decode (round-4 serving path) ──────────────────
+
+
+def _legacy_vs_tail_setup(key=7, n_slots=3, max_t=32):
+    from s2s_tpu.parallel import batched_decode as bd
+
+    cfg = DecoderLMConfig.tiny()
+    params = decoder_lm.init_params(jax.random.PRNGKey(key), cfg)
+    state = init_multi_state(cfg, n_slots, max_t=max_t)
+    # stagger the rows to different positions via per-slot prefills
+    for slot, plen in enumerate((5, 1, 3)[:n_slots]):
+        toks = jax.random.randint(jax.random.PRNGKey(10 + slot), (1, 8), 0, cfg.vocab_size)
+        _tok, state = bd.prefill_slot(
+            params, cfg, toks, jnp.asarray(plen, jnp.int32), state,
+            jnp.asarray(slot, jnp.int32),
+        )
+    return cfg, params, state
+
+
+def _clone(state):
+    return MultiDecodeState(
+        jax.tree.map(jnp.copy, state.caches), jnp.copy(state.pos)
+    )
+
+
+def _assert_valid_prefix_equal(sa, sb):
+    """Caches equal at every row's valid positions (< pos); post-EOS garbage
+    beyond pos is unspecified by design."""
+    assert sa.pos.tolist() == sb.pos.tolist()
+    for row, p in enumerate(np.asarray(sa.pos)):
+        np.testing.assert_allclose(
+            np.asarray(sa.caches.k[:, row, :, :p], np.float32),
+            np.asarray(sb.caches.k[:, row, :, :p], np.float32), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sa.caches.v[:, row, :, :p], np.float32),
+            np.asarray(sb.caches.v[:, row, :, :p], np.float32), atol=1e-5)
+
+
+def test_tail_chunk_matches_legacy_chunk():
+    from s2s_tpu.parallel import batched_decode as bd
+
+    cfg, params, state = _legacy_vs_tail_setup()
+    tokens = jnp.asarray([3, 7, 11], jnp.int32)
+    active = jnp.asarray([True, True, False])
+    a = bd.decode_chunk_multi(params, cfg, tokens, _clone(state), 6, -1, active)
+    b = bd.decode_chunk_tail(params, cfg, tokens, _clone(state), 6, -1, active)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))  # toks
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))  # emitted
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))  # next tok
+    np.testing.assert_array_equal(np.asarray(a[4]), np.asarray(b[4]))  # active
+    _assert_valid_prefix_equal(a[3], b[3])
+
+
+def test_tail_chunk_matches_legacy_with_midchunk_eos():
+    from s2s_tpu.parallel import batched_decode as bd
+
+    cfg, params, state = _legacy_vs_tail_setup(key=8)
+    tokens = jnp.asarray([3, 7, 11], jnp.int32)
+    active = jnp.ones((3,), bool)
+    ref = bd.decode_chunk_multi(params, cfg, tokens, _clone(state), 6, -1, active)
+    # use row 1's step-2 emitted token as eos so it deactivates mid-chunk
+    eos = int(np.asarray(ref[0])[2, 1])
+    a = bd.decode_chunk_multi(params, cfg, tokens, _clone(state), 6, eos, active)
+    b = bd.decode_chunk_tail(params, cfg, tokens, _clone(state), 6, eos, active)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    np.testing.assert_array_equal(np.asarray(a[4]), np.asarray(b[4]))
+    _assert_valid_prefix_equal(a[3], b[3])
+    # continue decoding from both carries: behavior must stay identical
+    a2 = bd.decode_chunk_multi(params, cfg, a[2], a[3], 3, -1, a[4])
+    b2 = bd.decode_chunk_tail(params, cfg, b[2], b[3], 3, -1, b[4])
+    np.testing.assert_array_equal(np.asarray(a2[0]), np.asarray(b2[0]))
+
+
+def test_tail_gathered_and_slot_match_legacy():
+    from s2s_tpu.parallel import batched_decode as bd
+
+    cfg, params, state = _legacy_vs_tail_setup(key=9)
+    ids = jnp.asarray([2, 0, 0], jnp.int32)  # padded by repeating a valid id
+    tokens = jnp.asarray([4, 9, 9], jnp.int32)
+    a = bd.decode_chunk_gathered(params, cfg, tokens, _clone(state), 5, -1, ids)
+    b = bd.decode_chunk_gathered_tail(params, cfg, tokens, _clone(state), 5, -1, ids)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    _assert_valid_prefix_equal(a[3], b[3])
+
+    sa = bd.decode_chunk_slot(params, cfg, jnp.asarray(5, jnp.int32), _clone(state),
+                              4, -1, jnp.asarray(1, jnp.int32))
+    sb = bd.decode_chunk_slot_tail(params, cfg, jnp.asarray(5, jnp.int32), _clone(state),
+                                   4, -1, jnp.asarray(1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(sa[0]), np.asarray(sb[0]))
+    np.testing.assert_array_equal(np.asarray(sa[2]), np.asarray(sb[2]))
+    _assert_valid_prefix_equal(sa[3], sb[3])
+
+
+def test_tail_prefill_and_chunk_matches_legacy():
+    from s2s_tpu.parallel import batched_decode as bd
+
+    cfg, params, state = _legacy_vs_tail_setup(key=11)
+    prompt = jax.random.randint(jax.random.PRNGKey(42), (1, 8), 0, cfg.vocab_size)
+    a = bd.prefill_and_chunk_slot(params, cfg, prompt, jnp.asarray(6, jnp.int32),
+                                  _clone(state), jnp.asarray(1, jnp.int32), 5, -1)
+    b = bd.prefill_and_chunk_slot_tail(params, cfg, prompt, jnp.asarray(6, jnp.int32),
+                                       _clone(state), jnp.asarray(1, jnp.int32), 5, -1)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    _assert_valid_prefix_equal(a[3], b[3])

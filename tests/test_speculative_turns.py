@@ -2,6 +2,65 @@
 
 Covers the behavioral contract of reference ``pipeline/speculative_turns.py``
 (pending reopen candidates, reopen grace, commits, pruning, gates).
+
+Behavior map — every case in reference ``tests/test_speculative_turns.py``
+(51) to its repo counterpart (tracker cases here; VAD-handler cases in
+``tests/test_vad.py``).  Names differ because the suites are independent;
+the mapping is by pinned behavior:
+
+  reference case                                         -> repo counterpart
+  ------------------------------------------------------  -----------------
+  pending_reopen_defers_commit_until_cancelled            -> test_commit_deferred_while_reopen_pending
+  confirmed_reopen_makes_previous_revision_stale          -> test_reopen_candidate_lifecycle_confirm
+  tracker_prunes_old_turn_revisions                       -> test_prune_evicts_oldest_beyond_cap
+  tracker_keeps_pending_reopen_while_pruning              -> test_prune_spares_pending_and_grace
+  pending_reopen_wait_timeout_clears_candidate            -> test_pending_reopen_timeout_force_clears
+  commit_if_latest_waits_for_pending_and_drops_confirmed  -> test_commit_if_latest_drops_confirmed_reopen
+  commit_if_latest_commits_after_pending_cancelled        -> test_commit_if_latest_commits_after_candidate_cancelled
+  try_is_latest_after_pending_reports_without_blocking    -> test_try_gates_return_none_while_pending
+  try_is_latest_after_grace_reports_without_blocking      -> test_grace_window_blocks_try_gate_until_expiry
+  reopen_grace_wait_drops_confirmed_reopen                -> test_grace_blocking_gate_drops_confirmed_reopen
+  is_latest_after_stability_catches_reopen_during_wait    -> test_stability_window_catches_reopen_started_mid_wait
+  is_latest_after_stability_survives_cancelled_candidate  -> test_stability_window_survives_cancelled_reopen_candidate
+  commit_after_reset_does_not_resurrect_untracked_turn    -> test_commit_after_reset_does_not_resurrect_turn
+  commit_after_prune_does_not_resurrect_untracked_turn    -> test_commit_after_prune_does_not_resurrect_turn
+  commit_if_latest_variants_keep_untracked_out            -> test_commit_if_latest_variants_ignore_untracked_turn
+  reused_turn_id_after_reset_is_not_reported_committed    -> test_reused_turn_id_after_reset_not_reported_committed
+  vad_direct_reopen_path_uses_candidate_protocol          -> test_vad.py::test_handler_direct_reopen_uses_candidate_protocol
+  vad_reopens_speculative_turn_when_live_stt_disabled     -> test_vad.py::test_handler_reopen_without_live_transcription
+  vad_starts_new_turn_after_committed_would_have_reopened -> test_vad.py::test_handler_new_turn_after_commit
+  vad_realtime_no_progressive_when_live_stt_disabled      -> test_vad.py::test_handler_no_progressive_when_live_transcription_disabled
+  vad_interruption_uses_active_speech_not_padded_segment  -> test_vad.py::test_handler_interruption_threshold_uses_active_speech
+  vad_pending_reopen_starts_before_active_threshold       -> test_vad.py::test_handler_pending_reopen_starts_before_continuation_threshold
+  vad_interruption_emits_after_active_speech_threshold    -> test_vad.py::test_handler_live_start_interrupts
+  vad_discards_final_segment_when_active_speech_is_short  -> test_vad.py::test_handler_short_speech_discarded
+  vad_complete_smart_turn_selects_shorter_grace           -> test_vad.py::test_handler_grace_selection_complete_vs_incomplete
+  vad_incomplete_smart_turn_selects_longer_grace          -> test_vad.py::test_handler_grace_selection_complete_vs_incomplete
+  vad_incomplete_commits_after_longer_grace_no_resume     -> test_vad.py::test_handler_incomplete_smart_turn_commit_waits_out_long_grace
+  vad_resumed_speech_during_smart_grace_new_revision      -> test_vad.py::test_handler_resumed_speech_during_smart_turn_grace_creates_new_revision
+  vad_reanalyzes_resumed_turn_with_raw_audio              -> test_vad.py::test_handler_resumed_reanalysis_uses_raw_audio_after_enhancement
+  vad_max_speech_is_enforced_before_smart_turn            -> test_vad.py::test_handler_max_speech_discards_before_smart_turn
+  soft_ended_direct_audio_turn_reopens_at_revision_one    -> test_vad.py::test_handler_start_emitted_during_resumed_speech
+  trailing_continuation_fragment_accepted_at_finalization -> test_vad.py::test_handler_trailing_continuation_fragment_accepted_at_finalization
+  continuation_bar_inactive_when_turn_committed           -> test_vad.py::test_handler_continuation_bar_inactive_when_committed
+  entry_bar_unchanged_for_new_speech                      -> test_vad.py::test_handler_entry_bar_unchanged_for_new_speech
+  confirmed_segment_not_discarded_at_finalization         -> test_vad.py::test_handler_confirmed_continuation_not_discarded_at_finalization
+  continuation_threshold_clamping                         -> test_vad.py::test_handler_continuation_threshold_clamping
+  vad_reopens_unanswered_turn_after_grace_window          -> test_vad.py::test_handler_unanswered_turn_reopens_after_grace_window
+  vad_does_not_reopen_committed_turn                      -> test_vad.py::test_handler_committed_turn_never_reopens
+  vad_new_turn_after_unanswered_cap                       -> test_vad.py::test_handler_new_turn_after_unanswered_cap
+  vad_does_not_hold_sub_floor_fragments                   -> test_vad.py::test_handler_does_not_hold_sub_floor_fragments
+  vad_stitches_adjacent_short_segments_before_discarding  -> test_vad.py::test_handler_short_segment_stitching
+  vad_pending_short_segment_contributes_to_early_start    -> test_vad.py::test_handler_held_segment_contributes_to_early_speech_start
+  vad_pending_short_segment_no_start_on_sub_floor_live    -> test_vad.py::test_handler_held_segment_not_started_by_sub_floor_live_fragment
+  vad_stitching_preserves_silence_gap_between_segments    -> test_vad.py::test_handler_stitching_preserves_silence_gap
+  vad_final_synthetic_start_does_not_interrupt_response   -> test_vad.py::test_handler_synthetic_final_start_does_not_interrupt
+  vad_keeps_single_speculative_audio_prefix               -> test_vad.py::test_turn_ledger_keeps_single_speculative_prefix
+  vad_drops_superseded_progressive_audio_from_queue       -> test_vad.py::test_handler_superseded_progressive_dropped_from_output_queue
+  vad_drops_stale_progressive_revisions_from_queue        -> test_vad.py::test_handler_drops_stale_progressive_revisions_from_output_queue
+  vad_final_audio_replaces_queued_progressive_same_rev    -> test_vad.py::test_handler_final_replaces_queued_progressive_same_revision
+  vad_progressive_processing_pause_increases_with_speech  -> test_vad.py::test_handler_progressive_pause_grows_and_caps
+  vad_progressive_processing_pause_is_capped              -> test_vad.py::test_handler_progressive_pause_grows_and_caps
 """
 
 import threading

@@ -806,3 +806,130 @@ def test_handler_incomplete_smart_turn_commit_waits_out_long_grace():
     time.sleep(0.2)
     assert tracker.try_commit_if_latest_after_reopen_grace("turn_1", 0) is True
     assert tracker.is_committed("turn_1", 0)
+
+
+# ── remaining reference-spec cases (VERDICT-r4 item 5) ───────────────────
+
+
+class SequenceAnalyzer:
+    """Scripted Smart Turn verdict sequence that records each call's audio
+    (reference test_speculative_turns.py:545-597 seam)."""
+
+    def __init__(self, *probs, threshold=0.5):
+        self.probs = list(probs)
+        self.threshold = threshold
+        self.calls = []
+
+    def predict(self, audio, sample_rate=16000):
+        from s2s_tpu.vad.smart_turn import SmartTurnResult
+
+        self.calls.append(np.asarray(audio).copy())
+        p = self.probs[min(len(self.calls) - 1, len(self.probs) - 1)]
+        return SmartTurnResult(p > self.threshold, p, 0.1)
+
+
+def test_handler_resumed_speech_during_smart_turn_grace_creates_new_revision():
+    """Speech resuming while the INCOMPLETE verdict's long grace is still
+    open bumps the same turn to revision 1, stales revision 0, and the
+    analyzer is re-consulted with the ACCUMULATED audio (reference
+    test_vad_resumed_speech_during_smart_turn_grace_creates_new_revision)."""
+    analyzer = SequenceAnalyzer(0.2, 0.9)
+    probs = [0.9] * 20 + [0.0] * 10 + [0.9] * 12 + [0.0] * 10
+    handler, qtext, tracker = build_handler(
+        probs, smart_turn_analyzer=analyzer, smart_turn_max_wait_ms=2000)
+    outputs = feed(handler, 52)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert [f.turn_revision for f in finals] == [0, 1]
+    assert finals[0].turn_id == finals[1].turn_id
+    # rev 0 never committed (long grace was pending when speech resumed)
+    assert not tracker.is_latest(finals[0].turn_id, 0)
+    assert tracker.is_latest(finals[0].turn_id, 1)
+    assert len(analyzer.calls) == 2
+    # second analysis covers the accumulated turn, not just the resumed tail
+    assert len(analyzer.calls[1]) == len(finals[1].audio)
+    assert len(analyzer.calls[1]) > len(analyzer.calls[0])
+
+
+def test_handler_resumed_reanalysis_uses_raw_audio_after_enhancement():
+    """The resumed turn's re-analysis must see the RAW accumulated audio
+    (the enhancer must not leak into endpointing), while the emitted final
+    is the enhanced signal scaled exactly once — prefix included (reference
+    test_vad_reanalyzes_resumed_turn_with_raw_audio_after_enhancement)."""
+    analyzer = SequenceAnalyzer(0.2, 0.9)
+    probs = [0.9] * 20 + [0.0] * 10 + [0.9] * 12 + [0.0] * 10
+    handler, _qtext, _tracker = build_handler(
+        probs, smart_turn_analyzer=analyzer, enhancer=lambda a: a * 0.25)
+    outputs = feed(handler, 52)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 2 and len(analyzer.calls) == 2
+    raw_peak = np.abs(analyzer.calls[0]).max()
+    assert raw_peak > 0
+    # both analyses saw raw-scale audio
+    assert np.abs(analyzer.calls[1]).max() == pytest.approx(raw_peak, rel=1e-3)
+    # the emitted accumulated final == enhance(raw accumulated): the prefix
+    # was enhanced exactly once, never double-processed
+    np.testing.assert_allclose(finals[1].audio, 0.25 * analyzer.calls[1], rtol=1e-5)
+
+
+class FinalOnlyIterator:
+    """Delivers a complete final segment without ever reporting a live
+    triggered phase (reference _StaticVADIterator(triggered=False) seam:
+    a fragment that ends before the live path could confirm it)."""
+
+    def __init__(self, n_chunks):
+        self._pending = [np.full(CHUNK, 100 / 32768.0, np.float32) for _ in range(n_chunks)]
+        self.triggered = False
+        self.buffer = []
+        self.last_utterance_active_speech_samples = n_chunks * CHUNK
+
+    def __call__(self, chunk):
+        if self._pending:
+            out, self._pending = self._pending, []
+            return out
+        return None
+
+    def speech_buffer(self):
+        return []
+
+    def reset_states(self):
+        self._pending = []
+
+
+def test_handler_trailing_continuation_fragment_accepted_at_finalization():
+    """A resumed fragment that arrives as a complete final (no live start
+    ever fired) is accepted at finalization when it meets the CONTINUATION
+    bar: revision bumps and the started event is emitted with the final
+    (reference test_trailing_continuation_fragment_accepted_at_finalization)."""
+    probs = [0.9] * 20 + [0.0] * 10
+    handler, qtext, tracker = build_handler(probs, min_speech_continuation_ms=192)
+    feed(handler, 30)  # soft-ended turn_1 rev 0, uncommitted
+    drain(qtext)
+    # 6 chunks = 192 ms: meets the continuation bar, not the 384 ms entry bar
+    handler.iterator = FinalOnlyIterator(6)
+    outputs = feed(handler, 1)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 1
+    assert (finals[0].turn_id, finals[0].turn_revision) == ("turn_1", 1)
+    starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert len(starts) == 1
+    assert (starts[0].turn_id, starts[0].turn_revision, starts[0].reopened) == (
+        "turn_1", 1, True)
+    assert starts[0].interrupt_response is False  # synthetic, with the final
+    assert not tracker.is_latest("turn_1", 0)
+
+
+def test_handler_confirmed_continuation_not_discarded_at_finalization():
+    """Once the live start confirmed a continuation (reopened rev 1), its
+    final segment is accepted even though its active speech is far below
+    the ENTRY bar — the bar must not be re-applied at finalization
+    (reference test_confirmed_segment_not_discarded_at_finalization)."""
+    # resume with 6 chunks (192 ms): >= continuation bar 192 (live start
+    # fires) but < entry bar 384 (a re-check would discard the final)
+    probs = [0.9] * 20 + [0.0] * 10 + [0.9] * 6 + [0.0] * 10
+    handler, qtext, tracker = build_handler(probs, min_speech_continuation_ms=192)
+    outputs = feed(handler, 46)
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert [f.turn_revision for f in finals] == [0, 1]
+    starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
+    assert len(starts) == 2 and starts[1].reopened
+    assert tracker.is_latest("turn_1", 1)
