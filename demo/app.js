@@ -7,7 +7,7 @@ import { ChatUI } from "./chat.js";
 import { WSClient } from "./ws-client.js";
 import { RTCClient } from "./rtc-client.js";
 import { Orb } from "./orb.js";
-import { Meter } from "./meter.js";
+import { Meter, renderAccount } from "./meter.js";
 import { WEB_SEARCH_TOOL, searchAvailable, handleToolCall } from "./tools.js";
 
 const statusEl = document.getElementById("status");
@@ -20,6 +20,7 @@ const sendBtn = document.getElementById("send-text");
 const chat = new ChatUI(transcriptEl, statusEl, usageEl);
 const orb = new Orb(document.getElementById("orb"));
 const meter = new Meter(chat);
+renderAccount();
 meter.onExpired = () => stop();
 let client = null;
 

@@ -112,3 +112,25 @@ export class Meter {
     }
   }
 }
+
+/* HF sign-in widget (capability counterpart of the reference demo's HF
+ * OAuth login): when the demo server advertises oauth in /api/config,
+ * render a sign-in link (or the signed-in user + tier + sign-out) into
+ * #account.  Static hosting / oauth-disabled: renders nothing. */
+export async function renderAccount() {
+  const el = document.getElementById("account");
+  if (!el) return;
+  const cfg = await getConfig();
+  if (!cfg.oauth) return;
+  let me = {};
+  try {
+    const resp = await fetch("/api/me", { headers: authHeaders() });
+    if (resp.ok) me = await resp.json();
+  } catch (e) { return; }
+  if (me.user) {
+    const left = me.remaining_s == null ? "unlimited" : `${Math.floor(me.remaining_s / 60)} min left today`;
+    el.innerHTML = `signed in as <b>${me.user}</b> (${me.tier}, ${left}) — <a href="${cfg.logoutPath}">sign out</a>`;
+  } else {
+    el.innerHTML = `<a href="${cfg.loginPath}">Sign in with Hugging Face</a> for more daily talk time`;
+  }
+}

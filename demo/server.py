@@ -20,10 +20,12 @@ for a self-hosted realtime server instead of a load-balanced Space:
   keep the reservation honest. Queueing reserves nothing — budget is
   debited only when a slot is actually granted.
 
-Identity tiers (the reference uses HF OAuth; self-hosted deployments get
-bearer tokens): ``DEMO_MEMBER_TOKENS`` / ``DEMO_UNLIMITED_TOKENS`` list
-accepted tokens per tier; everyone else is anonymous, tracked by hashed
-address + signed cookie (most-spent governs — see limiter).
+Identity tiers: HF OAuth sign-in (``demo/auth.py``; active when the Spaces
+platform injects ``OAUTH_CLIENT_ID`` — PRO/org members are unmetered,
+signed-in users get the member budget), or static bearer tokens for
+self-hosted deployments (``DEMO_MEMBER_TOKENS`` / ``DEMO_UNLIMITED_TOKENS``);
+everyone else is anonymous, tracked by hashed address + signed cookie
+(most-spent governs — see limiter).
 
     python demo/server.py --port 8081   # with `s2s-tpu serve` on :8080
 """
@@ -127,10 +129,13 @@ class DemoAppServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, address, config: DemoConfig) -> None:
+        from auth import HFOAuth
+
         self.config = config
         self.codec = IdentityCodec()
         self.budget = TalkBudget(config.db_path) if config.limits else None
         self.queue = SessionQueue()
+        self.oauth = HFOAuth(self.codec)
         self.static_dir = str(Path(__file__).parent)
         super().__init__(address, DemoHandler)
 
@@ -198,6 +203,14 @@ class DemoHandler(SimpleHTTPRequestHandler):
 
     # ── identity ─────────────────────────────────────────────────────
 
+    def _cookies(self) -> dict:
+        cookies = {}
+        for part in self.headers.get("Cookie", "").split(";"):
+            if "=" in part:
+                k, _, v = part.strip().partition("=")
+                cookies[k] = v
+        return cookies
+
     def _identity(self) -> tuple[list, str, Optional[str]]:
         """(hashed identities, tier, Set-Cookie value or None)."""
         codec = self.server.codec
@@ -207,12 +220,13 @@ class DemoHandler(SimpleHTTPRequestHandler):
             return [codec.hash_identity("tok:" + token)], "unlimited", None
         if token and token in self.server.config.member_tokens:
             return [codec.hash_identity("tok:" + token)], "member", None
+        cookies = self._cookies()
+        # HF OAuth session (demo/auth.py): signed-in users key their budget
+        # by hashed HF subject, tier from PRO/org membership
+        session = self.server.oauth.session_from_cookies(cookies)
+        if session is not None:
+            return [codec.hash_identity("sub:" + session["sub"])], session["tier"], None
         # anonymous: hashed address + signed cookie id, OR-matched by the limiter
-        cookies = {}
-        for part in self.headers.get("Cookie", "").split(";"):
-            if "=" in part:
-                k, _, v = part.strip().partition("=")
-                cookies[k] = v
         anon_id = codec.read_cookie(cookies.get(ANON_COOKIE, ""))
         set_cookie = None
         if anon_id is None:
@@ -250,8 +264,37 @@ class DemoHandler(SimpleHTTPRequestHandler):
 
     # ── routes ───────────────────────────────────────────────────────
 
+    def _redirect(self, location: str, set_cookie: Optional[str] = None) -> None:
+        self.send_response(302)
+        self.send_header("Location", location)
+        if set_cookie:
+            self.send_header("Set-Cookie", set_cookie)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def _callback_uri(self) -> str:
+        from auth import CALLBACK_PATH
+
+        host = self.headers.get("Host", "localhost")
+        scheme = "https" if self.headers.get("X-Forwarded-Proto") == "https" else "http"
+        return f"{scheme}://{host}{CALLBACK_PATH}"
+
     def do_GET(self) -> None:  # noqa: N802 — stdlib handler contract
-        path = self.path.split("?", 1)[0]
+        from auth import CALLBACK_PATH, LOGIN_PATH, LOGOUT_PATH
+
+        path, _, query = self.path.partition("?")
+        oauth = self.server.oauth
+        if path == LOGIN_PATH:
+            if not oauth.enabled:
+                return self._json(404, {"error": "sign-in disabled"})
+            return self._redirect(oauth.login_redirect(self._callback_uri()))
+        if path == CALLBACK_PATH:
+            cookie = oauth.handle_callback(query, self._callback_uri()) if oauth.enabled else None
+            if cookie is None:
+                return self._json(403, {"error": "oauth verification failed"})
+            return self._redirect("/", cookie)
+        if path == LOGOUT_PATH:
+            return self._redirect("/", oauth.logout_cookie())
         if path == "/api/config":
             cfg = self.server.config
             return self._json(200, {
@@ -260,6 +303,9 @@ class DemoHandler(SimpleHTTPRequestHandler):
                 "rtc": True,
                 "metering": cfg.limits,
                 "heartbeatS": HEARTBEAT_S,
+                "oauth": oauth.enabled,
+                "loginPath": LOGIN_PATH,
+                "logoutPath": LOGOUT_PATH,
             })
         if path == "/api/me":
             identities, tier, cookie = self._identity()
@@ -267,7 +313,12 @@ class DemoHandler(SimpleHTTPRequestHandler):
                 self.server.budget.remaining(identities, tier)
                 if self.server.budget is not None else None
             )
-            return self._json(200, {"tier": tier, "remaining_s": remaining}, cookie)
+            session = oauth.session_from_cookies(self._cookies())
+            return self._json(200, {
+                "tier": tier,
+                "remaining_s": remaining,
+                "user": session.get("name") if session else None,
+            }, cookie)
         if path.startswith("/api/queue/"):
             return self._queue_poll(path.removeprefix("/api/queue/"))
         if path.startswith("/api/"):

@@ -124,6 +124,10 @@ def linear(x, w, b=None):
         from s2s_tpu.ops.quant import quantized_linear
 
         return quantized_linear(x, w, b)
+    if type(w).__name__ == "DynQuantWeight":  # W8A8 dynamic path (ops.quant)
+        from s2s_tpu.ops.quant import quantized_linear_dyn
+
+        return quantized_linear_dyn(x, w, b)
     if type(w).__name__ == "Quant4Weight":  # packed int4 path (ops.quant)
         from s2s_tpu.ops.quant import quantized_linear4
 

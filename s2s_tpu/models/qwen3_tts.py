@@ -673,6 +673,137 @@ def decode_chunk_audio_gathered(params, cfg: Qwen3TTSConfig, embeds_all, state,
             contexts_all.at[slot_ids].set(ctx))
 
 
+# ── tail-buffer talker chunks (round-4 serving path) ─────────────────
+#
+# Same redesign as ``batched_decode.decode_chunk_tail`` applied to the
+# talker frame loop: the batched KV caches are FROZEN for the chunk, fresh
+# K/V accumulate in a small tail buffer, and one blended write lands at
+# chunk end — removing the per-frame full-cache restack + scatter that
+# dominated the steady TTS chunk's HBM traffic.  Codes/eos/embeds match
+# :func:`decode_chunk_audio_multi` (pinned by tests/test_session_scheduler
+# and tests/test_tts equivalence cases).
+
+
+def _frame_step_multi_tail(params, cfg: Qwen3TTSConfig, embeds, kc, vc, pos0,
+                           tk, tv, n_act, active, i):
+    """One codec frame against frozen caches + tail (see module comment)."""
+    from s2s_tpu.parallel import batched_decode as bd
+
+    hidden, tk, tv = bd.tail_hidden_step(
+        params["talker"], cfg.lm, embeds, kc, vc, pos0, tk, tv, n_act, active, i
+    )
+    normed = rms_norm(hidden, params["talker"]["final_norm"], cfg.lm.rms_eps)
+    logits = normed.astype(jnp.float32) @ params["codec_head"].astype(jnp.float32)
+    code0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    eos = code0 == cfg.codec_eos_id
+    code0_cb = jnp.clip(code0, 0, cfg.codebook_size - 1)
+    codes, emb_sum = _cp_expand_frame(params, cfg, hidden, code0_cb)
+    next_embeds = emb_sum + params["pad_embed"][None, :]
+    next_embeds = jnp.where(active[:, None], next_embeds, embeds)
+    return codes, eos, next_embeds, tk, tv
+
+
+def decode_chunk_audio_tail(params, cfg: Qwen3TTSConfig, embeds, state, contexts,
+                            n_frames: int, active):
+    """Tail-buffer variant of :func:`decode_chunk_audio_multi` — same
+    contract and outputs, one cache write per chunk instead of per frame."""
+    from s2s_tpu.parallel import batched_decode as bd
+
+    b = embeds.shape[0]
+    kc, vc = state.caches.k, state.caches.v
+    pos0 = state.pos
+    tail_k0, tail_v0 = bd.init_tail(cfg.lm, b, n_frames)
+
+    def body(carry, i):
+        emb, tk, tv, n_act = carry
+        codes, eos, emb, tk, tv = _frame_step_multi_tail(
+            params, cfg, emb, kc, vc, pos0, tk, tv, n_act, active, i
+        )
+        return (emb, tk, tv, n_act + active.astype(jnp.int32)), (codes, eos)
+
+    (embeds, tail_k, tail_v, n_act), (frames, eos_flags) = jax.lax.scan(
+        body, (embeds, tail_k0, tail_v0, jnp.zeros((b,), jnp.int32)),
+        jnp.arange(n_frames),
+    )
+    state = bd.blend_tail_into_state(state, tail_k, tail_v, n_act)
+    frames = frames.transpose(1, 0, 2)  # (B, n, n_q)
+    full = jnp.concatenate([contexts, frames], axis=1)
+    wav = code2wav(params["c2w"], cfg.c2w, full.transpose(0, 2, 1))
+    start = max(0, contexts.shape[1] * cfg.upsample - c2w_deficit(cfg.c2w))
+    audio = wav[:, start:]
+    next_contexts = full[:, -contexts.shape[1] :] if contexts.shape[1] else full[:, :0]
+    return audio, eos_flags, embeds, state, next_contexts
+
+
+def decode_chunk_audio_slot_tail(params, cfg: Qwen3TTSConfig, embed, state, context,
+                                 n_frames: int, slot):
+    """:func:`decode_chunk_audio_slot` with the tail chunk inside."""
+    from s2s_tpu.parallel import batched_decode as bd
+
+    row = bd.MultiDecodeState(
+        KVCache(
+            jax.lax.dynamic_slice_in_dim(state.caches.k, slot, 1, axis=1),
+            jax.lax.dynamic_slice_in_dim(state.caches.v, slot, 1, axis=1),
+        ),
+        jax.lax.dynamic_slice_in_dim(state.pos, slot, 1, axis=0),
+    )
+    audio, eos, embeds, row, next_ctx = decode_chunk_audio_tail(
+        params, cfg, embed[None], row, context[None], n_frames, jnp.ones((1,), bool)
+    )
+    new_k = jax.lax.dynamic_update_slice(state.caches.k, row.caches.k, (0, slot, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(state.caches.v, row.caches.v, (0, slot, 0, 0, 0))
+    pos = jax.lax.dynamic_update_slice(state.pos, row.pos, (slot,))
+    return (audio[0], eos[:, 0], embeds[0],
+            bd.MultiDecodeState(KVCache(new_k, new_v), pos), next_ctx[0])
+
+
+def prefill_and_first_chunk_slot_tail(params, cfg: Qwen3TTSConfig, text_tokens,
+                                      speaker_vec, state, contexts_all,
+                                      n_frames: int, slot):
+    """:func:`prefill_and_first_chunk_slot` with the tail chunk inside."""
+    bos, state = prefill_tts_slot(params, cfg, text_tokens, speaker_vec, state, slot)
+    ctx0 = jnp.zeros_like(contexts_all[0])
+    audio, eos, emb, state, ctx = decode_chunk_audio_slot_tail(
+        params, cfg, bos, state, ctx0, n_frames, slot
+    )
+    return audio, eos, emb, state, contexts_all.at[slot].set(ctx)
+
+
+def decode_chunk_audio_gathered_tail(params, cfg: Qwen3TTSConfig, embeds_all, state,
+                                     contexts_all, n_frames: int, slot_ids):
+    """:func:`decode_chunk_audio_gathered` with the tail chunk inside."""
+    from s2s_tpu.parallel import batched_decode as bd
+
+    row = bd.MultiDecodeState(
+        KVCache(state.caches.k[:, slot_ids], state.caches.v[:, slot_ids]),
+        state.pos[slot_ids],
+    )
+    audio, eos, emb, row, ctx = decode_chunk_audio_tail(
+        params, cfg, embeds_all[slot_ids], row, contexts_all[slot_ids],
+        n_frames, jnp.ones(slot_ids.shape, bool),
+    )
+    new_k = state.caches.k.at[:, slot_ids].set(row.caches.k)
+    new_v = state.caches.v.at[:, slot_ids].set(row.caches.v)
+    new_pos = state.pos.at[slot_ids].set(row.pos)
+    return (audio, eos, embeds_all.at[slot_ids].set(emb),
+            bd.MultiDecodeState(KVCache(new_k, new_v), new_pos),
+            contexts_all.at[slot_ids].set(ctx))
+
+
+jit_decode_chunk_audio_tail = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
+    decode_chunk_audio_tail
+)
+jit_decode_chunk_audio_slot_tail = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
+    decode_chunk_audio_slot_tail
+)
+jit_decode_chunk_audio_gathered_tail = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
+    decode_chunk_audio_gathered_tail
+)
+jit_prefill_and_first_chunk_slot_tail = partial(
+    jax.jit, static_argnums=(1, 6), donate_argnums=(4,)
+)(prefill_and_first_chunk_slot_tail)
+
+
 jit_prefill_tts_slot = partial(jax.jit, static_argnums=(1,), donate_argnums=(4,))(prefill_tts_slot)
 jit_decode_chunk_audio_multi = partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))(
     decode_chunk_audio_multi

@@ -76,6 +76,41 @@ def quantized_linear(x, qw: QuantWeight, b=None):
     return out
 
 
+class DynQuantWeight(NamedTuple):
+    """Per-output-channel int8 weight served through the W8A8 DYNAMIC path:
+    activations quantize per row at run time and the matmul runs natively
+    on int8 (no operand convert — see :func:`s2s_tpu.ops.int8_matmul.
+    int8_matmul_dyn`).  Same storage as :class:`QuantWeight`; a distinct
+    type so ``linear`` dispatch stays explicit.  Opt-in (``quantize_tree``
+    with ``act_quant=True`` / ``--*_quantize int8-dyn``): W8A8 changes
+    activation numerics where weight-only does not."""
+
+    q: jax.Array  # (in, out) int8
+    scale: jax.Array  # (out,) f32
+
+
+def quantized_linear_dyn(x, qw: "DynQuantWeight", b=None):
+    """x @ dequant(qw) via the native-int8 MXU path; CPU/odd shapes use the
+    numerically identical XLA reference."""
+    import numpy as _np
+
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = qw.q.shape[1]
+    bsz = int(_np.prod(lead)) if lead else 1
+    from s2s_tpu.ops import int8_matmul as _mm
+
+    x2 = x.reshape(bsz, k)
+    if x.dtype == jnp.bfloat16 and _mm.supports(bsz, k, n) and _mm.kernel_available():
+        out = _mm.int8_matmul_dyn(x2, qw.q, qw.scale, out_dtype=x.dtype)
+    else:
+        out = _mm.int8_matmul_dyn_reference(x2, qw.q, qw.scale, out_dtype=x.dtype)
+    out = out.reshape(*lead, n)
+    if b is not None:
+        out = out + b
+    return out
+
+
 class Quant4Weight(NamedTuple):
     """Per-output-channel symmetric int4 weight, two values per byte.
 
@@ -154,9 +189,11 @@ def quantized_linear4(x, qw: Quant4Weight, b=None):
 _MIN_SIZE = 1 << 16
 
 
-def quantize_tree(params, min_size: int = _MIN_SIZE, bits: int = 8):
+def quantize_tree(params, min_size: int = _MIN_SIZE, bits: int = 8,
+                  act_quant: bool = False):
     """Quantize every big 2-D floating matrix in a param pytree to int8
-    (``bits=8``) or packed int4 (``bits=4``).
+    (``bits=8``) or packed int4 (``bits=4``).  ``act_quant=True`` marks the
+    int8 leaves for the W8A8 dynamic path (:class:`DynQuantWeight`).
 
     Leaves below *min_size*, non-2D leaves (convs stay exact), integer
     leaves, leaves whose path mentions ``embed`` (gather tables must stay
@@ -167,8 +204,10 @@ def quantize_tree(params, min_size: int = _MIN_SIZE, bits: int = 8):
     transformer projection in this repo); odd-dim leaves fall back to int8.
     """
 
+    int8_cls = DynQuantWeight if act_quant else QuantWeight
+
     def convert(path, leaf):
-        if isinstance(leaf, (QuantWeight, Quant4Weight)) or not hasattr(leaf, "dtype"):
+        if isinstance(leaf, (QuantWeight, Quant4Weight, DynQuantWeight)) or not hasattr(leaf, "dtype"):
             return leaf
         path_str = "/".join(str(getattr(k, "key", k)) for k in path)
         if "embed" in path_str or "norm" in path_str or "scale" in path_str:
@@ -178,7 +217,7 @@ def quantize_tree(params, min_size: int = _MIN_SIZE, bits: int = 8):
         if leaf.ndim == 2:
             if bits == 4 and leaf.shape[0] % 2 == 0:
                 return quantize_weight4(leaf)
-            return quantize_weight(leaf)
+            return int8_cls(*quantize_weight(leaf))
         if leaf.ndim == 3:  # stacked layers (L, in, out)
             w32 = jnp.asarray(leaf, jnp.float32)
             amax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)
@@ -188,10 +227,10 @@ def quantize_tree(params, min_size: int = _MIN_SIZE, bits: int = 8):
                 return Quant4Weight(_pack_nibbles(q4, axis=1), scale[:, 0, :])
             scale = jnp.maximum(amax / 127.0, 1e-12)
             q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
-            return QuantWeight(q, scale[:, 0, :])
+            return int8_cls(q, scale[:, 0, :])
         return leaf
 
     return jax.tree_util.tree_map_with_path(
         convert, params,
-        is_leaf=lambda x: isinstance(x, (QuantWeight, Quant4Weight)),
+        is_leaf=lambda x: isinstance(x, (QuantWeight, Quant4Weight, DynQuantWeight)),
     )

@@ -334,6 +334,64 @@ def _tail_blend(cache, tail, pos0, n_act):
     return jax.vmap(one)(cache, tail, pos0, n_act)
 
 
+def init_tail(cfg: DecoderLMConfig, batch: int, n: int):
+    """Fresh per-chunk tail buffers (L, B, KV, n, hd) x2."""
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, n, cfg.head_dim)
+    return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
+
+
+def tail_hidden_step(params, cfg: DecoderLMConfig, embeds, kc, vc, pos0,
+                     tail_k, tail_v, n_act, act, i):
+    """One step over precomputed embeddings against FROZEN caches + a tail.
+
+    embeds: (B, D); kc/vc: (L, B, KV, T, hd) frozen chunk inputs; pos0: (B,)
+    chunk-start positions; tail_k/v: (L, B, KV, n, hd) this chunk's fresh
+    K/V; n_act: (B,) active steps so far; act: (B,) bool; i: step index
+    (traced scalar).  Returns (pre-final-norm hidden (B, D), tail_k, tail_v).
+    The shared tail step for the LM chunk and the TTS talker chunk."""
+    b = embeds.shape[0]
+    n = tail_k.shape[3]
+    max_t = kc.shape[3]
+    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    # cache keys valid strictly BELOW the chunk-start position (this chunk's
+    # keys live in the tail); (B, 1, 1, T)
+    cache_mask = (jnp.arange(max_t)[None, :] < pos0[:, None])[:, None, None, :]
+    pos = pos0 + n_act  # per-row query position (frozen after EOS)
+    cos_b = cos_full[pos][:, None, :]
+    sin_b = sin_full[pos][:, None, :]
+    # tail keys valid over each row's active prefix INCLUDING this step's
+    # write at slot i for rows still active; (B, 1, 1, n)
+    tail_mask = (jnp.arange(n)[None, :]
+                 < (n_act + act.astype(jnp.int32))[:, None])[:, None, None, :]
+    x = embeds[:, None, :].astype(cfg.dtype)
+
+    def body(h, xs):
+        lp, ck, cv, tkl, tvl = xs
+        hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+        q = linear(hn, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = linear(hn, lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = linear(hn, lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        q = jax.vmap(lambda qq, c, s: apply_rope(qq[None], c, s)[0])(q, cos_b, sin_b)
+        k = jax.vmap(lambda kk, c, s: apply_rope(kk[None], c, s)[0])(k, cos_b, sin_b)
+        # static step index: ONE slice update, no per-row scatter
+        tkl = jax.lax.dynamic_update_slice_in_dim(tkl, k, i, axis=2)
+        tvl = jax.lax.dynamic_update_slice_in_dim(tvl, v, i, axis=2)
+        attn = _concat_attention(q, ck, cv, tkl, tvl, cache_mask, tail_mask, cfg)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.n_heads * cfg.head_dim)
+        h = h + linear(attn, lp["wo"])
+        hn = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + swiglu(hn, lp["w_gate"], lp["w_up"], lp["w_down"])
+        return h, (tkl, tvl)
+
+    x, (tail_k, tail_v) = jax.lax.scan(body, x, (params["layers"], kc, vc, tail_k, tail_v))
+    return x[:, 0], tail_k, tail_v
+
+
 def decode_chunk_tail(
     params, cfg: DecoderLMConfig, tokens, state: MultiDecodeState, n_tokens: int,
     eos_id: int, active,
@@ -345,51 +403,15 @@ def decode_chunk_tail(
     n = n_tokens
     kc, vc = state.caches.k, state.caches.v  # frozen chunk inputs
     pos0 = state.pos
-    cos_full, sin_full = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
-    max_t = kc.shape[3]
-    # cache keys valid strictly BELOW the chunk-start position (this chunk's
-    # keys live in the tail); (B, 1, 1, T)
-    cache_mask = (jnp.arange(max_t)[None, :] < pos0[:, None])[:, None, None, :]
-    tail_shape = (cfg.n_layers, b, cfg.n_kv_heads, n, cfg.head_dim)
-    tail_k0 = jnp.zeros(tail_shape, cfg.dtype)
-    tail_v0 = jnp.zeros(tail_shape, cfg.dtype)
-    steps = jnp.arange(n)
+    tail_k0, tail_v0 = init_tail(cfg, b, n)
 
     def step(carry, i):
         tok, tk, tv, n_act, act = carry
-        x = params["embed"][tok][:, None, :].astype(cfg.dtype)
-        pos = pos0 + n_act  # per-row query position (frozen after EOS)
-        cos_b = cos_full[pos][:, None, :]
-        sin_b = sin_full[pos][:, None, :]
-        # tail keys valid over each row's active prefix INCLUDING this step's
-        # write at slot i for rows still active; (B, 1, 1, n)
-        tail_mask = (steps[None, :] < (n_act + act.astype(jnp.int32))[:, None])[:, None, None, :]
-
-        def body(h, xs):
-            lp, ck, cv, tkl, tvl = xs
-            hn = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
-            q = linear(hn, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
-            k = linear(hn, lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-            if cfg.qk_norm:
-                q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-                k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-            q = q.transpose(0, 2, 1, 3)
-            k = k.transpose(0, 2, 1, 3)
-            v = linear(hn, lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-            q = jax.vmap(lambda qq, c, s: apply_rope(qq[None], c, s)[0])(q, cos_b, sin_b)
-            k = jax.vmap(lambda kk, c, s: apply_rope(kk[None], c, s)[0])(k, cos_b, sin_b)
-            # static step index: ONE slice update, no per-row scatter
-            tkl = jax.lax.dynamic_update_slice_in_dim(tkl, k, i, axis=2)
-            tvl = jax.lax.dynamic_update_slice_in_dim(tvl, v, i, axis=2)
-            attn = _concat_attention(q, ck, cv, tkl, tvl, cache_mask, tail_mask, cfg)
-            attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.n_heads * cfg.head_dim)
-            h = h + linear(attn, lp["wo"])
-            hn = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
-            h = h + swiglu(hn, lp["w_gate"], lp["w_up"], lp["w_down"])
-            return h, (tkl, tvl)
-
-        x, (tk, tv) = jax.lax.scan(body, x, (params["layers"], kc, vc, tk, tv))
-        logits = _logits(x, params, cfg)[:, 0]
+        x = params["embed"][tok].astype(cfg.dtype)
+        hidden, tk, tv = tail_hidden_step(
+            params, cfg, x, kc, vc, pos0, tk, tv, n_act, act, i
+        )
+        logits = _logits(hidden[:, None, :], params, cfg)[:, 0]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(act, nxt, tok)
         n_act_next = n_act + act.astype(jnp.int32)
@@ -398,13 +420,19 @@ def decode_chunk_tail(
 
     n_act0 = jnp.zeros((b,), jnp.int32)
     (tok, tail_k, tail_v, n_act, active), (toks, emitted) = jax.lax.scan(
-        step, (tokens, tail_k0, tail_v0, n_act0, active), steps
+        step, (tokens, tail_k0, tail_v0, n_act0, active), jnp.arange(n)
     )
-    # one blended write per chunk: vmap over layers x rows
-    new_k = jax.vmap(_tail_blend, in_axes=(0, 0, None, None))(kc, tail_k, pos0, n_act)
-    new_v = jax.vmap(_tail_blend, in_axes=(0, 0, None, None))(vc, tail_v, pos0, n_act)
-    new_pos = pos0 + n_act
-    return toks, emitted, tok, MultiDecodeState(KVCache(new_k, new_v), new_pos), active
+    state = blend_tail_into_state(state, tail_k, tail_v, n_act)
+    return toks, emitted, tok, state, active
+
+
+def blend_tail_into_state(state: MultiDecodeState, tail_k, tail_v, n_act) -> MultiDecodeState:
+    """One blended cache write per chunk: each row's tail prefix lands at its
+    chunk-start position; positions advance by the active-step count."""
+    pos0 = state.pos
+    new_k = jax.vmap(_tail_blend, in_axes=(0, 0, None, None))(state.caches.k, tail_k, pos0, n_act)
+    new_v = jax.vmap(_tail_blend, in_axes=(0, 0, None, None))(state.caches.v, tail_v, pos0, n_act)
+    return MultiDecodeState(KVCache(new_k, new_v), pos0 + n_act)
 
 
 def _concat_attention(q, ck, cv, tk, tv, cache_mask, tail_mask, cfg: DecoderLMConfig):

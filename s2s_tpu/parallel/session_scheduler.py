@@ -35,6 +35,15 @@ handles eos, and closes out gate keys.  At most one chunk is in flight per
 slot (and one steady chunk per scheduler), so per-slot delivery order and
 the cancellation window are unchanged.
 
+TAIL CHUNKS (round 4): every dispatched decode program is the tail-buffer
+variant (``batched_decode.decode_chunk_*_tail`` /
+``qwen3_tts.decode_chunk_audio_*_tail``): the batched KV caches stay frozen
+for the chunk and take ONE blended write at its end, cutting the steady
+chunk's HBM traffic by the two full-cache passes the legacy scan paid per
+step.  On-chip (v5e) the 16-slot 8-token steady chunk dropped 149 -> 108 ms
+— and the remaining floor is the MXU weight-load bound (time is ~flat in
+batch width), which is what makes wide slot counts nearly free.
+
 Equivalence with independent single-session decodes is pinned by
 ``tests/test_batched_decode.py`` (step level) and
 ``tests/test_session_scheduler.py`` (scheduler level: token-for-token,
@@ -258,14 +267,14 @@ class BatchedLMScheduler(_TraceMixin):
 
         for w in self._width_buckets:
             ids = jnp.zeros((w,), jnp.int32)
-            toks, _em, tok, self._state = self._bd.jit_decode_chunk_gathered(
+            toks, _em, tok, self._state = self._bd.jit_decode_chunk_gathered_tail(
                 self.params, self.cfg, jnp.zeros((w,), jnp.int32), self._state,
                 self.chunk_tokens, self.eos_id, ids,
             )
             np.asarray(toks)
         if self.priority_tokens > 0:
             n = min(self.priority_chunk, self.priority_tokens)
-            toks, _em, tok, self._state = self._bd.jit_decode_chunk_slot(
+            toks, _em, tok, self._state = self._bd.jit_decode_chunk_slot_tail(
                 self.params, self.cfg, jnp.asarray(0, jnp.int32), self._state,
                 n, self.eos_id, jnp.asarray(0, jnp.int32),
             )
@@ -534,7 +543,7 @@ class BatchedLMScheduler(_TraceMixin):
                     # prompt ingest AND the first-sentence tokens
                     self._tr("prefill_dispatch", req.slot)
                     toks_dev, emitted_dev, tok, self._state = (
-                        self._bd.jit_prefill_and_chunk_slot(
+                        self._bd.jit_prefill_and_chunk_slot_tail(
                             self.params, self.cfg, jnp.asarray(req.tokens),
                             jnp.asarray(req.prompt_len, jnp.int32), self._state,
                             jnp.asarray(req.slot, jnp.int32), n_prio, self.eos_id,
@@ -572,7 +581,7 @@ class BatchedLMScheduler(_TraceMixin):
                     slot.priority_remaining -= n
                     slot.remaining = max(0, slot.remaining - n)
                 self._tr("prio_dispatch", sid)
-                toks_dev, emitted_dev, tok, self._state = self._bd.jit_decode_chunk_slot(
+                toks_dev, emitted_dev, tok, self._state = self._bd.jit_decode_chunk_slot_tail(
                     self.params, self.cfg, self._tokens[sid], self._state,
                     n, self.eos_id, jnp.asarray(sid, jnp.int32),
                 )
@@ -624,7 +633,7 @@ class BatchedLMScheduler(_TraceMixin):
             sids = sorted(steady)
             self._tr("steady_dispatch", tuple(sids))
             slot_ids = jnp.asarray(self._bucket_ids(sids))
-            toks_dev, emitted_dev, tok_out, self._state = self._bd.jit_decode_chunk_gathered(
+            toks_dev, emitted_dev, tok_out, self._state = self._bd.jit_decode_chunk_gathered_tail(
                 self.params, self.cfg, self._tokens[slot_ids], self._state,
                 self.chunk_tokens, self.eos_id, slot_ids,
             )
@@ -842,14 +851,14 @@ class BatchedTTSScheduler:
         for w in self._width_buckets:
             ids = jnp.zeros((w,), jnp.int32)
             audio, _eos, self._embeds, self._state, self._contexts = (
-                self._tts.jit_decode_chunk_audio_gathered(
+                self._tts.jit_decode_chunk_audio_gathered_tail(
                     self.params, self.cfg, self._embeds, self._state,
                     self._contexts, self.chunk_frames, ids,
                 )
             )
             np.asarray(audio[:1, :8])
         for n in _TTS_RAMP:
-            audio, _eos, emb, self._state, ctx = self._tts.jit_decode_chunk_audio_slot(
+            audio, _eos, emb, self._state, ctx = self._tts.jit_decode_chunk_audio_slot_tail(
                 self.params, self.cfg, self._embeds[0], self._state,
                 self._contexts[0], n, jnp.asarray(0, jnp.int32),
             )
@@ -1068,7 +1077,7 @@ class BatchedTTSScheduler:
                     # FUSED prefill + first ramp chunk: one dispatch for the
                     # prompt ingest AND the first audible frames (TTFA)
                     audio_dev, eos_dev, emb, self._state, self._contexts = (
-                        self._tts.jit_prefill_and_first_chunk_slot(
+                        self._tts.jit_prefill_and_first_chunk_slot_tail(
                             self.params, cfg, jnp.asarray(req.text_tokens),
                             req.speaker_vec, self._state, self._contexts,
                             n0, jnp.asarray(req.slot, jnp.int32),
@@ -1105,7 +1114,7 @@ class BatchedTTSScheduler:
                     slot.chunks_done += 1
                     slot.remaining = max(0, slot.remaining - n)
                 audio_dev, eos_dev, emb, self._state, ctx = (
-                    self._tts.jit_decode_chunk_audio_slot(
+                    self._tts.jit_decode_chunk_audio_slot_tail(
                         self.params, cfg, self._embeds[sid], self._state,
                         self._contexts[sid], n, jnp.asarray(sid, jnp.int32),
                     )
@@ -1151,7 +1160,7 @@ class BatchedTTSScheduler:
             sids = sorted(steady)
             slot_ids = jnp.asarray(self._bucket_ids(sids))
             audio_dev, eos_dev, self._embeds, self._state, self._contexts = (
-                self._tts.jit_decode_chunk_audio_gathered(
+                self._tts.jit_decode_chunk_audio_gathered_tail(
                     self.params, cfg, self._embeds, self._state, self._contexts,
                     n, slot_ids,
                 )

@@ -415,3 +415,140 @@ def test_static_files_still_served(demo_app):
     _, port, _ = demo_app
     status, _, body = _request(port, "GET", "/index.html")
     assert status == 200 and b"<html" in body.lower()
+
+
+# ── HF OAuth sign-in (demo/auth.py; reference demo/auth.py flow) ──────
+
+auth_mod = _load("auth")
+
+
+class _Resp:
+    def __init__(self, payload):
+        self._payload = payload
+
+    def raise_for_status(self):
+        pass
+
+    def json(self):
+        return self._payload
+
+
+class _FakeHTTP:
+    """httpx-shaped stub: records the token exchange, serves userinfo."""
+
+    def __init__(self, userinfo):
+        self.userinfo = userinfo
+        self.posts: list = []
+        self.gets: list = []
+
+    def post(self, url, data=None):
+        self.posts.append((url, data))
+        return _Resp({"access_token": "tok-abc"})
+
+    def get(self, url, headers=None):
+        self.gets.append((url, headers))
+        return _Resp(self.userinfo)
+
+
+def _enable_oauth(server, userinfo):
+    server.oauth.client_id = "cid-1"
+    server.oauth.client_secret = "sec-1"
+    server.oauth._http = _FakeHTTP(userinfo)
+    return server.oauth._http
+
+
+def _login_state(headers):
+    from urllib.parse import parse_qs, urlparse
+
+    return parse_qs(urlparse(headers["Location"]).query)["state"][0]
+
+
+def test_oauth_login_redirects_to_hf_authorize(demo_app):
+    server, port, _ = demo_app
+    _enable_oauth(server, {"sub": "u1"})
+    status, headers, _ = _request(port, "GET", auth_mod.LOGIN_PATH)
+    assert status == 302
+    loc = headers["Location"]
+    assert loc.startswith("https://huggingface.co/oauth/authorize?")
+    assert "client_id=cid-1" in loc and "state=" in loc and "response_type=code" in loc
+
+
+def test_oauth_login_disabled_without_client_id(demo_app):
+    _, port, _ = demo_app
+    status, _, data = _request(port, "GET", auth_mod.LOGIN_PATH)
+    assert status == 404
+
+
+def test_oauth_callback_sets_session_and_me_reports_user(demo_app):
+    server, port, _ = demo_app
+    http_stub = _enable_oauth(
+        server, {"sub": "u-42", "preferred_username": "alice", "isPro": True})
+    _, headers, _ = _request(port, "GET", auth_mod.LOGIN_PATH)
+    state = _login_state(headers)
+    status, headers, _ = _request(
+        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=abc&state={state}")
+    assert status == 302 and headers["Location"] == "/"
+    cookie = headers["Set-Cookie"].split(";")[0]
+    assert cookie.startswith(auth_mod.SESSION_COOKIE + "=")
+    # the exchange hit the provider's token endpoint with the code
+    assert http_stub.posts and http_stub.posts[0][1]["code"] == "abc"
+    status, _, data = _request(port, "GET", "/api/me", headers={"Cookie": cookie})
+    assert status == 200
+    assert data["tier"] == "unlimited"  # PRO -> unmetered
+    assert data["user"] == "alice"
+    assert data["remaining_s"] is None
+
+
+def test_oauth_plain_user_gets_member_tier_and_budget(demo_app):
+    server, port, _ = demo_app
+    _enable_oauth(server, {"sub": "u-7", "preferred_username": "bob"})
+    _, headers, _ = _request(port, "GET", auth_mod.LOGIN_PATH)
+    state = _login_state(headers)
+    _, headers, _ = _request(
+        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=c2&state={state}")
+    cookie = headers["Set-Cookie"].split(";")[0]
+    status, _, data = _request(port, "GET", "/api/me", headers={"Cookie": cookie})
+    assert data["tier"] == "member" and data["user"] == "bob"
+    assert isinstance(data["remaining_s"], int)
+
+
+def test_oauth_callback_rejects_forged_state(demo_app):
+    server, port, _ = demo_app
+    _enable_oauth(server, {"sub": "u1"})
+    status, _, _ = _request(
+        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=abc&state=123.deadbeef")
+    assert status == 403
+
+
+def test_oauth_logout_clears_session(demo_app):
+    server, port, _ = demo_app
+    _enable_oauth(server, {"sub": "u-42", "preferred_username": "alice"})
+    _, headers, _ = _request(port, "GET", auth_mod.LOGIN_PATH)
+    state = _login_state(headers)
+    _, headers, _ = _request(
+        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=x&state={state}")
+    cookie = headers["Set-Cookie"].split(";")[0]
+    status, headers, _ = _request(port, "GET", auth_mod.LOGOUT_PATH,
+                                  headers={"Cookie": cookie})
+    assert status == 302
+    assert "Max-Age=0" in headers["Set-Cookie"]
+    # a cleared cookie value no longer authenticates
+    status, _, data = _request(port, "GET", "/api/me",
+                               headers={"Cookie": auth_mod.SESSION_COOKIE + "="})
+    assert data["user"] is None and data["tier"] == "anonymous"
+
+
+def test_oauth_tier_resolution_org_membership():
+    assert auth_mod.HFOAuth.resolve_tier({"isPro": True}) == "unlimited"
+    assert auth_mod.HFOAuth.resolve_tier(
+        {"orgs": [{"preferred_username": "Cerebras"}]}) == "unlimited"
+    assert auth_mod.HFOAuth.resolve_tier({"orgs": ["smolagents"]}) == "unlimited"
+    assert auth_mod.HFOAuth.resolve_tier({"sub": "x"}) == "member"
+
+
+def test_oauth_config_advertises_login_paths(demo_app):
+    server, port, _ = demo_app
+    _enable_oauth(server, {"sub": "u1"})
+    _, _, data = _request(port, "GET", "/api/config")
+    assert data["oauth"] is True
+    assert data["loginPath"] == auth_mod.LOGIN_PATH

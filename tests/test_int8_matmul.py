@@ -64,3 +64,64 @@ def test_quantized_linear_3d_leading_dims():
     x = jax.random.normal(key, (2, 3, 128), jnp.float32)
     out = quantized_linear(x, qw)
     assert out.shape == (2, 3, 256)
+
+
+# ── W8A8 dynamic path (round 4) ───────────────────────────────────────
+
+
+def test_dyn_kernel_interpret_matches_reference_exactly():
+    from s2s_tpu.ops.int8_matmul import int8_matmul_dyn, int8_matmul_dyn_reference
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 128), jnp.float32).astype(jnp.bfloat16)
+    q = jax.random.randint(jax.random.PRNGKey(1), (128, 256), -127, 128, jnp.int32).astype(jnp.int8)
+    s = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (256,), jnp.float32)) * 0.02
+    ref = np.asarray(int8_matmul_dyn_reference(x, q, s), np.float32)
+    got = np.asarray(int8_matmul_dyn(x, q, s, interpret=True), np.float32)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_dyn_reference_close_to_f32_matmul():
+    from s2s_tpu.ops.int8_matmul import int8_matmul_dyn_reference
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (256, 128), jnp.float32) * 0.02
+    from s2s_tpu.ops.quant import quantize_weight
+
+    qw = quantize_weight(w)
+    ref = x @ w
+    got = np.asarray(int8_matmul_dyn_reference(x.astype(jnp.bfloat16), qw.q, qw.scale,
+                                               out_dtype=jnp.float32))
+    rel = np.linalg.norm(got - np.asarray(ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.03  # 8-bit weights x 8-bit dynamic activations
+
+
+def test_dyn_quantize_tree_and_linear_dispatch():
+    from s2s_tpu.models.common import linear
+    from s2s_tpu.ops.quant import DynQuantWeight, quantize_tree
+
+    w = jax.random.normal(jax.random.PRNGKey(5), (256, 512), jnp.float32) * 0.02
+    tree = quantize_tree({"w": w}, min_size=1024, act_quant=True)
+    assert isinstance(tree["w"], DynQuantWeight)
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, 256), jnp.float32).astype(jnp.bfloat16)
+    got = np.asarray(linear(x, tree["w"]), np.float32)
+    ref = np.asarray(x.astype(jnp.float32) @ w)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05
+
+
+def test_dyn_decode_chunk_runs_end_to_end():
+    """A tiny decoder LM decodes through the W8A8 path (tail chunk) and
+    produces tokens close to the float model's."""
+    from s2s_tpu.models import decoder_lm
+    from s2s_tpu.ops.quant import quantize_tree
+    from s2s_tpu.parallel import batched_decode as bd
+
+    cfg = decoder_lm.DecoderLMConfig.tiny()
+    params = decoder_lm.init_params(jax.random.PRNGKey(7), cfg)
+    qparams = quantize_tree(params, min_size=1024, act_quant=True)
+    state = bd.init_multi_state(cfg, 2, max_t=32)
+    tokens = jnp.asarray([3, 9], jnp.int32)
+    toks, emitted, tok, state, act = bd.decode_chunk_tail(
+        qparams, cfg, tokens, state, 4, -1, jnp.ones((2,), bool))
+    assert np.asarray(toks).shape == (4, 2)
+    assert np.asarray(emitted).all()

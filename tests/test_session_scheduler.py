@@ -317,8 +317,8 @@ def test_priority_lane_uses_slot_dispatches(lm, monkeypatch):
     from s2s_tpu.parallel import batched_decode as bd
 
     calls = {"slot": 0, "steady": 0, "fused": 0}
-    real_slot, real_steady = bd.jit_decode_chunk_slot, bd.jit_decode_chunk_gathered
-    real_fused = bd.jit_prefill_and_chunk_slot
+    real_slot, real_steady = bd.jit_decode_chunk_slot_tail, bd.jit_decode_chunk_gathered_tail
+    real_fused = bd.jit_prefill_and_chunk_slot_tail
 
     def spy_slot(*a, **k):
         calls["slot"] += 1
@@ -336,9 +336,9 @@ def test_priority_lane_uses_slot_dispatches(lm, monkeypatch):
         params, cfg, n_slots=2, eos_id=0, chunk_tokens=4,
         priority_tokens=4, priority_chunk=2,
     )
-    monkeypatch.setattr(sched._bd, "jit_decode_chunk_slot", spy_slot)
-    monkeypatch.setattr(sched._bd, "jit_decode_chunk_gathered", spy_steady)
-    monkeypatch.setattr(sched._bd, "jit_prefill_and_chunk_slot", spy_fused)
+    monkeypatch.setattr(sched._bd, "jit_decode_chunk_slot_tail", spy_slot)
+    monkeypatch.setattr(sched._bd, "jit_decode_chunk_gathered_tail", spy_steady)
+    monkeypatch.setattr(sched._bd, "jit_prefill_and_chunk_slot_tail", spy_fused)
     try:
         got = list(sched.generate(PROMPTS[2], max_new=10))
         want = serial_greedy(params, cfg, PROMPTS[2], 10, eos_id=0)
@@ -380,7 +380,7 @@ def test_priority_zero_disables_lane(lm, monkeypatch):
     from s2s_tpu.parallel import batched_decode as bd
 
     calls = {"slot": 0}
-    real_slot = bd.jit_decode_chunk_slot
+    real_slot = bd.jit_decode_chunk_slot_tail
 
     def spy_slot(*a, **k):
         calls["slot"] += 1
@@ -389,7 +389,7 @@ def test_priority_zero_disables_lane(lm, monkeypatch):
     sched = BatchedLMScheduler(
         params, cfg, n_slots=2, eos_id=0, chunk_tokens=4, priority_tokens=0,
     )
-    monkeypatch.setattr(sched._bd, "jit_decode_chunk_slot", spy_slot)
+    monkeypatch.setattr(sched._bd, "jit_decode_chunk_slot_tail", spy_slot)
     try:
         got = list(sched.generate(PROMPTS[0], max_new=8))
         assert got == serial_greedy(params, cfg, PROMPTS[0], 8, eos_id=0)
@@ -680,7 +680,7 @@ def test_promote_moves_speculation_into_priority_lane(lm, monkeypatch):
     from s2s_tpu.parallel import batched_decode as bd
 
     calls = {"slot": 0, "fused": 0}
-    real_slot, real_fused = bd.jit_decode_chunk_slot, bd.jit_prefill_and_chunk_slot
+    real_slot, real_fused = bd.jit_decode_chunk_slot_tail, bd.jit_prefill_and_chunk_slot_tail
 
     def spy_slot(*a, **k):
         calls["slot"] += 1
@@ -694,8 +694,8 @@ def test_promote_moves_speculation_into_priority_lane(lm, monkeypatch):
         params, cfg, n_slots=2, eos_id=0, chunk_tokens=2,
         priority_tokens=8, priority_chunk=2,
     )
-    monkeypatch.setattr(sched._bd, "jit_decode_chunk_slot", spy_slot)
-    monkeypatch.setattr(sched._bd, "jit_prefill_and_chunk_slot", spy_fused)
+    monkeypatch.setattr(sched._bd, "jit_decode_chunk_slot_tail", spy_slot)
+    monkeypatch.setattr(sched._bd, "jit_prefill_and_chunk_slot_tail", spy_fused)
     try:
         handle = sched.start(PROMPTS[3], max_new=24, priority=False)
         assert handle is not None

@@ -385,3 +385,77 @@ def test_session_voice_override_supported_speaker(monkeypatch):
     known = PRESET_SPEAKERS[0]
     assert _SPEAKER_IDS.get(known.lower()) is not None
     assert _SPEAKER_IDS.get("definitely-not-a-speaker", 0) == 0
+
+
+def test_qwen3_tail_chunk_matches_multi():
+    """Tail-buffer talker chunks (round-4 serving path) produce the same
+    audio/eos/embeds/positions as the legacy multi chunk, including across
+    chunk boundaries and for the slot/gathered/prefill wrappers."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2s_tpu.models import qwen3_tts
+    from s2s_tpu.parallel import batched_decode as bd
+
+    cfg = qwen3_tts.Qwen3TTSConfig.tiny()
+    params = qwen3_tts.init_params(jax.random.PRNGKey(0), cfg)
+    tts = qwen3_tts.Qwen3TTS(params=params, cfg=cfg, chunk_frames=4)
+    tokens, _ = tts._encode_text("Hi.", bucket=16)
+    spk = params["speakers"][jnp.asarray([0])]
+
+    def clone(state):
+        return bd.MultiDecodeState(jax.tree.map(jnp.copy, state.caches), jnp.copy(state.pos))
+
+    state = bd.init_multi_state(cfg.lm, 3, max_t=64)
+    embeds = jnp.zeros((3, cfg.lm.d_model), cfg.lm.dtype)
+    for slot in range(2):
+        bos, state = qwen3_tts.prefill_tts_slot(
+            params, cfg, tokens, spk, state, jnp.asarray(slot, jnp.int32))
+        embeds = embeds.at[slot].set(bos)
+    contexts = jnp.zeros((3, 4, cfg.n_q), jnp.int32)
+    active = jnp.asarray([True, True, False])
+
+    a = qwen3_tts.decode_chunk_audio_multi(
+        params, cfg, embeds, clone(state), contexts, 3, active)
+    b = qwen3_tts.decode_chunk_audio_tail(
+        params, cfg, embeds, clone(state), contexts, 3, active)
+    np.testing.assert_allclose(np.asarray(a[0][:2], np.float32),
+                               np.asarray(b[0][:2], np.float32), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))  # eos
+    np.testing.assert_allclose(np.asarray(a[2][:2], np.float32),
+                               np.asarray(b[2][:2], np.float32), atol=1e-4)
+    assert a[3].pos.tolist() == b[3].pos.tolist()
+    np.testing.assert_array_equal(np.asarray(a[4][:2]), np.asarray(b[4][:2]))
+    # continue from both carries: a second chunk must stay identical
+    a2 = qwen3_tts.decode_chunk_audio_multi(params, cfg, a[2], a[3], a[4], 2, active)
+    b2 = qwen3_tts.decode_chunk_audio_tail(params, cfg, b[2], b[3], b[4], 2, active)
+    np.testing.assert_array_equal(np.asarray(a2[1]), np.asarray(b2[1]))
+    np.testing.assert_allclose(np.asarray(a2[0][:2], np.float32),
+                               np.asarray(b2[0][:2], np.float32), atol=1e-5)
+
+    # gathered + slot + fused-prefill wrappers
+    ids = jnp.asarray([1, 0], jnp.int32)
+    ga = qwen3_tts.decode_chunk_audio_gathered(
+        params, cfg, embeds, clone(state), contexts, 3, ids)
+    gb = qwen3_tts.decode_chunk_audio_gathered_tail(
+        params, cfg, embeds, clone(state), contexts, 3, ids)
+    np.testing.assert_allclose(np.asarray(ga[0], np.float32),
+                               np.asarray(gb[0], np.float32), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ga[1]), np.asarray(gb[1]))
+    assert ga[3].pos.tolist() == gb[3].pos.tolist()
+
+    sa = qwen3_tts.decode_chunk_audio_slot(
+        params, cfg, embeds[0], clone(state), contexts[0], 2, jnp.asarray(0, jnp.int32))
+    sb = qwen3_tts.decode_chunk_audio_slot_tail(
+        params, cfg, embeds[0], clone(state), contexts[0], 2, jnp.asarray(0, jnp.int32))
+    np.testing.assert_allclose(np.asarray(sa[0], np.float32),
+                               np.asarray(sb[0], np.float32), atol=1e-5)
+    assert sa[3].pos.tolist() == sb[3].pos.tolist()
+
+    pa = qwen3_tts.prefill_and_first_chunk_slot(
+        params, cfg, tokens, spk, clone(state), contexts, 2, jnp.asarray(2, jnp.int32))
+    pb = qwen3_tts.prefill_and_first_chunk_slot_tail(
+        params, cfg, tokens, spk, clone(state), contexts, 2, jnp.asarray(2, jnp.int32))
+    np.testing.assert_allclose(np.asarray(pa[0], np.float32),
+                               np.asarray(pb[0], np.float32), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pa[1]), np.asarray(pb[1]))
