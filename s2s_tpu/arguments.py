@@ -159,7 +159,7 @@ class LocalLLMArgs:
     #: whole-chain mode: also announce the speculation's first sentence
     #: batch to the TTS stage so synthesis starts before the final too
     speculative_tts: bool = True
-    quantize: Optional[str] = None  # "int8" / "int4" weight-only decode (HBM reads /2 or /4)
+    quantize: Optional[str] = None  # "int8" / "int4" weight-only; "int8-dyn" = W8A8 dynamic (native int8 MXU dot)
     gen_kwargs: dict[str, Any] = field(default_factory=dict)
 
 

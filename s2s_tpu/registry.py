@@ -246,10 +246,11 @@ def _make_local_llm(config, ctx: HandlerContext):
                 logger.warning("local-jax LLM: random-init shared weights (no checkpoint)")
                 p = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
             quant = getattr(config, "quantize", None)
-            if quant in ("int8", "int4"):
+            if quant in ("int8", "int4", "int8-dyn"):
                 from s2s_tpu.ops.quant import quantize_tree
 
-                p = quantize_tree(p, bits=4 if quant == "int4" else 8)
+                p = quantize_tree(p, bits=4 if quant == "int4" else 8,
+                                  act_quant=quant == "int8-dyn")
             eos = tokenizer.eos_id if tokenizer is not None else 0
             from s2s_tpu.parallel.session_scheduler import GLOBAL_PRIORITY_GATE
 
@@ -274,10 +275,11 @@ def _make_local_llm(config, ctx: HandlerContext):
     else:
         params = _load_checkpoint(config.checkpoint)
         quant = getattr(config, "quantize", None)
-        if params is not None and quant in ("int8", "int4"):
+        if params is not None and quant in ("int8", "int4", "int8-dyn"):
             from s2s_tpu.ops.quant import quantize_tree
 
-            params = quantize_tree(params, bits=4 if quant == "int4" else 8)
+            params = quantize_tree(params, bits=4 if quant == "int4" else 8,
+                                   act_quant=quant == "int8-dyn")
     return LocalJAXLLMHandler(
         ctx.stop_event, ctx.queue_in, ctx.queue_out,
         setup_kwargs=dict(
