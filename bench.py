@@ -74,6 +74,12 @@ TTS_CHUNK_FRAMES = 8
 #: edits can be validated without the TPU.  Numbers are meaningless.
 TINY = os.environ.get("S2S_BENCH_TINY", "0") == "1"
 
+#: S2S_BENCH_LOADED_ONLY=1: dev iteration knob — skip the batched
+#: aggregate sweeps (minutes of compile+run) and measure only the loaded
+#: voice-to-voice section; batched fields print as 0.  Never set by the
+#: driver: full runs always record every field.
+LOADED_ONLY = os.environ.get("S2S_BENCH_LOADED_ONLY", "0") == "1"
+
 
 def _backend_watchdog(init_timeout_s: float = 600.0) -> None:
     """Fail LOUDLY if PJRT init wedges (the axon pool can hang forever in
@@ -252,9 +258,13 @@ def build_llm():
             )
             tokens = tokens.at[s].set(tok)
         active = jnp.ones((n_slots,), bool)
-        bd.jit_decode_chunk_tail(  # warm
+        toks_w, _em, _tok, state, _act = bd.jit_decode_chunk_tail(  # warm
             params, cfg, tokens, state, REPLY_TOKENS, -1, active
         )
+        # BLOCK on the warm chunk: without this the timed dispatch queues
+        # behind the still-executing warm program and the measurement
+        # double-counts (r03's batch numbers understated ~2x this way)
+        _ = np.asarray(toks_w)
         state = bd.init_multi_state(cfg, n_slots, max_t=cache_len)
         t0 = time.perf_counter()
         toks, emitted, tokens, state, active = bd.jit_decode_chunk_tail(
@@ -341,7 +351,7 @@ def build_tts():
 
 
 def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
-                       n_bg: int = 15, turns: int = 20,
+                       n_bg: int = 15, turns: int = 30,
                        bg_cycle_s: float = 10.0) -> tuple[float, float]:
     """MEASURED loaded voice-to-voice latency: probe turns (STT final +
     LLM first sentence + TTS first audible chunk) through the REAL serving
@@ -373,19 +383,21 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
     # probe's final STT) bridges into the same gate, so steady chunks hold
     # back for the whole latency chain, not just the LM/TTS windows
     GLOBAL_SCHEDULER.priority_gate = gate
-    # steady chunks stay at the throughput-optimal 8.  A 4-token/4-frame
-    # variant was re-measured AFTER the dispatch/completion split landed
-    # (the split hides the extra per-chunk syncs): p50 0.563 vs 0.600 —
-    # the quantum is not the binding term over this tunnel — while p95
-    # blew up (4.1 s vs 0.61 s; doubling the dispatch rate starves the
-    # probe thread on the single-core host, same pathology as pre-split).
+    # steady-chunk quanta balance throughput against the in-flight blocking
+    # term (a probe dispatch queues behind at most one steady chunk; the
+    # gate holds back all later ones).  With the round-4 tail chunks the
+    # 16-slot steady programs run ~40% faster, so the quanta come down from
+    # the r03 8/8: LM 6 tokens (~81 ms in flight), TTS 4 frames (~80 ms).
+    # r03's 4-token p95 blowup came from host-side dispatch-rate starvation
+    # pre-tail; the dispatch/completion split + shorter chunk times absorb
+    # the higher cadence now (re-measured r04).
     lm_sched = BatchedLMScheduler(
         llm_params, llm_cfg, n_slots=n_bg + 1, max_t=256,
-        chunk_tokens=8, priority_tokens=FIRST_SENTENCE_TOKENS, gate=gate,
+        chunk_tokens=6, priority_tokens=FIRST_SENTENCE_TOKENS, gate=gate,
     )
     tts_sched = BatchedTTSScheduler(
         tts_obj.params, tts_cfg, n_slots=n_bg + 1, max_t=192,
-        context_frames=8, chunk_frames=TTS_CHUNK_FRAMES, gate=gate,
+        context_frames=8, chunk_frames=4, gate=gate,
     )
     tts_tokens, _ = tts_obj._encode_text(
         "This is a representative assistant reply used to benchmark synthesis.",
@@ -420,23 +432,35 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
 
     phases: list[tuple[float, float, float]] = []
 
-    def probe(speculative: bool = True, lead_s: float = 0.0, record: bool = True) -> float:
-        # serving default: WHOLE-CHAIN speculation.  Generation starts on
-        # the PROGRESSIVE transcript (--llm_speculative_prefill) and, the
-        # moment the first sentence batch decodes, the watcher announces it
-        # to TTS which pre-synthesizes in an ungated spare slot
-        # (--tts_speculative_synthesis).  The real request adopts both on
-        # exact match (llm/local_backend.py, tts/qwen3_handler.py).
+    def probe(speculative: bool = False, lead_s: float = 0.0, record: bool = True) -> float:
+        # THREE REGIMES, matched to what serving can actually produce
+        # (realtime/service.py:_on_partial_transcription — a speculation is
+        # started ONLY by a progressive partial, and the VAD endpointing
+        # policy guarantees every partial precedes the STT final):
         #
-        # TWO REGIMES: ``lead_s=0`` starts the speculation at speech-stop —
-        # the most conservative model (zero lead time).  ``lead_s>0`` models
-        # what serving actually does: the speculation starts on the last
-        # progressive partial, which precedes the STT final by AT LEAST the
-        # VAD endpointing grace (the reference's speculative commit grace is
-        # 800 ms + min_silence; we model 500 ms).  The voice-to-voice clock
-        # still starts at speech-stop (t0) — the lead window is VAD policy
-        # time the chain gets for free, the same window the reference
-        # builds its speculation around (vad_handler.py:742-782).
+        #   speculative=False (HEADLINE, recorded p50/p95): the no-partial
+        #     turn.  Serving starts nothing before the STT final, so this
+        #     is the serving default's exact behavior at zero lead time —
+        #     and the conservative bound, since speculation with lead is
+        #     strictly faster.
+        #   speculative=True, lead_s>0 (serving common case): whole-chain
+        #     speculation (--llm_speculative_prefill +
+        #     --tts_speculative_synthesis).  Generation starts on the last
+        #     progressive partial, which precedes the final by AT LEAST the
+        #     endpointing silence window (the reference's speculative
+        #     commit grace is 800 ms + min_silence; we model 500 ms).  The
+        #     voice-to-voice clock still starts at speech-stop (t0) — the
+        #     lead is VAD policy time the chain gets for free, the same
+        #     window the reference builds its speculation around
+        #     (vad_handler.py:742-782).  The real request adopts the
+        #     speculation's tokens/audio on exact prompt match
+        #     (llm/local_backend.py, tts/qwen3_handler.py).
+        #   speculative=True, lead_s=0 (synthetic diagnostic): a
+        #     speculation started at the same instant as the final's STT —
+        #     a situation serving never creates (no partial, no
+        #     speculation).  Recorded to document the contention cost that
+        #     justifies the partial-only trigger: the spec prefill queues
+        #     just ahead of the probe's STT claim and costs ~25-60 ms.
         state: dict = {}
         watcher = None
         if speculative:
@@ -497,7 +521,8 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
         # probe chain and one full background turn for the prefill programs
         lm_sched.warmup()
         tts_sched.warmup()
-        probe(record=False)
+        probe(record=False)                    # headline (no-partial) chain
+        probe(speculative=True, record=False)  # speculative chain programs
         for _tok in lm_sched.generate(prompt, REPLY_TOKENS):
             pass
         for _chunk, _sr in tts_sched.stream(tts_tokens, spk, bg_frames):
@@ -517,6 +542,12 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
         # workload model stays the reference soak harness's steady
         # conversational cadence, so probes sample that regime.
         time.sleep(bg_cycle_s * 2.5)
+        # one discarded warm probe UNDER load: the first loaded probe pays
+        # one-time lazy state (first spec adoption through the loaded
+        # schedulers, first gate-bridged STT claim under contention) —
+        # measured at 3x the steady p50 on every run, never recurring.  The
+        # unloaded chain discards its first turn for the same reason.
+        probe(record=False)
         rng = random.Random(0)
         times = []
         for _ in range(turns):
@@ -524,18 +555,18 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
             # probes land at random phases of the background cadence
             time.sleep(rng.uniform(0.2, 1.2))
         times.sort()
-        # comparison set: the same chain WITHOUT speculative prefill
-        # (generation starts only after the STT final) — the r2-shape chain
-        nospec = []
+        # synthetic diagnostic: speculation started with ZERO lead (serving
+        # never does this — the trigger is a progressive partial)
+        spec_zerolead = []
         for _ in range(min(8, turns)):
-            nospec.append(probe(speculative=False, record=False))
+            spec_zerolead.append(probe(speculative=True, record=False))
             time.sleep(rng.uniform(0.2, 1.2))
-        nospec.sort()
-        # LEAD-TIME regime: the speculation gets the VAD endpointing grace
-        # (last progressive partial -> STT final) it gets in serving
+        spec_zerolead.sort()
+        # serving common case: the speculation gets the VAD endpointing
+        # grace (last progressive partial -> STT final) it gets in serving
         lead = []
         for _ in range(min(10, turns)):
-            lead.append(probe(lead_s=0.5, record=False))
+            lead.append(probe(speculative=True, lead_s=0.5, record=False))
             time.sleep(rng.uniform(0.2, 1.2))
         lead.sort()
     finally:
@@ -551,7 +582,7 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
         round(statistics.median(p[i] for p in phases), 4) for i in range(3)
     )
     return (p50, p95, phase_p50, [tuple(round(x, 4) for x in p) for p in phases],
-            statistics.median(nospec), statistics.median(lead))
+            statistics.median(spec_zerolead), statistics.median(lead))
 
 
 def main() -> None:
@@ -559,9 +590,12 @@ def main() -> None:
     vad_run, vad_batched, _vad_params = build_vad()
     t_vad = min(vad_run() for _ in range(3))
     # serving shape: ONE batched dispatch scores every session's tick
-    t_vad_b8 = min(vad_batched(8)() for _ in range(2))
-    t_vad_b16 = min(vad_batched(16)() for _ in range(2))
-    t_vad_b32 = min(vad_batched(32)() for _ in range(2))
+    if LOADED_ONLY:
+        t_vad_b8 = t_vad_b16 = t_vad_b32 = 0.0
+    else:
+        t_vad_b8 = min(vad_batched(8)() for _ in range(2))
+        t_vad_b16 = min(vad_batched(16)() for _ in range(2))
+        t_vad_b32 = min(vad_batched(32)() for _ in range(2))
 
     stt_run, stt_params = build_stt(IN_SECONDS)
     t_stt = min(stt_run() for _ in range(3))
@@ -571,7 +605,7 @@ def main() -> None:
     # concurrent windows coincide they share ONE 0.6B weight read.  The
     # aggregate still charges finals per session (they arrive spread out at
     # conversational cadence); this records the capability headroom.
-    t_stt_b16 = min(_stt_batched(stt_params, 16) for _ in range(2))
+    t_stt_b16 = 0.0 if LOADED_ONLY else min(_stt_batched(stt_params, 16) for _ in range(2))
     gc.collect()
 
     llm_turn, llm_batched, llm_to_int8, llm_holder, llm_cfg = build_llm()
@@ -579,18 +613,24 @@ def main() -> None:
     llm_to_int8()  # serving config: int8 weight-only decode
     t_llm = min(llm_turn(REPLY_TOKENS) for _ in range(2))
     llm_turn(FIRST_SENTENCE_TOKENS)  # warm the first-sentence program on int8
-    t_llm_b8 = min(llm_batched(8) for _ in range(3))
-    t_llm_b16 = min(llm_batched(16) for _ in range(2))
-    t_llm_b32 = min(llm_batched(32) for _ in range(2))
+    if LOADED_ONLY:
+        t_llm_b8 = t_llm_b16 = t_llm_b32 = 0.0
+    else:
+        t_llm_b8 = min(llm_batched(8) for _ in range(3))
+        t_llm_b16 = min(llm_batched(16) for _ in range(2))
+        t_llm_b32 = min(llm_batched(32) for _ in range(2))
 
     tts_first, tts_full, tts_batched, tts_to_int8, tts_obj, tts_cfg = build_tts()
     t_tts_bf16 = min(tts_full(OUT_SECONDS) for _ in range(2))
     tts_to_int8()  # serving config: int8 talker + code predictor
     t_tts = min(tts_full(OUT_SECONDS) for _ in range(2))
     tts_first()  # warm streaming programs on int8
-    t_tts_b8 = tts_batched(8, OUT_SECONDS)
-    t_tts_b16 = tts_batched(16, OUT_SECONDS)
-    t_tts_b32 = tts_batched(32, OUT_SECONDS)
+    if LOADED_ONLY:
+        t_tts_b8 = t_tts_b16 = t_tts_b32 = 0.0
+    else:
+        t_tts_b8 = tts_batched(8, OUT_SECONDS)
+        t_tts_b16 = tts_batched(16, OUT_SECONDS)
+        t_tts_b32 = tts_batched(32, OUT_SECONDS)
 
     # voice-to-voice latency chain at real sizes, all models resident
     def one_turn() -> float:
@@ -608,7 +648,7 @@ def main() -> None:
     # MEASURED loaded latency: probe turns through the serving schedulers
     # while 15 background sessions decode (priority lanes active)
     loaded_kw = dict(n_bg=3, turns=4, bg_cycle_s=4.0) if TINY else {}
-    (loaded_p50, loaded_p95, loaded_phases, loaded_all, loaded_nospec_p50,
+    (loaded_p50, loaded_p95, loaded_phases, loaded_all, loaded_spec0_p50,
      loaded_lead_p50) = measure_loaded_v2v(
         stt_final, llm_holder["params"], llm_cfg, tts_obj, tts_cfg, **loaded_kw,
     )
@@ -620,19 +660,19 @@ def main() -> None:
     # serving micro-batcher scores them in one dispatch); STT finals stay
     # charged per session (they arrive spread out at conversational
     # cadence, so no batch forms reliably — honesty over headroom).
-    aggregate = 16 * (IN_SECONDS + OUT_SECONDS) / (
-        t_vad_b16 + t_stt * 16 + t_llm_b16 + t_tts_b16
-    )
-    aggregate8 = 8 * (IN_SECONDS + OUT_SECONDS) / (
-        t_vad_b8 + t_stt * 8 + t_llm_b8 + t_tts_b8
-    )
+    def _agg(n, tv, tl, tt):
+        if LOADED_ONLY:
+            return 0.0  # batched sweeps skipped: no honest aggregate exists
+        denom = tv + t_stt * n + tl + tt
+        return n * (IN_SECONDS + OUT_SECONDS) / denom if denom else 0.0
+
+    aggregate = _agg(16, t_vad_b16, t_llm_b16, t_tts_b16)
+    aggregate8 = _agg(8, t_vad_b8, t_llm_b8, t_tts_b8)
     # capacity mode: 32 slots fit (weights int8 + 32 KV rows well under
     # 16 GB HBM) and batched decode stays bandwidth-bound, so doubling the
     # slots costs ~1.5-1.7x per chunk; per-session STT becomes the
     # co-limiter at this width.  16 stays the default (latency-balanced).
-    aggregate32 = 32 * (IN_SECONDS + OUT_SECONDS) / (
-        t_vad_b32 + t_stt * 32 + t_llm_b32 + t_tts_b32
-    )
+    aggregate32 = _agg(32, t_vad_b32, t_llm_b32, t_tts_b32)
     single = (IN_SECONDS + OUT_SECONDS) / (t_vad + t_stt + t_llm + t_tts)
     result = {
         "metric": "aggregate_cascade_rtfx_per_chip",
@@ -652,21 +692,21 @@ def main() -> None:
             # dispatch (progressive ticks under load); aggregates do NOT
             # use this — finals are charged per session
             "stt_s_batch16_total": round(t_stt_b16, 4),
-            "stt_rtfx_batch16": round(16 * IN_SECONDS / t_stt_b16, 2),
+            "stt_rtfx_batch16": round(16 * IN_SECONDS / t_stt_b16, 2) if t_stt_b16 else 0.0,
             "llm_s": round(t_llm, 4),
             "llm_s_bf16": round(t_llm_bf16, 4),
             "llm_tokens_per_s": round(REPLY_TOKENS / t_llm, 1),
-            "llm_tokens_per_s_batch8": round(8 * REPLY_TOKENS / t_llm_b8, 1),
-            "llm_tokens_per_s_batch16": round(16 * REPLY_TOKENS / t_llm_b16, 1),
+            "llm_tokens_per_s_batch8": (round(8 * REPLY_TOKENS / t_llm_b8, 1) if t_llm_b8 else 0.0),
+            "llm_tokens_per_s_batch16": (round(16 * REPLY_TOKENS / t_llm_b16, 1) if t_llm_b16 else 0.0),
             "tts_s": round(t_tts, 4),
             "tts_s_bf16": round(t_tts_bf16, 4),
             "tts_rtf_single": round(OUT_SECONDS / t_tts, 2),
-            "tts_rtf_batch8": round(8 * OUT_SECONDS / t_tts_b8, 2),
-            "tts_rtf_batch16": round(16 * OUT_SECONDS / t_tts_b16, 2),
+            "tts_rtf_batch8": (round(8 * OUT_SECONDS / t_tts_b8, 2) if t_tts_b8 else 0.0),
+            "tts_rtf_batch16": (round(16 * OUT_SECONDS / t_tts_b16, 2) if t_tts_b16 else 0.0),
             "aggregate_rtfx_8_sessions": round(aggregate8, 2),
             "aggregate_rtfx_32_sessions_capacity": round(aggregate32, 2),
-            "llm_tokens_per_s_batch32": round(32 * REPLY_TOKENS / t_llm_b32, 1),
-            "tts_rtf_batch32": round(32 * OUT_SECONDS / t_tts_b32, 2),
+            "llm_tokens_per_s_batch32": (round(32 * REPLY_TOKENS / t_llm_b32, 1) if t_llm_b32 else 0.0),
+            "tts_rtf_batch32": (round(32 * OUT_SECONDS / t_tts_b32, 2) if t_tts_b32 else 0.0),
             "audio_s": IN_SECONDS + OUT_SECONDS,
             "single_session_rtfx": round(single, 2),
             "voice_to_voice_p50_s": round(v2v_p50, 4),
@@ -674,20 +714,30 @@ def main() -> None:
             "voice_to_voice_turns": V2V_TURNS,
             # MEASURED: probe turn through the serving schedulers while 15
             # background sessions decode full replies + syntheses (the
-            # 16-session serving config; priority lanes active)
+            # 16-session serving config; priority lanes active).  The
+            # recorded probes are the NO-PARTIAL turn: serving starts a
+            # speculation only from a progressive partial
+            # (realtime/service.py:_on_partial_transcription), so with zero
+            # lead time the serving default starts nothing before the STT
+            # final — this chain — and it bounds the speculative regimes
+            # from above (speculation with lead is strictly faster, see the
+            # leadtime field)
             "voice_to_voice_loaded_p50_s": round(loaded_p50, 4),
             "voice_to_voice_loaded_p95_s": round(loaded_p95, 4),
-            # serving default: speculative first-sentence generation (start
-            # on the progressive transcript, adopt on exact prompt match —
-            # llm/local_backend.py); the nospec p50 is the same chain with
-            # generation starting only after the STT final
-            "voice_to_voice_loaded_speculative": True,
-            "voice_to_voice_loaded_nospec_p50_s": round(loaded_nospec_p50, 4),
-            # same chain with the speculation given the VAD endpointing
-            # grace it gets in serving (0.5 s between the last progressive
-            # partial and the STT final) — the regime whole-chain
-            # speculation targets; the clock still starts at speech-stop
+            "voice_to_voice_loaded_regime": "no-partial (speculation not engaged: serving's trigger is a progressive partial, which always precedes the final)",
+            # serving common case: whole-chain speculation (generation
+            # starts on the progressive transcript, TTS pre-synthesizes,
+            # the real request adopts on exact prompt match —
+            # llm/local_backend.py) given the VAD endpointing grace it gets
+            # in serving (0.5 s between the last progressive partial and
+            # the STT final); the clock still starts at speech-stop
             "voice_to_voice_loaded_leadtime_p50_s": round(loaded_lead_p50, 4),
+            # synthetic diagnostic: a speculation started at the same
+            # instant as the final's STT — serving never creates this (no
+            # partial -> no speculation); recorded because the ~25-60 ms
+            # contention it shows (spec prefill queues ahead of the probe's
+            # STT claim) is WHY the trigger is partial-only
+            "voice_to_voice_loaded_spec_zerolead_p50_s": round(loaded_spec0_p50, 4),
             # per-phase p50 under load: (stt, llm-first-sentence, tts-first-chunk)
             "voice_to_voice_loaded_phases_s": list(loaded_phases),
             # every measured probe's (stt, llm, tts) phases, chronological —
