@@ -1,10 +1,49 @@
 """Regenerate the torch architecture-parity fixtures in tests/data/.
 
-Builds config-initialized (random-weight, no download) transformers models,
-saves their state dicts + input/output tensors; ``tests/test_torch_parity.py``
-then requires our JAX implementations to reproduce the torch logits after
+Builds config-initialized (random-weight, no download) torch models, saves
+their state dicts + input/output tensors; ``tests/test_torch_parity.py``
+then requires our JAX implementations to reproduce the torch outputs after
 conversion.  Run offline when the fixture configs change (importing
 transformers costs minutes in the TPU image).
+
+FIXTURE PROVENANCE (per family) — "upstream" means the fixture's torch
+model IS the code real checkpoints ship for (transformers classes are the
+canonical implementation for those families); "twin" means a hand-written
+torch module mirroring upstream code that is not pip-installable in the
+fixture-generation environment (funasr / pocket-tts / ChatTTS /
+deepfilternet / kokoro all load real downloaded checkpoints and expose no
+config-random tiny construction, and this environment has no egress):
+
+  whisper     upstream  transformers.WhisperForConditionalGeneration
+  llama       upstream  transformers.LlamaForCausalLM
+  qwen3       upstream  transformers.Qwen3ForCausalLM
+  parakeet    upstream  transformers ParakeetEncoder + NeMo-layout pred/joint
+  vits        upstream  transformers.VitsModel (the MMS layout)
+  smolvlm     upstream  transformers SmolVLM vision tower
+  qwen3tts    upstream  transformers Qwen3-Omni codec classes
+  mimi        upstream  transformers.MimiModel (make_mimi_hf_fixture) —
+                        the twin fixture (make_mimi_fixture) is kept as a
+                        second, moshi-key-layout cross-check
+  pocket      twin      scripts/_pocket_torch_twin.py (delayed-streams LM;
+                        its Mimi decoder is cross-checked by the upstream
+                        mimi_hf fixture above)
+  chattts     twin      scripts/_chattts_torch_twin.py — the GPT body is
+                        a transformers-Llama layout (covered upstream by
+                        the llama fixture); DVAE/Vocos are twins
+  paraformer  twin      scripts/_paraformer_torch_twin.py (funasr SAN-M)
+  kokoro      twin      scripts/_kokoro_torch_twin.py (StyleTTS2/iSTFTNet)
+  deepfilter  twin      scripts/_deepfilter_torch_twin.py
+
+Twin risk and mitigation: a twin that misreads upstream passes every
+fixture test and fails on real checkpoints.  Mitigations in-tree: (1) the
+sub-modules with upstream-available counterparts are cross-checked against
+them (mimi_hf, llama); (2) converter outputs must LOAD and RUN through the
+real models end-to-end (tests/test_e2e_depth.py seam test); (3) each twin
+cites the upstream file/line it mirrors in its module docstring.  Full
+upstream anchoring for the 5 twin families needs a fixture-generation
+environment with egress (pip install funasr pocket-tts ChatTTS
+deepfilternet kokoro + checkpoint downloads) — the twins keep the suite
+hermetic everywhere else.
 """
 
 from __future__ import annotations

@@ -1,12 +1,15 @@
 """Architecture-exactness vs torch reference implementations.
 
 Golden fixtures were generated ONCE offline from config-initialized
-(random-weight, no download) transformers models — see the generation recipe
-in the repo history.  These tests convert the saved torch state dicts with
-our converters and require our JAX forward passes to reproduce the torch
-logits, proving the architectures (attention, norms, rope, convs, heads)
-match bit-for-bit up to float tolerance.  transformers itself is NOT
-imported here (it costs minutes in this image).
+(random-weight, no download) torch models by ``scripts/make_parity_fixtures
+.py`` — see its docstring for the PER-FAMILY PROVENANCE TABLE (which
+fixtures come from upstream code — transformers classes — and which from
+hand-written torch twins, with the twin risk and its mitigations).  These
+tests convert the saved torch state dicts with our converters and require
+our JAX forward passes to reproduce the torch outputs, proving the
+architectures (attention, norms, rope, convs, heads) match bit-for-bit up
+to float tolerance.  transformers itself is NOT imported here (it costs
+minutes in this image).
 """
 
 import jax
