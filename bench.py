@@ -80,6 +80,11 @@ TINY = os.environ.get("S2S_BENCH_TINY", "0") == "1"
 #: driver: full runs always record every field.
 LOADED_ONLY = os.environ.get("S2S_BENCH_LOADED_ONLY", "0") == "1"
 
+#: serving quantization mode: "int8" (weight-only, capacity) or "int8-dyn"
+#: (W8A8 dynamic — native int8 MXU dot, the only mode that buys step time;
+#: 1.22x on the LM layer mix, scripts/microbench_w8a8.py)
+QUANT = os.environ.get("S2S_BENCH_QUANT", "int8")
+
 
 def _backend_watchdog(init_timeout_s: float = 600.0) -> None:
     """Fail LOUDLY if PJRT init wedges (the axon pool can hang forever in
@@ -233,9 +238,12 @@ def build_llm():
 
     def to_int8() -> None:
         """Switch the serving weights to int8 (frees the bf16 copy)."""
+        import functools
+
         from s2s_tpu.ops.quant import quantize_tree
 
-        qparams = jax.jit(quantize_tree)(holder["params"])
+        qparams = jax.jit(functools.partial(
+            quantize_tree, act_quant=QUANT == "int8-dyn"))(holder["params"])
         jax.block_until_ready(jax.tree_util.tree_leaves(qparams)[0])
         holder["params"] = qparams
         gc.collect()
@@ -289,7 +297,11 @@ def build_tts():
 
     def to_int8() -> None:
         """Switch the serving weights to int8 (frees the bf16 copy)."""
-        qparams = jax.jit(qwen3_tts.quantize_params)(tts.params)
+        import functools
+
+        qparams = jax.jit(functools.partial(
+            qwen3_tts.quantize_params,
+            act_quant=QUANT == "int8-dyn"))(tts.params)
         jax.block_until_ready(jax.tree_util.tree_leaves(qparams)[0])
         tts.params = qparams
         gc.collect()
@@ -682,7 +694,7 @@ def main() -> None:
         "detail": {
             "workload": (
                 "parakeet-0.6b + smollm2-1.7b + qwen3-tts-1.7b (full configs, "
-                "random weights; serving config = int8 weight-only decode, "
+                f"random weights; serving config = {QUANT} decode, "
                 "16 sessions/chip)"
             ),
             "vad_s": round(t_vad, 4),

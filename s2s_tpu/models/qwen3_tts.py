@@ -399,7 +399,8 @@ def code2wav(params, cfg: Code2WavConfig, codes):
 
 
 def quantize_params(params: Params, min_size: int | None = None,
-                    talker_bits: int = 8, cp_bits: int = 8) -> Params:
+                    talker_bits: int = 8, cp_bits: int = 8,
+                    act_quant: bool = False) -> Params:
     """Weight-only quantization of the decode-loop weights.
 
     The frame loop is HBM-bound: the talker streams its ~1.5B layer weights
@@ -416,8 +417,10 @@ def quantize_params(params: Params, min_size: int | None = None,
 
     min_size = _MIN_SIZE if min_size is None else min_size
     out = dict(params)
-    out["talker"] = quantize_tree(params["talker"], min_size=min_size, bits=talker_bits)
-    out["cp"] = quantize_tree(params["cp"], min_size=min_size, bits=cp_bits)
+    out["talker"] = quantize_tree(params["talker"], min_size=min_size,
+                                  bits=talker_bits, act_quant=act_quant)
+    out["cp"] = quantize_tree(params["cp"], min_size=min_size,
+                              bits=cp_bits, act_quant=act_quant)
     return out
 
 
@@ -878,7 +881,9 @@ class Qwen3TTS:
         self.tokenizer = tokenizer
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), self.cfg)
         # quantization modes (``--tts_quantize``): True/"int8" = talker+cp
-        # int8; "int8+cp4" = talker int8, code predictor int4 (the cp's 15x
+        # int8 weight-only; "int8-dyn" = W8A8 dynamic (native int8 MXU dot —
+        # the only mode that buys step TIME, ops/int8_matmul.py);
+        # "int8+cp4" = talker int8, code predictor int4 (the cp's 15x
         # re-read dominates per-frame bytes); "int4" = both int4
         if int8:
             talker_bits, cp_bits = {
@@ -886,6 +891,7 @@ class Qwen3TTS:
             }.get(int8 if isinstance(int8, str) else "int8", (8, 8))
             self.params = jax.jit(partial(
                 quantize_params, talker_bits=talker_bits, cp_bits=cp_bits,
+                act_quant=int8 == "int8-dyn",
             ))(self.params)
         self.chunk_frames = chunk_frames
         self.context_frames = context_frames

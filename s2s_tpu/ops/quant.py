@@ -91,13 +91,22 @@ class DynQuantWeight(NamedTuple):
 
 def quantized_linear_dyn(x, qw: "DynQuantWeight", b=None):
     """x @ dequant(qw) via the native-int8 MXU path; CPU/odd shapes use the
-    numerically identical XLA reference."""
+    numerically identical XLA reference.
+
+    Sub-MXU-tile batches (< 8 rows) route to the EXACT weight-only path
+    instead: measured on chip, the native-int8 dot's advantage is the
+    skipped weight convert, which only pays off once the activation tile
+    has enough rows to occupy the array (B=16 LM chunk ~5% faster) — at
+    B=1 the weight-side pipeline bounds both paths equally, so the dynamic
+    activation quantization would cost accuracy for zero time."""
     import numpy as _np
 
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = qw.q.shape[1]
     bsz = int(_np.prod(lead)) if lead else 1
+    if bsz < 8:
+        return quantized_linear(x, QuantWeight(qw.q, qw.scale), b)
     from s2s_tpu.ops import int8_matmul as _mm
 
     x2 = x.reshape(bsz, k)

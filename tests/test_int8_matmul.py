@@ -125,3 +125,28 @@ def test_dyn_decode_chunk_runs_end_to_end():
         qparams, cfg, tokens, state, 4, -1, jnp.ones((2,), bool))
     assert np.asarray(toks).shape == (4, 2)
     assert np.asarray(emitted).all()
+
+
+def test_dyn_small_batch_routes_to_exact_weight_only_path():
+    """Sub-MXU-tile calls (< 8 rows) through the dyn path must be BITWISE
+    the weight-only result: at those widths the native-int8 dot has no
+    time advantage, so the dyn dispatch falls back to the exact path
+    rather than paying activation-quantization noise for nothing."""
+    from s2s_tpu.ops.quant import (DynQuantWeight, quantize_weight,
+                                   quantized_linear, quantized_linear_dyn)
+
+    w = jax.random.normal(jax.random.PRNGKey(11), (256, 512), jnp.float32) * 0.02
+    qw = quantize_weight(w)
+    dyn = DynQuantWeight(qw.q, qw.scale)
+    for b in (1, 3, 7):
+        x = jax.random.normal(jax.random.PRNGKey(b), (b, 256), jnp.float32).astype(jnp.bfloat16)
+        got = np.asarray(quantized_linear_dyn(x, dyn))
+        ref = np.asarray(quantized_linear(x, qw))
+        np.testing.assert_array_equal(got, ref)
+    # ...and >= 8 rows stays on the dynamic path (numerics differ from
+    # weight-only by the activation quantization, within tolerance)
+    x = jax.random.normal(jax.random.PRNGKey(99), (8, 256), jnp.float32).astype(jnp.bfloat16)
+    got = np.asarray(quantized_linear_dyn(x, dyn), np.float32)
+    ref = np.asarray(x.astype(jnp.float32) @ w)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05
