@@ -363,7 +363,7 @@ def build_tts():
 
 
 def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
-                       n_bg: int = 15, turns: int = 30,
+                       n_bg: int = 15, turns: int = 40,
                        bg_cycle_s: float = 10.0) -> tuple[float, float]:
     """MEASURED loaded voice-to-voice latency: probe turns (STT final +
     LLM first sentence + TTS first audible chunk) through the REAL serving
@@ -399,7 +399,10 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
     # term (a probe dispatch queues behind at most one steady chunk; the
     # gate holds back all later ones).  With the round-4 tail chunks the
     # 16-slot steady programs run ~40% faster, so the quanta come down from
-    # the r03 8/8: LM 6 tokens (~81 ms in flight), TTS 4 frames (~80 ms).
+    # the r03 8/8: LM 6 tokens (~66 ms in flight), TTS 3 frames (~70 ms)
+    # — the TTS 4->3 step cut loaded p95 from 2.0x to ~1.5x the p50 at
+    # ~the same p50 (A/B'd r04), costing ~10% steady-state TTS
+    # throughput vs the quantum-8 capability the aggregate records.
     # r03's 4-token p95 blowup came from host-side dispatch-rate starvation
     # pre-tail; the dispatch/completion split + shorter chunk times absorb
     # the higher cadence now (re-measured r04).
@@ -409,7 +412,7 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
     )
     tts_sched = BatchedTTSScheduler(
         tts_obj.params, tts_cfg, n_slots=n_bg + 1, max_t=192,
-        context_frames=8, chunk_frames=4, gate=gate,
+        context_frames=8, chunk_frames=3, gate=gate,
     )
     tts_tokens, _ = tts_obj._encode_text(
         "This is a representative assistant reply used to benchmark synthesis.",
