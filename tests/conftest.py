@@ -28,6 +28,20 @@ jax.config.update("jax_num_cpu_devices", 8)
 assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
 assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {len(jax.devices())}"
 
+# ── persistent XLA compile cache ─────────────────────────────────────
+#
+# Suite wall time is dominated by jit compiles (~1000 tests emitting
+# XLA:CPU executables on a single core).  The on-disk cache makes warm
+# reruns (local iteration, CI with a cached dir) skip recompilation;
+# entries are keyed by backend + XLA flags + jax version, so sharing the
+# directory with the TPU-side bench cache is safe.  Opt out with
+# S2S_TEST_NO_PERSISTENT_CACHE=1 (e.g. to measure true compile cost).
+if os.environ.get("S2S_TEST_NO_PERSISTENT_CACHE") != "1":
+    _cache_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 # ── virtual-memory-area hygiene across the (single-process) suite ────
 #
