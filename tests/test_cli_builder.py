@@ -2,6 +2,7 @@
 tolerance, config.json) + full pipeline build + parakeet model tests."""
 
 import json
+import pathlib
 import threading
 
 import jax
@@ -88,6 +89,18 @@ def test_config_json_file(tmp_path):
     assert args.server.port == 9999
     assert args.vad.thresh == 0.4
     assert args.tts_config.speed == 1.2
+
+
+def test_shipped_example_profiles_parse():
+    """Every config.json under examples/ must load through the real parser
+    (field names drift otherwise — the profiles are user-facing docs)."""
+    examples = pathlib.Path(__file__).parent.parent / "examples"
+    profiles = sorted(examples.glob("*/config.json"))
+    assert profiles, "no example profiles found"
+    for path in profiles:
+        args = parse_arguments([str(path)])
+        assert args.module.stt in ("whisper", "parakeet-tdt", "paraformer", "none"), path
+        assert args.server.port, path
 
 
 # ── parakeet model ───────────────────────────────────────────────────
