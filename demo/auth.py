@@ -22,9 +22,11 @@ Identity -> limiter tier:
 
 from __future__ import annotations
 
+import hmac
 import json
 import logging
 import os
+import secrets
 import time
 import urllib.parse
 from typing import Any, Optional
@@ -36,6 +38,11 @@ CALLBACK_PATH = "/oauth/huggingface/callback"
 LOGOUT_PATH = "/oauth/huggingface/logout"
 
 SESSION_COOKIE = "s2s_user"
+#: short-lived browser-binding cookie set at /login: the callback only
+#: accepts a state whose embedded nonce matches it, so an attacker cannot
+#: complete the flow in a victim's browser with their own code+state
+#: (OAuth login-CSRF; the state parameter alone doesn't bind the browser)
+STATE_COOKIE = "s2s_oauth_state"
 _SESSION_MAX_AGE = 60 * 60 * 8  # one working day; HF tokens expire sooner
 _STATE_MAX_AGE = 600
 
@@ -70,9 +77,11 @@ class HFOAuth:
 
     # ── routes ────────────────────────────────────────────────────────
 
-    def login_redirect(self, redirect_uri: str) -> str:
-        """The HF authorize URL for a 302."""
-        state = self.codec.sign_cookie(f"{int(time.time())}")
+    def login_redirect(self, redirect_uri: str) -> tuple[str, str]:
+        """The HF authorize URL for a 302 plus the ``Set-Cookie`` value for
+        the browser-binding state nonce."""
+        nonce = secrets.token_hex(16)
+        state = self.codec.sign_cookie(f"{int(time.time())}:{nonce}")
         params = urllib.parse.urlencode({
             "client_id": self.client_id,
             "redirect_uri": redirect_uri,
@@ -80,16 +89,37 @@ class HFOAuth:
             "scope": self.scopes,
             "state": state,
         })
-        return f"{self.provider}/oauth/authorize?{params}"
+        state_cookie = (
+            f"{STATE_COOKIE}={nonce}; Path=/; Max-Age={_STATE_MAX_AGE}; "
+            "HttpOnly; SameSite=Lax"
+        )
+        return f"{self.provider}/oauth/authorize?{params}", state_cookie
 
-    def handle_callback(self, query: str, redirect_uri: str) -> Optional[str]:
+    def handle_callback(
+        self, query: str, redirect_uri: str, cookies: dict[str, str]
+    ) -> Optional[str]:
         """Exchange the code; returns a ``Set-Cookie`` value for the signed
-        session, or None when state/code verification fails."""
+        session, or None when state/code verification fails.  The state must
+        carry the nonce minted at /login for THIS browser (``cookies``)."""
         q = urllib.parse.parse_qs(query)
         state = (q.get("state") or [""])[0]
         code = (q.get("code") or [""])[0]
-        ts = self.codec.read_cookie(state)
-        if not code or ts is None or time.time() - int(ts) > _STATE_MAX_AGE:
+        payload = self.codec.read_cookie(state)
+        if not code or payload is None:
+            return None
+        # the codec verifies any value it ever signed (session/anon cookies
+        # included), so parse defensively rather than trusting the shape
+        ts_raw, _, nonce = payload.partition(":")
+        try:
+            ts = int(ts_raw)
+        except ValueError:
+            return None
+        browser_nonce = cookies.get(STATE_COOKIE, "")
+        if (
+            time.time() - ts > _STATE_MAX_AGE
+            or not nonce
+            or not hmac.compare_digest(nonce, browser_nonce)
+        ):
             return None
         try:
             token = self._exchange_code(code, redirect_uri)
@@ -116,6 +146,10 @@ class HFOAuth:
     def logout_cookie() -> str:
         return f"{SESSION_COOKIE}=; Path=/; Max-Age=0; HttpOnly; SameSite=Lax"
 
+    @staticmethod
+    def state_clear_cookie() -> str:
+        return f"{STATE_COOKIE}=; Path=/; Max-Age=0; HttpOnly; SameSite=Lax"
+
     # ── session cookie -> identity ───────────────────────────────────
 
     def session_from_cookies(self, cookies: dict[str, str]) -> Optional[dict]:
@@ -134,11 +168,13 @@ class HFOAuth:
     # ── HF API calls ─────────────────────────────────────────────────
 
     def _client(self):
-        if self._http is not None:
-            return self._http
-        import httpx
+        if self._http is None:
+            import httpx
 
-        return httpx.Client(timeout=15.0)
+            # one shared client for the server's lifetime: per-call clients
+            # leak connection pools (GC-reclaimed sockets) under login traffic
+            self._http = httpx.Client(timeout=15.0)
+        return self._http
 
     def _exchange_code(self, code: str, redirect_uri: str) -> str:
         resp = self._client().post(

@@ -127,10 +127,23 @@ export async function renderAccount() {
     const resp = await fetch("/api/me", { headers: authHeaders() });
     if (resp.ok) me = await resp.json();
   } catch (e) { return; }
+  el.textContent = "";
   if (me.user) {
+    // me.user is the HF display name — arbitrary user text, so build DOM
+    // nodes (textContent) rather than innerHTML to keep script out
     const left = me.remaining_s == null ? "unlimited" : `${Math.floor(me.remaining_s / 60)} min left today`;
-    el.innerHTML = `signed in as <b>${me.user}</b> (${me.tier}, ${left}) — <a href="${cfg.logoutPath}">sign out</a>`;
+    el.append("signed in as ");
+    const b = document.createElement("b");
+    b.textContent = me.user;
+    el.append(b, ` (${me.tier}, ${left}) — `);
+    const out = document.createElement("a");
+    out.href = cfg.logoutPath;
+    out.textContent = "sign out";
+    el.append(out);
   } else {
-    el.innerHTML = `<a href="${cfg.loginPath}">Sign in with Hugging Face</a> for more daily talk time`;
+    const a = document.createElement("a");
+    a.href = cfg.loginPath;
+    a.textContent = "Sign in with Hugging Face";
+    el.append(a, " for more daily talk time");
   }
 }

@@ -264,11 +264,12 @@ class DemoHandler(SimpleHTTPRequestHandler):
 
     # ── routes ───────────────────────────────────────────────────────
 
-    def _redirect(self, location: str, set_cookie: Optional[str] = None) -> None:
+    def _redirect(self, location: str, *set_cookies: Optional[str]) -> None:
         self.send_response(302)
         self.send_header("Location", location)
-        if set_cookie:
-            self.send_header("Set-Cookie", set_cookie)
+        for cookie in set_cookies:
+            if cookie:
+                self.send_header("Set-Cookie", cookie)
         self.send_header("Content-Length", "0")
         self.end_headers()
 
@@ -287,12 +288,16 @@ class DemoHandler(SimpleHTTPRequestHandler):
         if path == LOGIN_PATH:
             if not oauth.enabled:
                 return self._json(404, {"error": "sign-in disabled"})
-            return self._redirect(oauth.login_redirect(self._callback_uri()))
+            url, state_cookie = oauth.login_redirect(self._callback_uri())
+            return self._redirect(url, state_cookie)
         if path == CALLBACK_PATH:
-            cookie = oauth.handle_callback(query, self._callback_uri()) if oauth.enabled else None
+            cookie = (
+                oauth.handle_callback(query, self._callback_uri(), self._cookies())
+                if oauth.enabled else None
+            )
             if cookie is None:
                 return self._json(403, {"error": "oauth verification failed"})
-            return self._redirect("/", cookie)
+            return self._redirect("/", cookie, oauth.state_clear_cookie())
         if path == LOGOUT_PATH:
             return self._redirect("/", oauth.logout_cookie())
         if path == "/api/config":

@@ -234,7 +234,10 @@ def _request(port, method, path, body=None, headers=None):
         data = json.loads(raw)
     except (json.JSONDecodeError, UnicodeDecodeError):
         data = raw
-    return resp.status, dict(resp.getheaders()), data
+    hdrs = dict(resp.getheaders())
+    # dict() collapses duplicate headers (e.g. two Set-Cookie); keep them all
+    hdrs["Set-Cookie-All"] = [v for k, v in resp.getheaders() if k.lower() == "set-cookie"]
+    return resp.status, hdrs, data
 
 
 def test_config_reports_capabilities(demo_app):
@@ -458,9 +461,13 @@ def _enable_oauth(server, userinfo):
 
 
 def _login_state(headers):
+    """(state query param, Cookie header carrying the browser nonce)."""
     from urllib.parse import parse_qs, urlparse
 
-    return parse_qs(urlparse(headers["Location"]).query)["state"][0]
+    state = parse_qs(urlparse(headers["Location"]).query)["state"][0]
+    nonce_cookie = headers["Set-Cookie"].split(";")[0]
+    assert nonce_cookie.startswith(auth_mod.STATE_COOKIE + "=")
+    return state, nonce_cookie
 
 
 def test_oauth_login_redirects_to_hf_authorize(demo_app):
@@ -484,12 +491,20 @@ def test_oauth_callback_sets_session_and_me_reports_user(demo_app):
     http_stub = _enable_oauth(
         server, {"sub": "u-42", "preferred_username": "alice", "isPro": True})
     _, headers, _ = _request(port, "GET", auth_mod.LOGIN_PATH)
-    state = _login_state(headers)
+    state, nonce_cookie = _login_state(headers)
     status, headers, _ = _request(
-        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=abc&state={state}")
+        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=abc&state={state}",
+        headers={"Cookie": nonce_cookie})
     assert status == 302 and headers["Location"] == "/"
-    cookie = headers["Set-Cookie"].split(";")[0]
-    assert cookie.startswith(auth_mod.SESSION_COOKIE + "=")
+    session_cookies = [c for c in headers["Set-Cookie-All"]
+                       if c.startswith(auth_mod.SESSION_COOKIE + "=")]
+    assert session_cookies, headers["Set-Cookie-All"]
+    cookie = session_cookies[0].split(";")[0]
+    # the one-time state nonce is cleared alongside
+    assert any(c.startswith(auth_mod.STATE_COOKIE + "=;") or
+               c.startswith(auth_mod.STATE_COOKIE + "=Max") or
+               (c.startswith(auth_mod.STATE_COOKIE + "=") and "Max-Age=0" in c)
+               for c in headers["Set-Cookie-All"])
     # the exchange hit the provider's token endpoint with the code
     assert http_stub.posts and http_stub.posts[0][1]["code"] == "abc"
     status, _, data = _request(port, "GET", "/api/me", headers={"Cookie": cookie})
@@ -503,10 +518,12 @@ def test_oauth_plain_user_gets_member_tier_and_budget(demo_app):
     server, port, _ = demo_app
     _enable_oauth(server, {"sub": "u-7", "preferred_username": "bob"})
     _, headers, _ = _request(port, "GET", auth_mod.LOGIN_PATH)
-    state = _login_state(headers)
+    state, nonce_cookie = _login_state(headers)
     _, headers, _ = _request(
-        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=c2&state={state}")
-    cookie = headers["Set-Cookie"].split(";")[0]
+        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=c2&state={state}",
+        headers={"Cookie": nonce_cookie})
+    cookie = [c for c in headers["Set-Cookie-All"]
+              if c.startswith(auth_mod.SESSION_COOKIE + "=")][0].split(";")[0]
     status, _, data = _request(port, "GET", "/api/me", headers={"Cookie": cookie})
     assert data["tier"] == "member" and data["user"] == "bob"
     assert isinstance(data["remaining_s"], int)
@@ -520,14 +537,45 @@ def test_oauth_callback_rejects_forged_state(demo_app):
     assert status == 403
 
 
+def test_oauth_callback_rejects_state_from_another_browser(demo_app):
+    """Login CSRF: a validly-signed state completes only in the browser that
+    holds the matching nonce cookie minted at /login."""
+    server, port, _ = demo_app
+    _enable_oauth(server, {"sub": "u1"})
+    _, headers, _ = _request(port, "GET", auth_mod.LOGIN_PATH)
+    state, _nonce_cookie = _login_state(headers)
+    # no nonce cookie (victim's browser never visited /login)
+    status, _, _ = _request(
+        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=abc&state={state}")
+    assert status == 403
+    # a different browser's nonce doesn't match either
+    status, _, _ = _request(
+        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=abc&state={state}",
+        headers={"Cookie": f"{auth_mod.STATE_COOKIE}=deadbeef"})
+    assert status == 403
+
+
+def test_oauth_callback_rejects_replayed_signed_cookie_as_state(demo_app):
+    """Any codec-signed value verifies (anon/session cookies included); a
+    replayed one must 403, not crash on the timestamp parse."""
+    server, port, _ = demo_app
+    _enable_oauth(server, {"sub": "u1"})
+    anon = server.codec.mint_cookie()  # signed, but payload is a uuid hex
+    status, _, _ = _request(
+        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=abc&state={anon}")
+    assert status == 403
+
+
 def test_oauth_logout_clears_session(demo_app):
     server, port, _ = demo_app
     _enable_oauth(server, {"sub": "u-42", "preferred_username": "alice"})
     _, headers, _ = _request(port, "GET", auth_mod.LOGIN_PATH)
-    state = _login_state(headers)
+    state, nonce_cookie = _login_state(headers)
     _, headers, _ = _request(
-        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=x&state={state}")
-    cookie = headers["Set-Cookie"].split(";")[0]
+        port, "GET", f"{auth_mod.CALLBACK_PATH}?code=x&state={state}",
+        headers={"Cookie": nonce_cookie})
+    cookie = [c for c in headers["Set-Cookie-All"]
+              if c.startswith(auth_mod.SESSION_COOKIE + "=")][0].split(";")[0]
     status, headers, _ = _request(port, "GET", auth_mod.LOGOUT_PATH,
                                   headers={"Cookie": cookie})
     assert status == 302
