@@ -13,9 +13,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from s2s_tpu.utils.host_fingerprint import fingerprinted_cache_dir as _fpd
+
+# CPU-fingerprinted: a cache dir carried across hosts must never serve
+# foreign XLA:CPU machine code (SIGILL) — see utils/host_fingerprint.py.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      _fpd(os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
 
 import jax
 import jax.numpy as jnp

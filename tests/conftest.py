@@ -33,11 +33,18 @@ assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {len(jax.d
 # Suite wall time is dominated by jit compiles (~1000 tests emitting
 # XLA:CPU executables on a single core).  The on-disk cache makes warm
 # reruns (local iteration, CI with a cached dir) skip recompilation;
-# entries are keyed by backend + XLA flags + jax version, so sharing the
-# directory with the TPU-side bench cache is safe.  Opt out with
+# entries are keyed by backend + XLA flags + jax version — but NOT by
+# host CPU features, and XLA:CPU executables are machine code: loading a
+# cache written on a host with different ISA extensions SIGILLs the
+# suite (observed in round 5 after a container hop).  The directory name
+# therefore carries a CPU-feature fingerprint — a foreign cache is a
+# cold compile, never a crash.  Opt out with
 # S2S_TEST_NO_PERSISTENT_CACHE=1 (e.g. to measure true compile cost).
 if os.environ.get("S2S_TEST_NO_PERSISTENT_CACHE") != "1":
-    _cache_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    from s2s_tpu.utils.host_fingerprint import fingerprinted_cache_dir
+
+    _cache_dir = fingerprinted_cache_dir(
+        os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
