@@ -41,6 +41,13 @@ class ModuleArgs:
     #: compile every batched-engine program variant at startup (slower boot,
     #: no multi-second cold-compile stall when the first sessions arrive)
     warmup_engines: bool = False
+    #: tensor-parallel width for the on-device engines: shard the local-LLM
+    #: and Qwen3-TTS talker weights megatron-style over a (1, N) device mesh
+    #: (parallel/mesh.py; XLA inserts the all-reduces over ICI).  1 = single
+    #: chip (default).  Requires N visible devices; sessions still batch
+    #: along slots, so TP multiplies per-chip session capacity rather than
+    #: splitting it.  The growth path SURVEY §2.10 reserves.
+    model_parallel: int = 1
 
 
 @dataclass
@@ -59,6 +66,10 @@ class VADArgs:
 
     prefix = "vad"
 
+    #: "silero" (JAX Silero port, needs a converted checkpoint to be
+    #: meaningful) or "energy" (checkpoint-free RMS + adaptive noise floor,
+    #: vad/energy.py — CI/soak/offline environments)
+    backend: str = "silero"
     thresh: float = 0.6
     min_silence_ms: int = 64
     min_speech_ms: int = 384
@@ -159,7 +170,13 @@ class LocalLLMArgs:
     #: whole-chain mode: also announce the speculation's first sentence
     #: batch to the TTS stage so synthesis starts before the final too
     speculative_tts: bool = True
-    quantize: Optional[str] = None  # "int8" / "int4" weight-only; "int8-dyn" = W8A8 dynamic (native int8 MXU dot)
+    # "int8" / "int4" weight-only; "int8-dyn" = W8A8 dynamic (native int8 MXU
+    # dot).  int8-dyn numerics are lane-dependent by design: dispatches under
+    # 8 rows (priority/slot lanes, B=1) fall back to the EXACT weight-only
+    # kernel (ops/quant.py quantized_linear_dyn), so a stream mixes regimes
+    # across priority->steady transitions; coherence is pinned by
+    # tests/test_session_scheduler.py int8-dyn cases.
+    quantize: Optional[str] = None
     gen_kwargs: dict[str, Any] = field(default_factory=dict)
 
 
@@ -370,6 +387,30 @@ def parse_arguments(argv: list[str] | None = None) -> ParsedArguments:
     pre.add_argument("--tts", default=ModuleArgs.tts)
     sel, _ = pre.parse_known_args(argv)
 
+    # reference-CLI aliases (faster-whisper -> whisper, transformers ->
+    # local-jax, ...): canonicalize BOTH the selector and argv so the final
+    # ModuleArgs carries the canonical name end-to-end
+    from s2s_tpu.registry import resolve_backend_alias
+
+    for attr, kind in (("stt", "stt"), ("llm_backend", "llm"), ("tts", "tts")):
+        name = getattr(sel, attr)
+        canon = resolve_backend_alias(kind, name)
+        if canon != name:
+            setattr(sel, attr, canon)
+            rewritten: list[str] = []
+            i = 0
+            while i < len(argv):
+                tok = argv[i]
+                if tok == f"--{attr}={name}":
+                    rewritten.append(f"--{attr}={canon}")
+                elif tok == f"--{attr}" and i + 1 < len(argv) and argv[i + 1] == name:
+                    rewritten.extend([tok, canon])
+                    i += 1
+                else:
+                    rewritten.append(tok)
+                i += 1
+            argv = rewritten
+
     stt_cls = STT_CONFIGS.get(sel.stt)
     llm_cls = LLM_CONFIGS.get(sel.llm_backend)
     tts_cls = TTS_CONFIGS.get(sel.tts)
@@ -462,8 +503,13 @@ def _validate_capabilities(stt: str, llm_backend: str) -> None:
 
 
 def _parse_config_file(path: Path) -> ParsedArguments:
+    from s2s_tpu.registry import resolve_backend_alias
+
     data = json.loads(path.read_text())
     module = ModuleArgs(**data.get("module", {}))
+    module.stt = resolve_backend_alias("stt", module.stt)
+    module.llm_backend = resolve_backend_alias("llm", module.llm_backend)
+    module.tts = resolve_backend_alias("tts", module.tts)
     stt_cls = STT_CONFIGS[module.stt]
     llm_cls = LLM_CONFIGS[module.llm_backend]
     tts_cls = TTS_CONFIGS[module.tts]

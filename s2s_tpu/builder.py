@@ -64,7 +64,13 @@ def build_pipeline_unit(
             device_scheduler=GLOBAL_SCHEDULER,
             model_cache=GLOBAL_MODEL_CACHE,
             n_units=args.module.num_pipelines,
+            model_parallel=args.module.model_parallel,
         )
+
+    if vad_model is None and args.vad.backend == "energy":
+        from s2s_tpu.vad.energy import EnergyVAD
+
+        vad_model = EnergyVAD()
 
     vad = VADHandler(
         stop_event, input_queue, spoken_prompt_queue,
@@ -150,9 +156,11 @@ def build_pipeline(args: ParsedArguments, stop_event: threading.Event) -> tuple[
     install_pipeline_log_filter()
     n = args.module.num_pipelines
     vad_models = [None] * n
-    if n > 1:
+    if n > 1 and args.vad.backend == "silero":
         # N sessions, ONE Silero: all units' 32 ms ticks batch into a single
-        # device dispatch (vs the reference's N model copies).
+        # device dispatch (vs the reference's N model copies).  The energy
+        # backend stays per-unit: it is host-side arithmetic with per-session
+        # noise-floor state, nothing to batch on device.
         from s2s_tpu.runtime.batcher import BatchedSileroVAD
 
         service = GLOBAL_MODEL_CACHE.get(("silero_batched", n), lambda: BatchedSileroVAD(max_slots=n))

@@ -204,8 +204,13 @@ class BatchedLMScheduler(_TraceMixin):
         gate: "PriorityGate | None" = None,
     ) -> None:
         from s2s_tpu.parallel import batched_decode
+        from s2s_tpu.parallel.mesh import serialize_programs_if_cpu_mesh
 
-        self._bd = batched_decode
+        # identity on a real accelerator; on a CPU virtual mesh (tests,
+        # dryrun) program dispatches serialize behind one lock — XLA:CPU's
+        # in-process collectives ABORT on interleaved sharded programs
+        # (see parallel/mesh.py)
+        self._bd = serialize_programs_if_cpu_mesh(batched_decode, params)
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -223,6 +228,19 @@ class BatchedLMScheduler(_TraceMixin):
         self.priority_tokens = max(0, priority_tokens)
         self.priority_chunk = max(1, priority_chunk if priority_chunk is not None
                                   else max(self.priority_tokens, 1))
+        #: static chunk-size buckets for slot dispatches (design rule 5:
+        #: decode steps never recompile).  A promoted speculation's partial
+        #: remainder makes the requested priority-chunk size data-dependent;
+        #: dispatching that raw size would lower a NEW program mid-serving.
+        #: Requests round UP to a warmed bucket — the overshoot is decoded
+        #: but never delivered (``_deliver`` caps at the pre-debit budget),
+        #: and the admission clamp reserves the overhang.
+        buckets, v = [], 1
+        while v < self.priority_chunk:
+            buckets.append(v)
+            v *= 2
+        buckets.append(self.priority_chunk)
+        self._prio_buckets = buckets
         #: optional cross-scheduler preemption gate (shared with the TTS
         #: scheduler): steady chunks hold back while any priority window
         #: is open anywhere
@@ -273,13 +291,38 @@ class BatchedLMScheduler(_TraceMixin):
             )
             np.asarray(toks)
         if self.priority_tokens > 0:
-            n = min(self.priority_chunk, self.priority_tokens)
-            toks, _em, tok, self._state = self._bd.jit_decode_chunk_slot_tail(
-                self.params, self.cfg, jnp.asarray(0, jnp.int32), self._state,
-                n, self.eos_id, jnp.asarray(0, jnp.int32),
-            )
-            np.asarray(toks)
+            # every priority bucket, not just the full window: a promoted
+            # speculation's remainder dispatches any bucket mid-serving
+            for n in self._prio_buckets:
+                toks, _em, tok, self._state = self._bd.jit_decode_chunk_slot_tail(
+                    self.params, self.cfg, jnp.asarray(0, jnp.int32), self._state,
+                    n, self.eos_id, jnp.asarray(0, jnp.int32),
+                )
+                np.asarray(toks)
         self._state = self._state._replace(pos=self._state.pos.at[0].set(0))
+
+    def _prio_bucket(self, n: int) -> int:
+        """Smallest warmed slot-chunk size >= n (static shapes only)."""
+        return next(v for v in self._prio_buckets if v >= n)
+
+    def _capacity_clamp(self, prompt_len: int, max_new: int) -> int:
+        """Admission guard for slot KV capacity: chunks decode FULL-SIZE even
+        when ``remaining`` is smaller, so the last chunk can write up to
+        chunk-1 positions past the token budget.  Without this clamp a turn
+        near ``max_t`` silently blends its tail at a clamped (shifted) cache
+        position while ``pos`` advances past the cache end — the stream
+        desynchronizes from the cache contents.  Clamp so every device write
+        lands inside the cache: prompt + budget + largest-chunk overhang
+        must fit in ``max_t``."""
+        overhang = max(self.chunk_tokens, self.priority_chunk)
+        headroom = self._max_t - prompt_len - overhang + 1
+        if max_new > headroom:
+            logger.warning(
+                "KV capacity clamp: max_new %d -> %d (prompt %d, chunk overhang %d, max_t %d)",
+                max_new, max(0, headroom), prompt_len, overhang, self._max_t,
+            )
+            return headroom
+        return max_new
 
     # ── session API ──────────────────────────────────────────────────
 
@@ -309,6 +352,10 @@ class BatchedLMScheduler(_TraceMixin):
 
         if max_new <= 0:
             return None
+        bucket = bucket or min(next_power_of_2(max(len(prompt_ids), 16)), self._max_t)
+        max_new = self._capacity_clamp(min(len(prompt_ids), bucket), max_new)
+        if max_new <= 0:
+            return None
         with self._work:
             if not self._free:
                 return None
@@ -316,7 +363,6 @@ class BatchedLMScheduler(_TraceMixin):
             slot = _Slot()
             self._slots[slot_id] = slot
         self._tr("claim", slot_id)
-        bucket = bucket or min(next_power_of_2(max(len(prompt_ids), 16)), self._max_t)
         padded = np.zeros((1, bucket), np.int32)
         padded[0, : len(prompt_ids)] = prompt_ids[:bucket]
         with self._work:
@@ -344,6 +390,9 @@ class BatchedLMScheduler(_TraceMixin):
         if max_new <= 0:
             return
         bucket = bucket or min(next_power_of_2(max(len(prompt_ids), 16)), self._max_t)
+        max_new = self._capacity_clamp(min(len(prompt_ids), bucket), max_new)
+        if max_new <= 0:
+            return
         padded = np.zeros((1, bucket), np.int32)
         padded[0, : len(prompt_ids)] = prompt_ids[:bucket]
 
@@ -526,15 +575,18 @@ class BatchedLMScheduler(_TraceMixin):
                     if slot is None or (req.slot_obj is not None and slot is not req.slot_obj):
                         slot = None  # owner changed: stale prefill, drop it
                         continue
-                    n_prio = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
+                    n_req = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
                     cap = slot.remaining
                     # decide the branch INSIDE the lock: a cancellation landing
                     # after the debit must not divert us from enqueueing the
                     # completion record that clears ``inflight``
-                    fused = n_prio > 0 and not slot.cancelled
+                    fused = n_req > 0 and not slot.cancelled
                     if fused:
+                        # round up to a warmed bucket (never recompile);
+                        # overshoot decodes but is never delivered (cap)
+                        n_prio = self._prio_bucket(n_req)
                         slot.inflight = True
-                        slot.priority_remaining -= n_prio
+                        slot.priority_remaining = max(0, slot.priority_remaining - n_prio)
                         slot.remaining = max(0, slot.remaining - n_prio)
                 if slot is None:
                     continue
@@ -573,12 +625,14 @@ class BatchedLMScheduler(_TraceMixin):
                     if (slot.priority_remaining <= 0 or slot.cancelled
                             or slot.eos_seen or slot.inflight):
                         continue
-                    n = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
-                    if n <= 0:
+                    n_req = min(self.priority_chunk, slot.priority_remaining, slot.remaining)
+                    if n_req <= 0:
                         continue
+                    # warmed static size only (see _prio_bucket)
+                    n = self._prio_bucket(n_req)
                     cap = slot.remaining
                     slot.inflight = True
-                    slot.priority_remaining -= n
+                    slot.priority_remaining = max(0, slot.priority_remaining - n)
                     slot.remaining = max(0, slot.remaining - n)
                 self._tr("prio_dispatch", sid)
                 toks_dev, emitted_dev, tok, self._state = self._bd.jit_decode_chunk_slot_tail(
@@ -811,9 +865,11 @@ class BatchedTTSScheduler:
 
         from s2s_tpu.models import qwen3_tts
         from s2s_tpu.parallel import batched_decode as bd
+        from s2s_tpu.parallel.mesh import serialize_programs_if_cpu_mesh
 
-        self._tts = qwen3_tts
-        self._bd = bd
+        # see BatchedLMScheduler: serialized only on a CPU virtual mesh
+        self._tts = serialize_programs_if_cpu_mesh(qwen3_tts, params)
+        self._bd = serialize_programs_if_cpu_mesh(bd, params)
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -870,6 +926,32 @@ class BatchedTTSScheduler:
 
     # ── session API ──────────────────────────────────────────────────
 
+    def _capacity_clamp(self, text_tokens, max_frames: int) -> int:
+        """Admission guard for slot KV capacity (same rationale as
+        :meth:`BatchedLMScheduler._capacity_clamp`): prefill advances pos by
+        nonzero-text + 1 positions (speaker + text, models/qwen3_tts.py
+        ``prompt_embeds`` — pad garbage past pos is masked, then overwritten
+        by frames), each frame adds one, and ramp/steady chunks decode
+        full-size past the frame budget.  The padded text bucket itself must
+        also fit (the prefill writes the whole bucket into the cache row)."""
+        arr = np.asarray(text_tokens)
+        if arr.size > self._max_t:
+            logger.warning(
+                "TTS text bucket %d exceeds slot cache max_t %d: rejecting",
+                arr.size, self._max_t,
+            )
+            return 0
+        prompt_len = int((arr > 0).sum()) + 1
+        overhang = max(self.chunk_frames, max(_TTS_RAMP))
+        headroom = self._max_t - prompt_len - overhang + 1
+        if max_frames > headroom:
+            logger.warning(
+                "TTS KV capacity clamp: max_frames %d -> %d (prompt %d, chunk overhang %d, max_t %d)",
+                max_frames, max(0, headroom), prompt_len, overhang, self._max_t,
+            )
+            return headroom
+        return max_frames
+
     def _submit(self, slot_id: int, slot: "_TTSSlot", text_tokens, speaker_vec,
                 max_frames: int, gated: bool) -> None:
         with self._work:
@@ -892,6 +974,7 @@ class BatchedTTSScheduler:
     ) -> Iterator[tuple[np.ndarray, int]]:
         """Yield (float32 audio chunk @ 24 kHz, sample_rate) for one
         utterance; shares the dispatch stream with every other session."""
+        max_frames = self._capacity_clamp(text_tokens, max_frames)
         if max_frames <= 0:
             return
         slot_id, slot = self._claim()
@@ -914,6 +997,7 @@ class BatchedTTSScheduler:
         holding the cross-scheduler priority gate (it is not yet
         latency-critical; it becomes so only on adoption, by which time its
         ramp is typically already decoded)."""
+        max_frames = self._capacity_clamp(text_tokens, max_frames)
         if max_frames <= 0:
             return None
         with self._work:
@@ -1061,12 +1145,15 @@ class BatchedTTSScheduler:
                     if slot is None or (req.slot_obj is not None and slot is not req.slot_obj):
                         slot = None  # owner changed: stale prefill, drop it
                         continue
-                    n0 = min(_TTS_RAMP[0], slot.remaining)
+                    # ramp sizes are ALWAYS the fixed warmed shapes (design
+                    # rule 5): a sub-ramp remainder decodes the full ramp
+                    # chunk and _deliver caps emission at the true budget
+                    n0 = _TTS_RAMP[0]
                     cap = slot.remaining
                     # branch decision inside the lock (see LM driver): the
                     # completion record that clears ``inflight`` must be
                     # enqueued iff the slot was debited
-                    fused = n0 > 0 and not slot.cancelled
+                    fused = cap > 0 and not slot.cancelled
                     if fused:
                         slot.inflight = True
                         slot.chunks_done = 1
@@ -1108,7 +1195,7 @@ class BatchedTTSScheduler:
                     if (slot.chunks_done >= len(_TTS_RAMP) or slot.cancelled
                             or slot.eos_seen or slot.inflight or slot.remaining <= 0):
                         continue
-                    n = min(_TTS_RAMP[slot.chunks_done], slot.remaining)
+                    n = _TTS_RAMP[slot.chunks_done]  # fixed warmed shape
                     cap = slot.remaining
                     slot.inflight = True
                     slot.chunks_done += 1

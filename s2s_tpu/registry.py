@@ -41,6 +41,10 @@ class HandlerContext:
     #: how many pipeline units share this process (cross-session batched
     #: services — VAD ticks, STT windows — engage only when > 1)
     n_units: int = 1
+    #: tensor-parallel width for on-device engines (--model_parallel):
+    #: > 1 shards LM / TTS-talker weights over a (1, N) mesh before the
+    #: batched engines are built (see _tp_shard_lm)
+    model_parallel: int = 1
 
 
 @dataclass(frozen=True)
@@ -225,6 +229,37 @@ def _load_llm_tokenizer(path):
     return BPETokenizer(path)
 
 
+def _tp_shard_lm(params, cfg, model_parallel: int, drop_head: bool = False):
+    """TP-shard a decoder-LM param tree over a (1, model_parallel) mesh.
+
+    The product path for ``--model_parallel N``: megatron PartitionSpecs
+    from ``decoder_lm.param_shardings`` placed via ``parallel/mesh.py``,
+    BEFORE any quantization (quantizing sharded arrays keeps their
+    shardings through XLA propagation).  Numeric parity of the sharded
+    batched decode/talker programs vs single-device is pinned by
+    ``tests/test_sharded_inference.py`` and the driver's
+    ``dryrun_multichip``.  ``drop_head=True`` for the Qwen3-TTS talker,
+    whose output head is the separate ``codec_head``."""
+    import jax
+
+    from s2s_tpu.models import decoder_lm
+    from s2s_tpu.parallel.mesh import make_mesh, shard_params
+
+    devs = jax.devices()
+    if len(devs) < model_parallel:
+        raise RuntimeError(
+            f"--model_parallel {model_parallel} needs {model_parallel} devices; "
+            f"{len(devs)} visible ({devs[0].platform}). Provision a "
+            f"{model_parallel}-chip slice, or drop --model_parallel."
+        )
+    mesh = make_mesh(devs[:model_parallel], data=1, model=model_parallel)
+    specs = decoder_lm.param_shardings(cfg)
+    if drop_head:
+        specs.pop("lm_head", None)
+    logger.info("TP-sharding LM weights over a (1, %d) mesh", model_parallel)
+    return shard_params(params, specs, mesh)
+
+
 def _make_local_llm(config, ctx: HandlerContext):
     from s2s_tpu.llm.local_backend import LocalJAXLLMHandler, lm_config
 
@@ -245,6 +280,10 @@ def _make_local_llm(config, ctx: HandlerContext):
             if p is None:
                 logger.warning("local-jax LLM: random-init shared weights (no checkpoint)")
                 p = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+            if ctx.model_parallel > 1:
+                # --model_parallel: shard BEFORE quantize (quantizing sharded
+                # arrays keeps their shardings; spec tree matches raw params)
+                p = _tp_shard_lm(p, cfg, ctx.model_parallel)
             quant = getattr(config, "quantize", None)
             if quant in ("int8", "int4", "int8-dyn"):
                 from s2s_tpu.ops.quant import quantize_tree
@@ -270,7 +309,7 @@ def _make_local_llm(config, ctx: HandlerContext):
 
         params, shared_lm = ctx.model_cache.get(
             ("local-lm", config.model_size, config.checkpoint, config.batched_slots,
-             getattr(config, "priority_tokens", 12)), build
+             getattr(config, "priority_tokens", 12), ctx.model_parallel), build
         )
     else:
         params = _load_checkpoint(config.checkpoint)
@@ -363,10 +402,24 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
             GLOBAL_SCHEDULER.priority_gate = GLOBAL_PRIORITY_GATE
             return GLOBAL_PRIORITY_GATE
 
+        def _engine_params():
+            if ctx.model_parallel <= 1:
+                return model.params
+            # --model_parallel: TP-shard the talker (the decode hot loop;
+            # its head is the separate codec_head, hence drop_head) — the
+            # code predictor / vocoder stay replicated (small, and the
+            # fused chunk program reads them once per chunk)
+            p = dict(model.params)
+            p["talker"] = _tp_shard_lm(
+                model.params["talker"], cfg.lm, ctx.model_parallel, drop_head=True
+            )
+            return p
+
         shared_tts = ctx.model_cache.get(
-            ("qwen3_tts_batched", config.model_size, config.checkpoint, config.batched_slots),
+            ("qwen3_tts_batched", config.model_size, config.checkpoint,
+             config.batched_slots, ctx.model_parallel),
             lambda: BatchedTTSScheduler(
-                model.params, cfg, n_slots=config.batched_slots,
+                _engine_params(), cfg, n_slots=config.batched_slots,
                 max_t=min(cfg.lm.max_seq_len, 2048),
                 chunk_frames=config.streaming_chunk_size,
                 gate=_global_gate(),
@@ -642,7 +695,40 @@ TTS_BACKENDS: dict[str, BackendSpec] = {
 }
 
 
+#: Reference-CLI compatibility aliases.  The reference registers 7 STT and
+#: 4 LLM names (reference backend_registry.py:287-477); its CT2/MLX/Metal
+#: runtime variants have no TPU meaning — SURVEY §7.4 prescribes ONE JAX
+#: implementation per model family — so those names alias to the JAX spec
+#: (with an info log) instead of erroring.
+BACKEND_ALIASES: dict[str, dict[str, str]] = {
+    "stt": {
+        "faster-whisper": "whisper",
+        "whisper-mlx": "whisper",
+        "mlx-audio-whisper": "whisper",
+    },
+    "llm": {
+        "transformers": "local-jax",
+        "mlx-lm": "local-jax",
+    },
+    "tts": {},
+}
+
+
+def resolve_backend_alias(kind: str, name: str) -> str:
+    """Map a reference backend name onto the JAX spec that serves its family."""
+    canon = BACKEND_ALIASES.get(kind, {}).get(name)
+    if canon is None:
+        return name
+    logger.info(
+        "%s backend %r is served by %r on TPU (one JAX implementation per "
+        "model family; the %r runtime has no TPU equivalent)",
+        kind.upper(), name, canon, name,
+    )
+    return canon
+
+
 def get_backend(kind: str, name: str) -> BackendSpec:
+    name = resolve_backend_alias(kind, name)
     registry = {"stt": STT_BACKENDS, "llm": LLM_BACKENDS, "tts": TTS_BACKENDS}[kind]
     if name not in registry:
         raise ValueError(f"Unknown {kind} backend {name!r}; available: {sorted(registry)}")

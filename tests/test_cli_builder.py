@@ -74,6 +74,39 @@ def test_unknown_backend_errors():
         parse_arguments(["--stt", "nonexistent"])
 
 
+def test_whisper_family_aliases_resolve(caplog):
+    """Reference-CLI compatibility (reference backend_registry.py:287-477):
+    the CT2/MLX whisper runtime names alias to the one JAX Whisper, and the
+    reference's local-LLM names alias to local-jax — end-to-end through the
+    parser, including backend-prefixed flags."""
+    import logging
+
+    for alias in ("faster-whisper", "whisper-mlx", "mlx-audio-whisper"):
+        with caplog.at_level(logging.INFO, logger="s2s_tpu.registry"):
+            args = parse_arguments(["--stt", alias, "--stt_model_size", "base"])
+        assert args.module.stt == "whisper"
+        assert isinstance(args.stt_config, WhisperSTTArgs)
+        assert args.stt_config.model_size == "base"
+        assert any(alias in rec.message or alias in str(rec.args) for rec in caplog.records)
+        caplog.clear()
+    # = form and the LLM family
+    args = parse_arguments(["--llm_backend=transformers"])
+    assert args.module.llm_backend == "local-jax"
+    assert isinstance(args.llm_config, LocalLLMArgs)
+    args = parse_arguments(["--llm_backend", "mlx-lm"])
+    assert args.module.llm_backend == "local-jax"
+
+
+def test_alias_resolves_in_config_file(tmp_path):
+    cfg = {"module": {"stt": "faster-whisper", "llm_backend": "transformers"}}
+    path = tmp_path / "config.json"
+    path.write_text(json.dumps(cfg))
+    args = parse_arguments([str(path)])
+    assert args.module.stt == "whisper"
+    assert args.module.llm_backend == "local-jax"
+    assert isinstance(args.stt_config, WhisperSTTArgs)
+
+
 def test_config_json_file(tmp_path):
     cfg = {
         "module": {"stt": "none", "llm_backend": "chat-completions", "tts": "kokoro"},

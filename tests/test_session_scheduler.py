@@ -785,3 +785,136 @@ def test_tts_promote_gate_hold_and_release(tts):
         assert not gate.busy()
     finally:
         sched.shutdown()
+
+
+# ── KV-capacity admission guard (ADVICE r04) ─────────────────────────
+
+
+def test_lm_capacity_clamp_near_cache_end(lm):
+    """A turn whose budget would run past ``max_t`` is clamped at admission
+    (chunks decode full-size past the budget, so an unclamped turn silently
+    blends its tail at a shifted cache position).  The clamped stream must
+    still equal a serial decode of the clamped budget — no corruption."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0,
+                               chunk_tokens=4, priority_tokens=4, max_t=32)
+    try:
+        prompt = PROMPTS[0]  # bucket 16, prompt_len 4
+        headroom = 32 - 4 - max(sched.chunk_tokens, sched.priority_chunk) + 1
+        got = list(sched.generate(prompt, max_new=1000))
+        want = serial_greedy(params, cfg, prompt, headroom, eos_id=0)
+        assert got == want
+        assert len(got) <= headroom
+    finally:
+        sched.shutdown()
+
+
+def test_lm_zero_headroom_rejected(lm):
+    """A prompt that alone fills the cache: start() returns None (the
+    speculative caller skips) and generate() yields nothing — never a
+    corrupt stream."""
+    cfg, params = lm
+    sched = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0,
+                               chunk_tokens=4, max_t=16)
+    try:
+        long_prompt = list(range(1, 17))  # bucket 16 == max_t
+        assert sched.start(long_prompt, max_new=8) is None
+        assert list(sched.generate(long_prompt, max_new=8)) == []
+        # the failed admissions must not leak slots
+        got = list(sched.generate(PROMPTS[2], max_new=4))
+        assert len(got) > 0
+    finally:
+        sched.shutdown()
+
+
+def test_tts_capacity_clamp_near_cache_end(tts):
+    """Same admission guard on the TTS scheduler: an over-budget synthesis
+    is clamped to the frames that fit, equal to an exact-budget run."""
+    qwen3_tts, cfg, params = tts
+    from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler
+
+    sched = BatchedTTSScheduler(params, cfg, n_slots=2, max_t=48,
+                                context_frames=4, chunk_frames=4)
+    ids = np.zeros((1, 16), np.int32)
+    ids[0, :6] = [3, 5, 7, 9, 11, 13]
+    spk = params["speakers"][jnp.asarray([0])]
+    try:
+        headroom = sched._capacity_clamp(ids, 1000)
+        assert 0 < headroom < 1000
+        got = np.concatenate([c for c, _ in sched.stream(ids, spk, 1000)])
+        want = np.concatenate([c for c, _ in sched.stream(ids, spk, headroom)])
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+        # zero headroom (prompt 7 + overhang 4 > max_t 10): reject, don't corrupt
+        tight = BatchedTTSScheduler(params, cfg, n_slots=1, max_t=10,
+                                    context_frames=4, chunk_frames=4)
+        try:
+            assert tight.start(ids, spk, max_frames=8) is None
+            assert list(tight.stream(ids, spk, 8)) == []
+        finally:
+            tight.shutdown()
+    finally:
+        sched.shutdown()
+
+
+# ── int8-dyn serving coherence across lanes (ADVICE r04) ─────────────
+
+
+def test_int8_dyn_single_stream_matches_weight_only(lm):
+    """--llm_quantize int8-dyn routes sub-8-row dispatches to the EXACT
+    weight-only kernel (ops/quant.py quantized_linear_dyn): a single
+    session (priority lane B=1, gathered width < 8) must therefore match
+    the int8 weight-only stream token-for-token."""
+    from s2s_tpu.ops.quant import quantize_tree
+
+    cfg, params = lm
+    qdyn = quantize_tree(params, min_size=0, act_quant=True)
+    qwo = quantize_tree(params, min_size=0)
+    s_dyn = BatchedLMScheduler(qdyn, cfg, n_slots=2, eos_id=0, chunk_tokens=4)
+    s_wo = BatchedLMScheduler(qwo, cfg, n_slots=2, eos_id=0, chunk_tokens=4)
+    try:
+        got = list(s_dyn.generate(PROMPTS[0], max_new=12))
+        want = list(s_wo.generate(PROMPTS[0], max_new=12))
+        assert got == want and len(got) > 0
+    finally:
+        s_dyn.shutdown()
+        s_wo.shutdown()
+
+
+def test_int8_dyn_streams_coherent_across_lane_transitions(lm):
+    """With 8 concurrent int8-dyn sessions, each stream mixes quantization
+    regimes: its first tokens decode in the exact B=1 priority lane, the
+    rest in W8A8 gathered chunks (width 8).  The serving claim is
+    COHERENCE, not cross-lane bit-equality: every session runs to its
+    budget and the whole schedule is deterministic (two identical runs,
+    identical streams) — the KV each lane writes is the KV the next lane
+    consumes, with no regime-mixing corruption."""
+    from s2s_tpu.ops.quant import quantize_tree
+
+    cfg, params = lm
+    qdyn = quantize_tree(params, min_size=0, act_quant=True)
+    prompts = [[(7 * i + j) % 60 + 1 for j in range(4 + i % 3)] for i in range(8)]
+
+    def run_once():
+        sched = BatchedLMScheduler(qdyn, cfg, n_slots=8, eos_id=0,
+                                   chunk_tokens=4, priority_tokens=4)
+        results: dict[int, list[int]] = {}
+        try:
+            def worker(i):
+                results[i] = list(sched.generate(prompts[i], max_new=12))
+
+            threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+        finally:
+            sched.shutdown()
+        return results
+
+    first = run_once()
+    second = run_once()
+    assert set(first) == set(range(8))
+    for i in range(8):
+        assert len(first[i]) > 0
+        assert first[i] == second[i], f"session {i} stream not deterministic"

@@ -6,8 +6,17 @@ with megatron PartitionSpecs (XLA/GSPMD inserts the ICI collectives)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from s2s_tpu.parallel.mesh import make_mesh, shard_params
+
+#: sharded programs must never load from the persistent cache — an XLA:CPU
+#: collective executable deserialized from disk never joins its in-process
+#: rendezvous and the watchdog SIGABRTs the suite (round-5 bisect; see
+#: tests/conftest.py).  Compile fresh; in-memory cache only.
+pytestmark = pytest.mark.usefixtures("no_persistent_cache_for_collective_programs")
+
+
 
 
 def test_whisper_encoder_tp_matches_single_device():
