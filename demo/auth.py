@@ -77,9 +77,10 @@ class HFOAuth:
 
     # ── routes ────────────────────────────────────────────────────────
 
-    def login_redirect(self, redirect_uri: str) -> tuple[str, str]:
+    def login_redirect(self, redirect_uri: str, secure: bool = False) -> tuple[str, str]:
         """The HF authorize URL for a 302 plus the ``Set-Cookie`` value for
-        the browser-binding state nonce."""
+        the browser-binding state nonce.  ``secure=True`` (HTTPS request)
+        adds the Secure attribute so the nonce never rides plaintext."""
         nonce = secrets.token_hex(16)
         state = self.codec.sign_cookie(f"{int(time.time())}:{nonce}")
         params = urllib.parse.urlencode({
@@ -91,12 +92,13 @@ class HFOAuth:
         })
         state_cookie = (
             f"{STATE_COOKIE}={nonce}; Path=/; Max-Age={_STATE_MAX_AGE}; "
-            "HttpOnly; SameSite=Lax"
+            "HttpOnly; SameSite=Lax" + ("; Secure" if secure else "")
         )
         return f"{self.provider}/oauth/authorize?{params}", state_cookie
 
     def handle_callback(
-        self, query: str, redirect_uri: str, cookies: dict[str, str]
+        self, query: str, redirect_uri: str, cookies: dict[str, str],
+        secure: bool = False,
     ) -> Optional[str]:
         """Exchange the code; returns a ``Set-Cookie`` value for the signed
         session, or None when state/code verification fails.  The state must
@@ -137,18 +139,22 @@ class HFOAuth:
         payload = self.codec.sign_cookie(
             urllib.parse.quote(json.dumps(session, separators=(",", ":")))
         )
+        # the session cookie carries the tier grant: Secure on HTTPS so it
+        # can never leak over a plaintext request (ADVICE r04)
         return (
             f"{SESSION_COOKIE}={payload}; Path=/; Max-Age={_SESSION_MAX_AGE}; "
-            "HttpOnly; SameSite=Lax"
+            "HttpOnly; SameSite=Lax" + ("; Secure" if secure else "")
         )
 
     @staticmethod
-    def logout_cookie() -> str:
-        return f"{SESSION_COOKIE}=; Path=/; Max-Age=0; HttpOnly; SameSite=Lax"
+    def logout_cookie(secure: bool = False) -> str:
+        return (f"{SESSION_COOKIE}=; Path=/; Max-Age=0; HttpOnly; SameSite=Lax"
+                + ("; Secure" if secure else ""))
 
     @staticmethod
-    def state_clear_cookie() -> str:
-        return f"{STATE_COOKIE}=; Path=/; Max-Age=0; HttpOnly; SameSite=Lax"
+    def state_clear_cookie(secure: bool = False) -> str:
+        return (f"{STATE_COOKIE}=; Path=/; Max-Age=0; HttpOnly; SameSite=Lax"
+                + ("; Secure" if secure else ""))
 
     # ── session cookie -> identity ───────────────────────────────────
 

@@ -80,6 +80,16 @@ class DemoConfig:
             t for t in os.environ.get("DEMO_UNLIMITED_TOKENS", "").split(",") if t
         }
         self.search_upstream = search_upstream
+        # Public origin for OAuth redirect_uri construction.  When set (the
+        # hosted deployment: SPACE_HOST is injected by HF Spaces), the Host
+        # header is never trusted for the authorize URL — a spoofed Host
+        # otherwise yields an attacker-controlled redirect_uri.  Local dev
+        # (unset) falls back to the Host header.
+        space_host = os.environ.get("SPACE_HOST", "").strip()
+        self.public_base = (
+            os.environ.get("DEMO_PUBLIC_BASE", "").strip().rstrip("/")
+            or (f"https://{space_host}" if space_host else "")
+        )
 
 
 class SessionQueue:
@@ -232,7 +242,8 @@ class DemoHandler(SimpleHTTPRequestHandler):
         if anon_id is None:
             signed = codec.mint_cookie()
             anon_id = signed.rpartition(".")[0]
-            set_cookie = f"{ANON_COOKIE}={signed}; Path=/; Max-Age=31536000; SameSite=Lax"
+            set_cookie = (f"{ANON_COOKIE}={signed}; Path=/; Max-Age=31536000; SameSite=Lax"
+                          + ("; Secure" if self._is_https() else ""))
         addr = self.headers.get("X-Forwarded-For", "").split(",")[0].strip() or self.client_address[0]
         return (
             [codec.hash_identity("addr:" + addr), codec.hash_identity("anon:" + anon_id)],
@@ -276,9 +287,19 @@ class DemoHandler(SimpleHTTPRequestHandler):
     def _callback_uri(self) -> str:
         from auth import CALLBACK_PATH
 
+        base = self.server.config.public_base
+        if base:  # configured origin (hosted deployment): never trust Host
+            return f"{base}{CALLBACK_PATH}"
         host = self.headers.get("Host", "localhost")
-        scheme = "https" if self.headers.get("X-Forwarded-Proto") == "https" else "http"
+        scheme = "https" if self._is_https() else "http"
         return f"{scheme}://{host}{CALLBACK_PATH}"
+
+    def _is_https(self) -> bool:
+        """True when the browser's request arrived over HTTPS (the hosted
+        deployment terminates TLS at a proxy that sets X-Forwarded-Proto)."""
+        if self.server.config.public_base.startswith("https://"):
+            return True
+        return self.headers.get("X-Forwarded-Proto") == "https"
 
     def do_GET(self) -> None:  # noqa: N802 — stdlib handler contract
         from auth import CALLBACK_PATH, LOGIN_PATH, LOGOUT_PATH
@@ -288,18 +309,20 @@ class DemoHandler(SimpleHTTPRequestHandler):
         if path == LOGIN_PATH:
             if not oauth.enabled:
                 return self._json(404, {"error": "sign-in disabled"})
-            url, state_cookie = oauth.login_redirect(self._callback_uri())
+            url, state_cookie = oauth.login_redirect(
+                self._callback_uri(), secure=self._is_https())
             return self._redirect(url, state_cookie)
         if path == CALLBACK_PATH:
             cookie = (
-                oauth.handle_callback(query, self._callback_uri(), self._cookies())
+                oauth.handle_callback(query, self._callback_uri(), self._cookies(),
+                                      secure=self._is_https())
                 if oauth.enabled else None
             )
             if cookie is None:
                 return self._json(403, {"error": "oauth verification failed"})
-            return self._redirect("/", cookie, oauth.state_clear_cookie())
+            return self._redirect("/", cookie, oauth.state_clear_cookie(secure=self._is_https()))
         if path == LOGOUT_PATH:
-            return self._redirect("/", oauth.logout_cookie())
+            return self._redirect("/", oauth.logout_cookie(secure=self._is_https()))
         if path == "/api/config":
             cfg = self.server.config
             return self._json(200, {
