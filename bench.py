@@ -37,7 +37,9 @@ through a remote tunnel (~50 ms per dispatch+sync, measured); the probe
 chain needs >=3 syncs, so the loaded numbers carry ~0.15 s of tunnel
 tax a locally-attached chip would not pay.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the full result JSON line (with ``detail``) first, then a compact
+{"metric", "value", "unit", "vs_baseline", "summary"} line LAST so the
+driver's stdout-tail artifact always contains the headline numbers.
 """
 
 from __future__ import annotations
@@ -52,7 +54,12 @@ from functools import partial
 import numpy as np
 
 # Persistent compile cache: repeated bench runs skip XLA compilation.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+# Dir is CPU-fingerprinted (see utils/host_fingerprint.py): a cache dir
+# carried across hosts must never serve foreign XLA:CPU machine code.
+from s2s_tpu.utils.host_fingerprint import fingerprinted_cache_dir as _fpd
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      _fpd(os.path.join(os.path.dirname(__file__), ".jax_cache")))
 try:
     import jax as _jax
 
@@ -529,6 +536,9 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
             phases.append((t1 - t0, t2 - t1, t3 - t2))
         return t3 - t0
 
+    from s2s_tpu.utils.compile_guard import CompileWatch
+
+    compile_watch = CompileWatch.install()
     try:
         # compile EVERY dispatchable program up front: all width-bucket
         # steady chunks + priority/ramp slot chunks (a cold compile during
@@ -563,6 +573,10 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
         # measured at 3x the steady p50 on every run, never recurring.  The
         # unloaded chain discards its first turn for the same reason.
         probe(record=False)
+        # design rule 5 runtime guard: after this point every dispatch must
+        # hit an already-compiled program — any lowering observed during the
+        # measured probes is a serving shape leaking past the buckets
+        compiles_at_warmup = compile_watch.count
         rng = random.Random(0)
         times = []
         for _ in range(turns):
@@ -584,6 +598,7 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
             lead.append(probe(speculative=True, lead_s=0.5, record=False))
             time.sleep(rng.uniform(0.2, 1.2))
         lead.sort()
+        recompiles = compile_watch.count - compiles_at_warmup
     finally:
         stop.set()
     for t in threads:
@@ -597,7 +612,7 @@ def measure_loaded_v2v(stt_final, llm_params, llm_cfg, tts_obj, tts_cfg,
         round(statistics.median(p[i] for p in phases), 4) for i in range(3)
     )
     return (p50, p95, phase_p50, [tuple(round(x, 4) for x in p) for p in phases],
-            statistics.median(spec_zerolead), statistics.median(lead))
+            statistics.median(spec_zerolead), statistics.median(lead), recompiles)
 
 
 def main() -> None:
@@ -664,8 +679,19 @@ def main() -> None:
     # while 15 background sessions decode (priority lanes active)
     loaded_kw = dict(n_bg=3, turns=4, bg_cycle_s=4.0) if TINY else {}
     (loaded_p50, loaded_p95, loaded_phases, loaded_all, loaded_spec0_p50,
-     loaded_lead_p50) = measure_loaded_v2v(
+     loaded_lead_p50, loaded_recompiles) = measure_loaded_v2v(
         stt_final, llm_holder["params"], llm_cfg, tts_obj, tts_cfg, **loaded_kw,
+    )
+
+    # capacity mode (32 slots): same probe with 31 background sessions, so
+    # the latency cost of serving past the 16-session default is a NUMBER
+    # (the README sessions-per-chip policy cites it), not a guess.  Fewer
+    # probe turns: the p50 stabilizes by ~20 and the extra bg sessions make
+    # each wall-second cost more chip time.
+    cap_kw = dict(n_bg=5, turns=3, bg_cycle_s=4.0) if TINY else dict(n_bg=31, turns=20)
+    (loaded32_p50, loaded32_p95, _ph32, _all32, _s32,
+     _l32, loaded32_recompiles) = measure_loaded_v2v(
+        stt_final, llm_holder["params"], llm_cfg, tts_obj, tts_cfg, **cap_kw,
     )
 
     # BASELINE.md headline: aggregate RTFx per chip on the full cascade —
@@ -739,6 +765,13 @@ def main() -> None:
             # leadtime field)
             "voice_to_voice_loaded_p50_s": round(loaded_p50, 4),
             "voice_to_voice_loaded_p95_s": round(loaded_p95, 4),
+            # capacity mode: the same probe at 32 slots (31 background
+            # sessions).  The delta vs the 16-slot number above is the
+            # latency price of capacity mode — the README's
+            # sessions-per-chip policy is set from these two numbers.
+            "voice_to_voice_loaded_p50_s_32slots": round(loaded32_p50, 4),
+            "voice_to_voice_loaded_p95_s_32slots": round(loaded32_p95, 4),
+            "recompiles_after_warmup_32slots": loaded32_recompiles,
             "voice_to_voice_loaded_regime": "no-partial (speculation not engaged: serving's trigger is a progressive partial, which always precedes the final)",
             # serving common case: whole-chain speculation (generation
             # starts on the progressive transcript, TTS pre-synthesizes,
@@ -760,9 +793,47 @@ def main() -> None:
             # this single-core host + tunnel are visible here, not hidden)
             "voice_to_voice_loaded_probes_s": loaded_all,
             "voice_to_voice_target_s": 0.3,
+            # design rule 5 ("decode steps never recompile") asserted at
+            # runtime: program lowerings observed DURING the measured loaded
+            # probes (after warmup).  Non-zero means a serving shape leaked
+            # past the buckets — the latency numbers above are then suspect.
+            "recompiles_after_warmup": loaded_recompiles,
         },
     }
+    # Two lines: the full result first, then a compact headline summary LAST
+    # so the driver's 4 KB stdout-tail artifact is self-contained (r04's
+    # artifact cut the headline keys off the front of the one giant line).
     print(json.dumps(result))
+    d = result["detail"]
+    print(json.dumps({
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "summary": {
+            k: d[k]
+            for k in (
+                "workload",
+                "aggregate_rtfx_8_sessions",
+                "aggregate_rtfx_32_sessions_capacity",
+                "single_session_rtfx",
+                "llm_tokens_per_s_batch16",
+                "tts_rtf_batch16",
+                "voice_to_voice_p50_s",
+                "voice_to_voice_p95_s",
+                "voice_to_voice_loaded_p50_s",
+                "voice_to_voice_loaded_p95_s",
+                "voice_to_voice_loaded_p50_s_32slots",
+                "voice_to_voice_loaded_p95_s_32slots",
+                "voice_to_voice_loaded_regime",
+                "voice_to_voice_loaded_leadtime_p50_s",
+                "voice_to_voice_loaded_spec_zerolead_p50_s",
+                "voice_to_voice_loaded_phases_s",
+                "voice_to_voice_target_s",
+                "recompiles_after_warmup",
+            )
+        },
+    }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,174 @@
+"""Design rule 5 asserted at runtime: serving decode steps NEVER recompile.
+
+Every serving-path program compiles during warmup over a closed set of shape
+buckets (prompt-length buckets, priority-chunk buckets, width buckets, fixed
+TTS ramp sizes).  A shape that leaks past the buckets lowers a new XLA
+program mid-serving — tens of ms to seconds of latency attributed to nothing
+(the reference's analogous discipline is its persistent torch.compile cache,
+reference ``s2s_pipeline.py:64-67``).  These tests drive multi-turn
+conversations through the batched serving schedulers with every length
+variation serving can produce — prompt lengths across bucket boundaries,
+budgets shorter than the priority window, speculative starts promoted at
+partial remainders, cancellations — and assert ZERO program lowerings after
+the warm pass (``s2s_tpu/utils/compile_guard.py`` counts them via
+``jax.monitoring``).  VERDICT r04 item #3.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from s2s_tpu.models import decoder_lm
+from s2s_tpu.parallel.session_scheduler import (
+    BatchedLMScheduler,
+    BatchedTTSScheduler,
+    PriorityGate,
+)
+from s2s_tpu.utils.compile_guard import CompileWatch
+
+
+@pytest.fixture(scope="module")
+def watch():
+    return CompileWatch.install()
+
+
+def _lm():
+    cfg = decoder_lm.DecoderLMConfig.tiny(vocab=64)
+    params = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_lm_scheduler_never_recompiles_after_warm_pass(watch):
+    cfg, params = _lm()
+    sched = BatchedLMScheduler(params, cfg, n_slots=4, eos_id=-1,
+                               chunk_tokens=4, priority_tokens=4, max_t=64)
+    try:
+        sched.warmup()  # all width buckets + every priority-chunk bucket
+        # warm pass: one visit to every program family x shape bucket the
+        # varied phase can produce — prompt buckets 16 and 32, fused
+        # prefill+chunk at every priority bucket (budgets 1/2/4 round up to
+        # warmed sizes), plain prefill (speculative start), promote path
+        for plen in (3, 20):
+            prompt = [(j % 60) + 1 for j in range(plen)]
+            for budget in (1, 2, 4, 8):
+                list(sched.generate(prompt, max_new=budget))
+            h = sched.start(prompt, max_new=6, priority=False)
+            assert h is not None
+            h.promote()
+            list(h.tokens())
+        base = watch.count
+        # varied multi-turn conversation: every prompt length across both
+        # buckets, budgets above/below the priority window, speculative
+        # starts promoted at whatever partial remainder they happen to have,
+        # and mid-stream cancellation
+        for i, plen in enumerate((1, 2, 5, 7, 11, 16, 17, 23, 29, 32)):
+            prompt = [(5 * i + j) % 60 + 1 for j in range(plen)]
+            if i % 3 == 2:
+                h = sched.start(prompt, max_new=3 + i % 9, priority=False)
+                if h is not None:
+                    h.promote()
+                    if i % 2:
+                        h.cancel()
+                    else:
+                        list(h.tokens())
+            else:
+                list(sched.generate(prompt, max_new=1 + i % 12))
+        assert watch.count == base, (
+            f"{watch.count - base} serving shape(s) leaked past the warmed "
+            "buckets (design rule 5)"
+        )
+    finally:
+        sched.shutdown()
+
+
+def test_tts_scheduler_never_recompiles_after_warm_pass(watch):
+    from s2s_tpu.models import qwen3_tts
+
+    cfg = qwen3_tts.Qwen3TTSConfig.tiny()
+    params = qwen3_tts.init_params(jax.random.PRNGKey(0), cfg)
+    sched = BatchedTTSScheduler(params, cfg, n_slots=4, max_t=96,
+                                context_frames=8, chunk_frames=4)
+    import jax.numpy as jnp
+
+    spk = params["speakers"][jnp.asarray([0])]
+
+    def ids(n, seed=0):
+        out = np.zeros((1, 16), np.int32)
+        out[0, :n] = [(seed + j) % (cfg.text_vocab - 1) + 1 for j in range(n)]
+        return out
+
+    try:
+        sched.warmup()  # width buckets + fixed ramp sizes
+        # warm pass: fused prefill+first-ramp-chunk for the 16-token text
+        # bucket, the full ramp -> steady transition, the speculative
+        # (ungated) start + promote path
+        for _ in sched.stream(ids(5), spk, 12):
+            pass
+        h = sched.start(ids(7), spk, 12, gated=False)
+        assert h is not None
+        h.promote()
+        for _ in h.chunks():
+            pass
+        base = watch.count
+        # varied synthesis lengths: budgets below one ramp chunk, mid-ramp,
+        # and past the ramp into steady chunks; varied text fills; promotion
+        # and cancellation at odd points
+        for i, frames in enumerate((1, 2, 3, 5, 7, 9, 12, 4, 11, 6)):
+            text = ids(1 + i % 16, seed=3 * i)
+            if i % 3 == 2:
+                h = sched.start(text, spk, frames, gated=False)
+                if h is not None:
+                    h.promote()
+                    if i % 2:
+                        h.cancel()
+                    else:
+                        for _ in h.chunks():
+                            pass
+            else:
+                for _ in sched.stream(text, spk, frames):
+                    pass
+        assert watch.count == base, (
+            f"{watch.count - base} TTS serving shape(s) leaked past the "
+            "warmed buckets (design rule 5)"
+        )
+    finally:
+        sched.shutdown()
+
+
+def test_cross_scheduler_gate_path_never_recompiles(watch):
+    """The loaded-bench wiring (shared PriorityGate bridging LM + TTS): a
+    probe-shaped turn after warm probes must dispatch only warmed programs."""
+    from s2s_tpu.models import qwen3_tts
+
+    cfg, params = _lm()
+    tcfg = qwen3_tts.Qwen3TTSConfig.tiny()
+    tparams = qwen3_tts.init_params(jax.random.PRNGKey(1), tcfg)
+    gate = PriorityGate()
+    lm = BatchedLMScheduler(params, cfg, n_slots=4, eos_id=-1,
+                            chunk_tokens=4, priority_tokens=4, max_t=64, gate=gate)
+    tts = BatchedTTSScheduler(tparams, tcfg, n_slots=4, max_t=96,
+                              context_frames=8, chunk_frames=4, gate=gate)
+    import jax.numpy as jnp
+
+    spk = tparams["speakers"][jnp.asarray([0])]
+    text = np.zeros((1, 16), np.int32)
+    text[0, :6] = [3, 5, 7, 9, 11, 13]
+
+    def turn(plen, budget, frames):
+        prompt = [(j % 60) + 1 for j in range(plen)]
+        list(lm.generate(prompt, max_new=budget))
+        for _ in tts.stream(text, spk, frames):
+            pass
+
+    try:
+        lm.warmup()
+        tts.warmup()
+        turn(4, 4, 6)
+        turn(20, 8, 10)
+        base = watch.count
+        for i in range(6):
+            turn(2 + 5 * i, 1 + i * 2, 2 + i * 2)
+        assert watch.count == base
+    finally:
+        lm.shutdown()
+        tts.shutdown()
