@@ -933,3 +933,70 @@ def test_handler_confirmed_continuation_not_discarded_at_finalization():
     starts = [e for e in drain(qtext) if isinstance(e, SpeechStartedEvent)]
     assert len(starts) == 2 and starts[1].reopened
     assert tracker.is_latest("turn_1", 1)
+
+
+# ── energy VAD backend (--vad_backend energy) ────────────────────────
+
+
+def test_energy_vad_scores_tone_over_silence():
+    """The checkpoint-free backend: after a silence history establishes the
+    noise floor, a tone frame scores near 1.0 and silence near 0.0 — enough
+    separation for the default 0.6 threshold (the random-init Silero gives
+    ~0.49 vs 0.50, unusable without weights)."""
+    from s2s_tpu.vad.energy import EnergyVAD
+
+    vad = EnergyVAD()
+    rng = np.random.default_rng(0)
+    silence = (rng.normal(0, 1e-4, 512)).astype(np.float32)
+    t = np.arange(512) / 16000
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    for _ in range(10):
+        p_silence = vad(silence)
+    assert p_silence < 0.3
+    assert vad(tone) > 0.9
+    # back to silence: probability collapses (the floor follows down)
+    for _ in range(3):
+        p = vad(silence)
+    assert p < 0.3
+    vad.reset_states()
+
+
+def test_energy_vad_full_endpointing_through_handler():
+    """The energy model drives the REAL VADHandler endpointing stack: a
+    tone utterance produces a speech start and a final segment."""
+    from s2s_tpu.vad.energy import EnergyVAD
+
+    stop = threading.Event()
+    qin: Queue = Queue()
+    qout: Queue = Queue()
+    qtext: Queue = Queue()
+    should_listen = threading.Event()
+    should_listen.set()
+    handler = VADHandler(stop, qin, qout, setup_kwargs=dict(
+        should_listen=should_listen,
+        speculative_turns=SpeculativeTurnTracker(),
+        model=EnergyVAD(),
+        min_silence_ms=64,
+        min_speech_ms=256,
+        smart_turn=False,
+        text_output_queue=qtext,
+    ))
+    rng = np.random.default_rng(1)
+    t = np.arange(512) / 16000
+    tone = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    silence = rng.normal(0, 1e-4, 512).astype(np.float32)
+    chunks = [silence] * 12 + [tone] * 16 + [silence] * 16
+    outputs = []
+    for c in chunks:
+        outputs.extend(handler.process((c * 32767).astype(np.int16)))
+    finals = [o for o in outputs if isinstance(o, VADAudio) and o.mode == "final"]
+    assert len(finals) == 1
+    assert finals[0].audio.size >= 16 * 512  # the padded tone segment
+
+
+def test_vad_backend_flag_builds_energy_model():
+    from s2s_tpu.arguments import parse_arguments
+
+    args = parse_arguments(["--vad_backend", "energy"])
+    assert args.vad.backend == "energy"
+    assert parse_arguments([]).vad.backend == "silero"
