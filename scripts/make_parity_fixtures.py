@@ -24,9 +24,14 @@ config-random tiny construction, and this environment has no egress):
   mimi        upstream  transformers.MimiModel (make_mimi_hf_fixture) —
                         the twin fixture (make_mimi_fixture) is kept as a
                         second, moshi-key-layout cross-check
-  pocket      twin      scripts/_pocket_torch_twin.py (delayed-streams LM;
-                        its Mimi decoder is cross-checked by the upstream
-                        mimi_hf fixture above)
+  pocket      twin*     scripts/_pocket_torch_twin.py (delayed-streams LM).
+                        *Two of its three pieces are now upstream-anchored:
+                        the BACKBONE transformer is cross-checked against
+                        transformers' Moshi temporal transformer
+                        (make_pocket_hf_fixture — rope convention, gating
+                        packing, rmsnorm, attention), and its Mimi decoder
+                        against transformers.MimiModel (mimi_hf above);
+                        only the depformer slot wiring remains twin-pinned
   chattts     twin      scripts/_chattts_torch_twin.py — the GPT body is
                         a transformers-Llama layout (covered upstream by
                         the llama fixture); DVAE/Vocos are twins
@@ -460,6 +465,45 @@ def make_mimi_hf_fixture(path: str = "tests/data/mimi_hf_parity.npz") -> None:
     )
 
 
+def make_pocket_hf_fixture(path: str = "tests/data/pocket_hf_parity.npz") -> None:
+    """Cross-check fixture from the AUTHORITATIVE ``transformers`` Moshi
+    temporal transformer (``MoshiModel`` — the layout real kyutai moshi
+    checkpoints convert into): pins the pocket BACKBONE semantics (rope
+    convention, [gate; up] gating packing, rmsnorm eps/order, attention
+    scaling) independent of our twin's reading.  HF lays q/k out for
+    half-split rope (their kyutai conversion permutes); the JAX side
+    re-interleaves with the same permutation decoder_lm's llama converter
+    uses, so agreement here certifies the interleaved-rope reading too."""
+    from transformers.models.moshi.configuration_moshi import MoshiConfig
+    from transformers.models.moshi.modeling_moshi import MoshiModel
+
+    torch.manual_seed(0)
+    # mirror s2s_tpu.models.pocket_tts.PocketTTSConfig.tiny().backbone:
+    # d_model 32, 2 layers, 4 heads (head_dim 8), gated-SiLU d_ff 64
+    # (HF ffn_dim packs [gate; up] -> 128), rms eps 1e-8, rope theta 10000
+    cfg = MoshiConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, head_dim=8,
+        ffn_dim=128, rms_norm_eps=1e-8, rope_theta=10000.0,
+        hidden_act="silu", sliding_window=4096, max_position_embeddings=128,
+        audio_vocab_size=64, num_codebooks=4,
+    )
+    model = MoshiModel(cfg).eval()
+    embeds = torch.randn(2, 12, 32, generator=torch.Generator().manual_seed(5))
+    with torch.no_grad():
+        out = model(
+            inputs_embeds=embeds,
+            attention_mask=torch.ones(2, 12, dtype=torch.long),
+        )
+    np.savez_compressed(
+        path,
+        embeds=embeds.numpy(), hidden=out.last_hidden_state.numpy(),
+        **{"sd__" + k: v.detach().numpy() for k, v in model.state_dict().items()
+           if not k.startswith("embed_tokens")},
+    )
+
+
+
 def make_pocket_fixture(path: str = "tests/data/pocket_parity.npz") -> None:
     """Tiny Pocket-TTS delayed-streams twin (scripts/_pocket_torch_twin.py —
     moshi-style LM layout): full generation loop (codes + backbone hiddens),
@@ -677,6 +721,8 @@ if __name__ == "__main__":
         make_mimi_fixture()
     if only in (None, "mimi-hf"):
         make_mimi_hf_fixture()
+    if only in (None, "pocket-hf"):
+        make_pocket_hf_fixture()
     if only in (None, "pocket"):
         make_pocket_fixture()
     if only in (None, "chattts"):

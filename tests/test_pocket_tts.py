@@ -88,6 +88,66 @@ class TestPocketLM:
         assert np.array_equal(np.asarray(codes_v), pocket_fixture["codes_v"])
         assert not np.array_equal(pocket_fixture["codes_v"], pocket_fixture["codes"])
 
+
+    def test_backbone_hf_moshi_cross_check(self):
+        """Backbone parity against the AUTHORITATIVE transformers Moshi
+        temporal transformer (the layout real kyutai checkpoints convert
+        into): pins rope convention, [gate; up] gating packing, rmsnorm
+        eps/order and attention scaling independent of the twin's reading.
+        HF lays q/k out for half-split rope (its kyutai conversion
+        permutes), so mapping BACK to our interleaved layout uses the same
+        per-head permutation decoder_lm's llama converter applies — bitwise
+        agreement here certifies that reading too."""
+        from s2s_tpu.models import decoder_lm
+        from s2s_tpu.models.decoder_lm import rms_norm
+
+        fx = np.load("tests/data/pocket_hf_parity.npz")
+        sd = _sd(fx)
+        cfg = pocket_tts.PocketTTSConfig.tiny().backbone
+
+        def reinterleave(w, n_heads):
+            # HF half-split rope rows -> our interleaved even/odd pairs
+            hd = w.shape[0] // n_heads
+            w = w.reshape(n_heads, hd, -1)
+            perm = np.empty(hd, np.int64)
+            perm[0::2] = np.arange(hd // 2)
+            perm[1::2] = np.arange(hd // 2) + hd // 2
+            return w[:, perm, :].reshape(n_heads * hd, -1)
+
+        layers = []
+        for i in range(cfg.n_layers):
+            lp = f"layers.{i}"
+            fc1 = sd[f"{lp}.mlp.fc1.weight"]
+            w_gate, w_up = np.split(fc1, 2, axis=0)  # HF packs [gate; up]
+            layers.append({
+                "attn_norm": sd[f"{lp}.input_layernorm.weight"],
+                "wq": reinterleave(sd[f"{lp}.self_attn.q_proj.linear.weight"], cfg.n_heads).T,
+                "wk": reinterleave(sd[f"{lp}.self_attn.k_proj.linear.weight"], cfg.n_kv_heads).T,
+                "wv": sd[f"{lp}.self_attn.v_proj.linear.weight"].T,
+                "wo": sd[f"{lp}.self_attn.o_proj.linear.weight"].T,
+                "mlp_norm": sd[f"{lp}.post_attention_layernorm.weight"],
+                "w_gate": w_gate.T, "w_up": w_up.T, "w_down": sd[f"{lp}.mlp.fc2.weight"].T,
+            })
+        p = {
+            "layers": {k: jnp.asarray(np.stack([l[k] for l in layers]))
+                       for k in layers[0]},
+            "final_norm": jnp.asarray(sd["norm.weight"]),
+        }
+
+        embeds = jnp.asarray(fx["embeds"], jnp.float32)
+        b, t, _ = embeds.shape
+        cos_full, sin_full = decoder_lm.rope_frequencies(
+            cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+        mask = decoder_lm.causal_mask(t, t, 0)
+        x, _ = decoder_lm._scan_blocks(
+            embeds, p, cfg, None, None, cos_full[:t], sin_full[:t], mask)
+        hidden = rms_norm(x, p["final_norm"], cfg.rms_eps)
+        # 4e-5 observed XLA-vs-torch-eager accumulation noise (exact at
+        # position 0, growing with attention length); a convention mismatch
+        # (rope layout, gating packing) would be O(1)
+        np.testing.assert_allclose(
+            np.asarray(hidden), fx["hidden"], atol=1e-4)
+
     def test_chunked_generation_matches_one_shot(self):
         cfg = pocket_tts.PocketTTSConfig.tiny()
         params = pocket_tts.init_params(jax.random.PRNGKey(1), cfg)
