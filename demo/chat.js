@@ -32,20 +32,57 @@ export class ChatUI {
     this.statusEl.textContent = text;
   }
 
+  _userText(bubble, text) {
+    /* user bubbles keep text in a dedicated span so an attached audio
+     * replay player (userAudio) survives transcript updates */
+    let span = bubble.querySelector(".txt");
+    if (!span) {
+      span = document.createElement("span");
+      span.className = "txt";
+      bubble.prepend(span);
+    }
+    span.textContent = text;
+  }
+
   userPartial(text) {
     if (!this.partialEl) this.partialEl = this._bubble("user partial");
-    this.partialEl.textContent = text;
+    this._userText(this.partialEl, text);
     this.root.scrollTop = this.root.scrollHeight;
   }
 
   userFinal(text) {
     if (this.partialEl) {
       this.partialEl.classList.remove("partial");
-      this.partialEl.textContent = text;
+      this._userText(this.partialEl, text);
       this.partialEl = null;
     } else if (text) {
-      this._bubble("user").textContent = text;
+      this._userText(this._bubble("user"), text);
     }
+  }
+
+  userAudio(itemId, blob, seconds) {
+    /* attach (or, on a reopened turn, replace) a replay player for the
+     * audio the backend actually heard (recorder.js); one per item */
+    let player = this.audioPlayers?.get(itemId);
+    if (!player) {
+      this.audioPlayers ??= new Map();
+      player = document.createElement("audio");
+      player.controls = true;
+      player.className = "user-audio";
+      const host = this.partialEl
+        ?? [...this.root.querySelectorAll(".bubble.user")].pop()
+        ?? this._bubble("user");
+      host.appendChild(player);
+      this.audioPlayers.set(itemId, player);
+    }
+    if (player.src) URL.revokeObjectURL(player.src);
+    player.src = URL.createObjectURL(blob);
+    player.title = `${seconds.toFixed(1)} s as heard by the server`;
+    // one replay at a time: starting one pauses every other user player
+    player.onplay = () => {
+      for (const other of this.audioPlayers.values())
+        if (other !== player && !other.paused) other.pause();
+    };
   }
 
   userCancelled() {
@@ -139,9 +176,11 @@ export function routeServerEvent(evt, chat, hooks = {}) {
       break; // settings echoed; no UI change
     case "input_audio_buffer.speech_started":
       if (hooks.onBargeIn) hooks.onBargeIn();
+      if (hooks.onSpeechStarted) hooks.onSpeechStarted(evt);
       chat.status("listening…");
       break;
     case "input_audio_buffer.speech_stopped":
+      if (hooks.onSpeechStopped) hooks.onSpeechStopped(evt);
       chat.status("thinking…");
       break;
     case "conversation.item.created":

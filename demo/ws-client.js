@@ -5,6 +5,7 @@
 
 import { routeServerEvent } from "./chat.js";
 import { rmsLevel } from "./orb.js";
+import { TurnRecorder } from "./recorder.js";
 
 const RATE = 16000;
 
@@ -39,6 +40,9 @@ export class WSClient {
     this._opts = null;
     this._url = null;
     this._retries = 0;
+    // bounded copy of the SENT frames, cut at the server's VAD boundaries
+    // into per-turn replayable WAVs (recorder.js); stays on the page
+    this.recorder = new TurnRecorder({ rate: RATE });
   }
 
   _connect(url) {
@@ -52,6 +56,11 @@ export class WSClient {
           this.playbackNode?.port.postMessage({ pcm, rate: RATE });
         },
         onToolCall: (evt) => this._opts?.onToolCall?.(evt, this),
+        onSpeechStarted: (evt) => this.recorder.speechStarted(evt),
+        onSpeechStopped: (evt) => {
+          const seg = this.recorder.speechStopped(evt);
+          if (seg) this.chat.userAudio?.(seg.itemId, seg.blob, seg.seconds);
+        },
       });
     this.ws.onclose = () => this._scheduleReconnect();
     return new Promise((ok, bad) => {
@@ -101,6 +110,7 @@ export class WSClient {
       this.captureNode.port.onmessage = (m) => {
         this.orb?.setUserLevel(rmsLevel(m.data));
         if (this.ws?.readyState !== WebSocket.OPEN) return;
+        this.recorder.append(m.data);
         this.ws.send(
           JSON.stringify({ type: "input_audio_buffer.append", audio: int16ToB64(m.data) })
         );
