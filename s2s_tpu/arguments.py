@@ -163,6 +163,16 @@ class LocalLLMArgs:
     #: first-sentence latency lane: a new turn's first N tokens decode as
     #: single-slot dispatches ahead of the full-batch steps (0 disables)
     priority_tokens: int = 12
+    #: per-slot KV capacity (tokens) of the batched engine; 0 = auto
+    #: (min(model max_seq_len, 2048)).  Sizing rule of thumb: KV bytes =
+    #: n_layers*2*slots*n_kv_heads*max_t*head_dim*2 — SmolLM2-1.7B (full MHA)
+    #: at 16 slots x 2048 is ~6.4 GB, so high-slot serving on a 16 GB chip
+    #: must bound this (the recorded loaded bench uses 256)
+    batched_max_t: int = 0
+    #: steady-lane dispatch quantum (tokens per full-batch chunk) — balances
+    #: throughput against the in-flight blocking a latency probe can queue
+    #: behind (bench.py loaded run A/B'd 6)
+    chunk_tokens: int = 6
     #: start generating on the PROGRESSIVE transcript before the STT final
     #: and adopt on exact prompt match (batched engine only; a mismatch
     #: falls back to the normal path and only cost a spare slot's decode)
@@ -198,6 +208,13 @@ class Qwen3TTSArgs:
     blocksize: int = 512
     #: cross-session batched synthesis slots over ONE weight set; 0/1 = single
     batched_slots: int = 0
+    #: per-slot talker KV capacity (codec tokens) of the batched engine;
+    #: 0 = auto (min(talker max_seq_len, 2048)).  192 covers ~15 s of audio
+    #: at 12.5 tok/s and is what the recorded loaded bench provisions
+    batched_max_t: int = 0
+    #: talker context re-read per batched chunk (frames); the loaded bench
+    #: runs 8 — smaller context shortens the steady chunk program
+    context_frames: int = 25
     quantize: Optional[str] = None  # "int8" / "int8+cp4" (int4 code predictor) / "int4"
     #: whole-chain speculation: pre-synthesize the LLM speculation's first
     #: sentence batch in a spare ungated slot (batched engine only)

@@ -45,9 +45,13 @@ class _Speculation:
     before the STT final.  Without a watcher (``watch()`` never called) the
     class degrades to a thin wrapper over the engine handle."""
 
-    def __init__(self, ids: list[int], handle) -> None:
+    def __init__(self, ids: list[int], handle, budget: int) -> None:
         self.ids = ids
         self.handle = handle
+        #: token budget the engine slot was started with — adoption requires
+        #: the real request to resolve the SAME budget (a capped response
+        #: must not replay a longer speculative stream)
+        self.budget = budget
         self._buffer: list[int] = []
         self._cond = threading.Condition()
         self._done = False
@@ -357,10 +361,11 @@ class LocalJAXLLMHandler(BaseLLMHandler):
             return
         # non-priority: the speculation decodes during STT dead time, so it
         # must not preempt other sessions' steady chunks on every partial
-        handle = start(ids, self.max_new_tokens, priority=False)
+        budget = self._resolve_max_new(req.runtime_config, None)
+        handle = start(ids, budget, priority=False)
         if handle is None:  # every slot busy — skip, don't queue
             return
-        spec = _Speculation(ids, handle)
+        spec = _Speculation(ids, handle, budget)
         self._spec = spec
         # whole-chain mode: also pre-synthesize the first sentence batch —
         # skipped for tool sessions (a <code> block would make the real
@@ -411,7 +416,7 @@ class LocalJAXLLMHandler(BaseLLMHandler):
         if spec is None:
             return None
         self._spec = None
-        if spec.ids != ids or max_new != self.max_new_tokens:
+        if spec.ids != ids or max_new != spec.budget:
             spec.cancel()
             return None
         spec.promote()  # the undecoded remainder is now latency-critical
@@ -455,6 +460,20 @@ class LocalJAXLLMHandler(BaseLLMHandler):
 
     # ── BaseLLMHandler hooks ─────────────────────────────────────────
 
+    def _resolve_max_new(self, runtime_config, response) -> int:
+        """Per-response token cap (remote-backend parity,
+        ``openai_backend.py::_resolve_max_tokens``): ``response.max_output_tokens``
+        wins, then the session's; ``"inf"``/absent means the CLI default.
+        Always clamped to ``--llm_max_new_tokens`` — engine KV budgets and
+        speculative prompt clipping are sized for it."""
+        cap = (
+            response.max_output_tokens if response and response.max_output_tokens
+            else (runtime_config.session.max_output_tokens if runtime_config else None)
+        )
+        if cap in (None, "inf"):
+            return self.max_new_tokens
+        return max(1, min(int(cap), self.max_new_tokens))
+
     def _generate_stream(self, chat, ctx: StreamContext, runtime_config, response) -> Iterator[str]:
         messages = chat.to_chat_messages()
         gen = ctx.cancel_generation
@@ -466,7 +485,8 @@ class LocalJAXLLMHandler(BaseLLMHandler):
             return
         ctx.input_tokens = len(self.tokenizer.encode(render_chat_template(messages)))
         n_out = 0
-        for piece in self._jax_generate(messages, cancel_check=cancel):
+        max_new = self._resolve_max_new(runtime_config, response)
+        for piece in self._jax_generate(messages, max_new=max_new, cancel_check=cancel):
             n_out += len(self.tokenizer.encode(piece))
             yield piece
         ctx.output_tokens = n_out

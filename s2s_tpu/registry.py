@@ -295,7 +295,10 @@ def _make_local_llm(config, ctx: HandlerContext):
 
             engine = BatchedLMScheduler(
                 p, cfg, n_slots=config.batched_slots,
-                max_t=min(cfg.max_seq_len, 2048), eos_id=eos,
+                max_t=(getattr(config, "batched_max_t", 0)
+                       or min(cfg.max_seq_len, 2048)),
+                eos_id=eos,
+                chunk_tokens=getattr(config, "chunk_tokens", 6),
                 priority_tokens=getattr(config, "priority_tokens", 12),
                 gate=GLOBAL_PRIORITY_GATE,
             )
@@ -309,7 +312,9 @@ def _make_local_llm(config, ctx: HandlerContext):
 
         params, shared_lm = ctx.model_cache.get(
             ("local-lm", config.model_size, config.checkpoint, config.batched_slots,
-             getattr(config, "priority_tokens", 12), ctx.model_parallel), build
+             getattr(config, "priority_tokens", 12),
+             getattr(config, "batched_max_t", 0), getattr(config, "chunk_tokens", 6),
+             ctx.model_parallel), build
         )
     else:
         params = _load_checkpoint(config.checkpoint)
@@ -417,10 +422,13 @@ def _make_qwen3_tts(config, ctx: HandlerContext):
 
         shared_tts = ctx.model_cache.get(
             ("qwen3_tts_batched", config.model_size, config.checkpoint,
-             config.batched_slots, ctx.model_parallel),
+             config.batched_slots, getattr(config, "batched_max_t", 0),
+             getattr(config, "context_frames", 25), ctx.model_parallel),
             lambda: BatchedTTSScheduler(
                 _engine_params(), cfg, n_slots=config.batched_slots,
-                max_t=min(cfg.lm.max_seq_len, 2048),
+                max_t=(getattr(config, "batched_max_t", 0)
+                       or min(cfg.lm.max_seq_len, 2048)),
+                context_frames=getattr(config, "context_frames", 25),
                 chunk_frames=config.streaming_chunk_size,
                 gate=_global_gate(),
             ),

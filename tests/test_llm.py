@@ -279,6 +279,37 @@ def test_local_jax_generates_pieces():
     assert isinstance(outs[-1], EndOfResponse) and outs[-1].error is None
 
 
+def _local_reply_tokens(handler, rc, response=None) -> int:
+    req = GenerateResponseRequest(runtime_config=rc, response=response)
+    outs = list(handler.process(req))
+    text = "".join(o.text for o in outs if hasattr(o, "text") and o.text)
+    return len(handler.tokenizer.encode(text))
+
+
+def test_local_jax_honors_session_max_output_tokens():
+    """``session.max_output_tokens`` caps the local decode (remote-backend
+    parity, ``openai_backend.py::_resolve_max_tokens``); the response-level
+    value wins over the session's, and both clamp to --llm_max_new_tokens."""
+    from s2s_tpu.realtime.types import ResponseCreateParams
+
+    handler = LocalJAXLLMHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(model_size="tiny", max_new_tokens=32),
+    )
+    rc = RuntimeConfig()
+    rc.chat.add_item(make_user_message("hi"))
+    rc.session.max_output_tokens = 4
+    assert _local_reply_tokens(handler, rc) <= 4
+    # response-level override beats the session's
+    resp = ResponseCreateParams(max_output_tokens=2)
+    assert _local_reply_tokens(handler, rc, response=resp) <= 2
+    # "inf" falls back to the CLI default (clamp, not literal infinity)
+    rc.session.max_output_tokens = "inf"
+    assert handler._resolve_max_new(rc, None) == 32
+    rc.session.max_output_tokens = 10_000
+    assert handler._resolve_max_new(rc, None) == 32  # clamped to CLI cap
+
+
 # ── remote backends over fake transports ─────────────────────────────
 
 
