@@ -13,15 +13,45 @@ export class ChatUI {
     this.statusEl = statusEl;
     this.usageEl = usageEl;
     this.partialEl = null;
+    this.pendingEl = null; // "…" placeholder between speech end and first delta
     this.streams = new Map(); // stream key -> {el, text}
+    this._scrollQueued = false;
+  }
+
+  /* Coalesced, position-respecting autoscroll: a burst of deltas schedules
+   * ONE write per frame, and a reader who scrolled up to re-read history is
+   * never yanked back down (reference chat pane behavior). */
+  _scrollToBottom() {
+    if (this._scrollQueued) return;
+    const nearBottom =
+      this.root.scrollHeight - this.root.scrollTop - this.root.clientHeight < 80;
+    if (!nearBottom) return;
+    this._scrollQueued = true;
+    requestAnimationFrame(() => {
+      this._scrollQueued = false;
+      this.root.scrollTop = this.root.scrollHeight;
+    });
   }
 
   _bubble(cls) {
     const el = document.createElement("div");
     el.className = `bubble ${cls}`;
     this.root.appendChild(el);
-    this.root.scrollTop = this.root.scrollHeight;
+    this._scrollToBottom();
     return el;
+  }
+
+  /* Placeholder while the cascade is thinking (speech stopped, no reply
+   * delta yet); dismissed by the first assistant delta or response end. */
+  pending() {
+    if (this.pendingEl) return;
+    this.pendingEl = this._bubble("assistant pending");
+    this.pendingEl.textContent = "…";
+  }
+
+  _clearPending() {
+    this.pendingEl?.remove();
+    this.pendingEl = null;
   }
 
   static streamKey(evt) {
@@ -47,7 +77,7 @@ export class ChatUI {
   userPartial(text) {
     if (!this.partialEl) this.partialEl = this._bubble("user partial");
     this._userText(this.partialEl, text);
-    this.root.scrollTop = this.root.scrollHeight;
+    this._scrollToBottom();
   }
 
   userFinal(text) {
@@ -92,6 +122,7 @@ export class ChatUI {
   }
 
   assistantDelta(evt) {
+    this._clearPending();
     const key = ChatUI.streamKey(evt);
     let stream = this.streams.get(key);
     if (!stream) {
@@ -100,7 +131,7 @@ export class ChatUI {
     }
     stream.text += evt.delta ?? "";
     stream.el.textContent = stream.text;
-    this.root.scrollTop = this.root.scrollHeight;
+    this._scrollToBottom();
   }
 
   assistantDone(evt) {
@@ -127,6 +158,7 @@ export class ChatUI {
   }
 
   responseDone(response) {
+    this._clearPending();
     const status = response?.status ?? "completed";
     /* reconstruction fallback: render any assistant message items that
      * never streamed (e.g. text-only turns on done-only paths) */
@@ -154,6 +186,7 @@ export class ChatUI {
   }
 
   error(message) {
+    this._clearPending();
     this._bubble("error").textContent = `error: ${message}`;
   }
 
@@ -177,11 +210,13 @@ export function routeServerEvent(evt, chat, hooks = {}) {
     case "input_audio_buffer.speech_started":
       if (hooks.onBargeIn) hooks.onBargeIn();
       if (hooks.onSpeechStarted) hooks.onSpeechStarted(evt);
+      chat._clearPending(); // user spoke again: the old reply won't come
       chat.status("listening…");
       break;
     case "input_audio_buffer.speech_stopped":
       if (hooks.onSpeechStopped) hooks.onSpeechStopped(evt);
       chat.status("thinking…");
+      chat.pending();
       break;
     case "conversation.item.created":
       break; // item identity only; text renders via transcription/deltas
