@@ -32,12 +32,19 @@ config-random tiny construction, and this environment has no egress):
                         packing, rmsnorm, attention), and its Mimi decoder
                         against transformers.MimiModel (mimi_hf above);
                         only the depformer slot wiring remains twin-pinned
-  chattts     twin      scripts/_chattts_torch_twin.py — the GPT body is
+  chattts     twin*     scripts/_chattts_torch_twin.py — the GPT body is
                         a transformers-Llama layout (covered upstream by
-                        the llama fixture); DVAE/Vocos are twins
+                        the llama fixture); DVAE/Vocos are twins.  *The
+                        Vocos ISTFT head's math is upstream-anchored:
+                        the shared op is cross-checked against
+                        torch.istft (tests/test_tts.py::
+                        test_istft_matches_torch_istft)
   paraformer  twin      scripts/_paraformer_torch_twin.py (funasr SAN-M)
-  kokoro      twin      scripts/_kokoro_torch_twin.py (StyleTTS2/iSTFTNet)
-  deepfilter  twin      scripts/_deepfilter_torch_twin.py
+  kokoro      twin*     scripts/_kokoro_torch_twin.py (StyleTTS2/iSTFTNet).
+                        *iSTFT-Net head math anchored via torch.istft (see
+                        chattts note — same shared op, ops/istft.py)
+  deepfilter  twin*     scripts/_deepfilter_torch_twin.py.  *Synthesis
+                        iSTFT anchored via torch.istft (same shared op)
 
 Twin risk and mitigation: a twin that misreads upstream passes every
 fixture test and fails on real checkpoints.  Mitigations in-tree: (1) the

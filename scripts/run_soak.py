@@ -405,6 +405,13 @@ def main() -> None:
             if args.tiny:
                 env.pop("PALLAS_AXON_POOL_IPS", None)
                 env["JAX_PLATFORMS"] = "cpu"
+            # persistent compile cache (same dir bench.py uses): repeated
+            # soak runs skip the engines' XLA compilation
+            sys.path.insert(0, str(REPO))
+            from s2s_tpu.utils.host_fingerprint import fingerprinted_cache_dir
+            env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           fingerprinted_cache_dir(str(REPO / ".jax_cache")))
+            env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
             log = open(args.server_log, "w")  # noqa: SIM115 — outlives the block
             proc = subprocess.Popen(
                 server_command(args), cwd=str(REPO), env=env,

@@ -233,6 +233,34 @@ def test_istft_reconstructs_sine():
     assert err.max() < 5e-2 and err.mean() < 1e-2
 
 
+def test_istft_matches_torch_istft():
+    """Cross-anchor the shared iSTFT op against ``torch.istft`` (upstream
+    anchor for the iSTFT-Net heads of the kokoro/chattts/deepfilter twin
+    families): identical periodic-hann window, center=True semantics, NOLA
+    window-square normalization, on an arbitrary complex spectrogram."""
+    import jax.numpy as jnp
+    import torch
+
+    from s2s_tpu.ops.istft import istft
+
+    n_fft, hop, t_frames = 64, 16, 24
+    rng = np.random.default_rng(0)
+    mag = rng.uniform(0.1, 1.0, (t_frames, n_fft // 2 + 1)).astype(np.float32)
+    phase = rng.uniform(-np.pi, np.pi, (t_frames, n_fft // 2 + 1)).astype(np.float32)
+    ours = np.asarray(istft(jnp.asarray(mag), jnp.asarray(phase), n_fft, hop))
+
+    spec = torch.complex(
+        torch.from_numpy(mag * np.cos(phase)), torch.from_numpy(mag * np.sin(phase))
+    ).transpose(0, 1)  # torch layout: (n_bins, T)
+    ref = torch.istft(
+        spec, n_fft, hop_length=hop,
+        window=torch.hann_window(n_fft, periodic=True),
+        center=True, length=(t_frames - 1) * hop,
+    ).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_pocket_handler_streams_through_real_model():
     import jax.numpy as jnp
 
