@@ -133,6 +133,15 @@ async def run_client(
                         record["errors"] += 1
 
             pump_task = asyncio.create_task(pump())
+            step = 2048  # 128 ms per append, paced at real time
+
+            async def send_pcm(pcm: np.ndarray) -> None:
+                await ws.send(json.dumps({
+                    "type": "input_audio_buffer.append",
+                    "audio": base64.b64encode(pcm.tobytes()).decode(),
+                }))
+
+            silence = np.zeros(step, np.int16)
             turn = 0
             while time.monotonic() < stop_at:
                 timeline.clear()
@@ -140,21 +149,21 @@ async def run_client(
                 done_evt.clear()
                 audio = make_utterance(idx, turn, speech_s)
                 t_turn0 = time.monotonic()
-                step = 2048  # 128 ms per append, paced at real time
                 last_speech_sample = len(audio) - int(0.80 * RATE)
                 t_last_speech = None
                 for i in range(0, len(audio), step):
-                    await ws.send(json.dumps({
-                        "type": "input_audio_buffer.append",
-                        "audio": base64.b64encode(audio[i:i + step].tobytes()).decode(),
-                    }))
+                    await send_pcm(audio[i:i + step])
                     if t_last_speech is None and i + step >= last_speech_sample:
                         t_last_speech = time.monotonic()
                     await asyncio.sleep(step / RATE)
-                try:
-                    await asyncio.wait_for(done_evt.wait(), timeout=turn_timeout_s)
-                except asyncio.TimeoutError:
-                    pass
+                # a real microphone keeps streaming between utterances — the
+                # VAD's audio clock (endpointing, the unanswered-reopen
+                # window) runs on received samples, so silence must flow
+                # continuously or successive utterances REOPEN the prior turn
+                deadline = time.monotonic() + turn_timeout_s
+                while not done_evt.is_set() and time.monotonic() < deadline:
+                    await send_pcm(silence)
+                    await asyncio.sleep(step / RATE)
                 tl = dict(timeline)
                 stopped = tl.get("input_audio_buffer.speech_stopped")
                 first_audio = tl.get("response.output_audio.delta")
@@ -188,10 +197,10 @@ async def run_client(
                 rec["n_audio_deltas"] = counters.get("response.output_audio.delta", 0)
                 record["turns"].append(rec)
                 turn += 1
-                # conversational cadence from the END of the reply
-                remaining = cadence_s - (time.monotonic() - t_turn0)
-                if remaining > 0:
-                    await asyncio.sleep(remaining)
+                # conversational cadence, with the mic kept open (silence)
+                while time.monotonic() - t_turn0 < cadence_s:
+                    await send_pcm(silence)
+                    await asyncio.sleep(step / RATE)
             pump_task.cancel()
     except Exception as exc:  # noqa: BLE001 — soak records, never raises
         record["errors"] += 1
@@ -238,11 +247,16 @@ def server_command(args) -> list[str]:
         "--stt", "parakeet-tdt",
         "--llm_backend", "local-jax",
         "--llm_batched_slots", str(args.sessions),
-        "--llm_batched_max_t", "256",
+        # KV capacity per slot: prompts are byte-tokenized transcripts, so a
+        # couple of chat turns reach a 512-token prefill bucket; 1024 leaves
+        # the generation headroom the capacity clamp requires
+        "--llm_batched_max_t", "1024",
+        "--llm_quantize", "int8",  # the recorded serving config (README)
         "--llm_chunk_tokens", "6",
         "--llm_max_new_tokens", "64",
         "--llm_stream_batch_sentences", "1",
         "--llm_compact_history", "false",
+        "--chat_size", "2",  # bound the byte-tokenized prompt growth
         "--tts", "qwen3",
         "--tts_batched_slots", str(args.sessions),
         "--tts_batched_max_t", "192",
