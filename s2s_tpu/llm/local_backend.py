@@ -242,7 +242,7 @@ class LocalJAXLLMHandler(BaseLLMHandler):
 
         max_new = max_new or self.max_new_tokens
         prompt = render_chat_template(messages)
-        ids = self.tokenizer.encode(prompt)[: self.cfg.max_seq_len - max_new - 1]
+        ids = self._fit_prompt(self.tokenizer.encode(prompt), max_new)
         bucket = min(next_power_of_2(max(len(ids), 16)), self.cfg.max_seq_len)
         padded = np.zeros(bucket, np.int32)
         padded[: len(ids)] = ids
@@ -387,6 +387,28 @@ class LocalJAXLLMHandler(BaseLLMHandler):
 
             spec.watch(self._decode_token_stream, self.stream_batch_sentences, emit)
 
+    def _fit_prompt(self, ids: list[int], max_new: int) -> list[int]:
+        """Truncate prompt ids to the model's context AND, on the batched
+        path, to the serving engine's per-slot KV capacity.  Without the
+        engine fit, an over-capacity prompt reaches the scheduler's
+        ``_capacity_clamp`` which (correctly, for cache integrity) zeroes
+        the token budget — the turn silently produces no audio.  The engine
+        fit keeps the TAIL: the rendered chat template puts the user turn
+        (and the most recent context) last, so dropping the oldest tokens
+        degrades style while dropping the newest would drop the question."""
+        ids = ids[: self.cfg.max_seq_len - max_new - 1]
+        cap_fn = getattr(self.shared_lm, "prompt_capacity", None)
+        if cap_fn is not None:
+            cap = cap_fn(max_new)
+            if len(ids) > cap:
+                logger.warning(
+                    "prompt %d tokens exceeds engine capacity %d (max_new %d) "
+                    "— keeping the tail; size --llm_batched_max_t for your "
+                    "prompt budget", len(ids), cap, max_new,
+                )
+                ids = ids[-cap:] if cap > 0 else []
+        return ids
+
     def _prompt_ids_for_user_text(self, runtime_config, text: str) -> list[int] | None:
         """Render the prompt ids the REAL request would produce if the final
         transcript equals *text* (VAD-triggered turn: response=None, session
@@ -404,7 +426,11 @@ class LocalJAXLLMHandler(BaseLLMHandler):
             )
             messages = chat.to_chat_messages()
             prompt = render_chat_template(messages)
-            return self.tokenizer.encode(prompt)[: self.cfg.max_seq_len - self.max_new_tokens - 1]
+            # the REAL request truncates with ITS resolved budget; adoption
+            # is exact-prompt-match, so the speculative render must fit the
+            # same way or a capacity-truncated prompt would never adopt
+            budget = self._resolve_max_new(runtime_config, None)
+            return self._fit_prompt(self.tokenizer.encode(prompt), budget)
         except Exception:  # noqa: BLE001 — speculation must never break the turn
             logger.exception("speculative prompt render failed; skipping")
             return None

@@ -305,6 +305,15 @@ class BatchedLMScheduler(_TraceMixin):
         """Smallest warmed slot-chunk size >= n (static shapes only)."""
         return next(v for v in self._prio_buckets if v >= n)
 
+    def prompt_capacity(self, max_new: int) -> int:
+        """Longest prompt (in tokens) that keeps the FULL ``max_new`` budget
+        inside this engine's per-slot KV capacity — the inverse of
+        ``_capacity_clamp``.  Callers that can shorten their prompt (the
+        local backend keeps the tail of the rendered chat) should fit to
+        this rather than let the clamp silently zero their budget."""
+        overhang = max(self.chunk_tokens, self.priority_chunk)
+        return max(0, self._max_t - max_new - overhang + 1)
+
     def _capacity_clamp(self, prompt_len: int, max_new: int) -> int:
         """Admission guard for slot KV capacity: chunks decode FULL-SIZE even
         when ``remaining`` is smaller, so the last chunk can write up to

@@ -107,7 +107,12 @@ async def run_client(
                 return
             await ws.send(json.dumps({
                 "type": "session.update",
-                "session": {"max_output_tokens": max_output_tokens},
+                # short instructions bound the byte-tokenized prompt (the
+                # default voice prompt alone is ~1.3k bytes ≈ 1.3k tokens
+                # for a random-init LM with no BPE vocab) so every prefill
+                # fits the engine's per-slot KV capacity with full budget
+                "session": {"max_output_tokens": max_output_tokens,
+                            "instructions": "Reply in one short sentence."},
             }))
 
             # recv pump: stamps the FIRST arrival of each event type per turn
@@ -247,10 +252,13 @@ def server_command(args) -> list[str]:
         "--stt", "parakeet-tdt",
         "--llm_backend", "local-jax",
         "--llm_batched_slots", str(args.sessions),
-        # KV capacity per slot: prompts are byte-tokenized transcripts, so a
-        # couple of chat turns reach a 512-token prefill bucket; 1024 leaves
-        # the generation headroom the capacity clamp requires
-        "--llm_batched_max_t", "1024",
+        # KV capacity per slot: smollm2-1.7b KV is ~393 KB/token/slot (full
+        # MHA), so 16 slots x max_t sets the dominant HBM term — 1024 OOMed
+        # the v5e-1 (6.3 GB KV on top of weights); 512 matches the KV
+        # footprint of the recorded 32-slot x 256 bench probe.  Prompts are
+        # kept under capacity by the clients' short session instructions
+        # plus the backend's engine-capacity prompt fit (_fit_prompt).
+        "--llm_batched_max_t", "512",
         "--llm_quantize", "int8",  # the recorded serving config (README)
         "--llm_chunk_tokens", "6",
         "--llm_max_new_tokens", "64",

@@ -784,3 +784,41 @@ def test_speculative_adoption_promotes_to_priority_lane():
         assert promoted, "adoption must promote the speculative slot"
     finally:
         engine.shutdown()
+
+
+def test_over_capacity_prompt_keeps_budget_via_tail_fit():
+    """A rendered prompt longer than the engine's per-slot KV capacity must
+    still produce a full reply: the backend fits the prompt to
+    ``prompt_capacity(max_new)`` keeping the tail (the user turn is last in
+    the template).  Without the fit, the scheduler's admission clamp
+    (correct for cache integrity) zeroes the budget and the turn silently
+    yields no text — the soak-server failure mode this pins."""
+    import jax
+
+    from s2s_tpu.llm.local_backend import lm_config
+    from s2s_tpu.models import decoder_lm
+    from s2s_tpu.parallel.session_scheduler import BatchedLMScheduler
+
+    cfg = lm_config("tiny")
+    params = decoder_lm.init_params(jax.random.PRNGKey(0), cfg)
+    engine = BatchedLMScheduler(params, cfg, n_slots=2, eos_id=0,
+                                chunk_tokens=4, priority_tokens=4, max_t=32)
+    handler = LocalJAXLLMHandler(
+        threading.Event(), Queue(), Queue(),
+        setup_kwargs=dict(
+            model_size="tiny", params=params, shared_lm=engine,
+            speculative_prefill=False, max_new_tokens=8,
+        ),
+    )
+    try:
+        cap = engine.prompt_capacity(8)
+        rc = RuntimeConfig()
+        rc.chat.add_item(make_user_message("words " * (4 * cap)))  # >> capacity
+        outs = list(handler.process(GenerateResponseRequest(runtime_config=rc)))
+        assert isinstance(outs[-1], EndOfResponse) and outs[-1].error is None
+        assert _reply_text(outs), "over-capacity prompt must still generate"
+        # sanity: the prompt really was over capacity before the fit
+        ids = handler.tokenizer.encode("words " * (4 * cap))
+        assert len(ids) > cap
+    finally:
+        engine.shutdown()
