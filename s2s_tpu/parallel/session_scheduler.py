@@ -886,6 +886,18 @@ class BatchedTTSScheduler:
         self.context_frames = context_frames
         self.gate = gate
         self._max_t = max_t
+        # Capacity-aware text bucket: callers encode text padded to ONE fixed
+        # shape (a single compiled prefill program), and that padded bucket
+        # must fit the slot's KV row alongside the frame-decode overhang —
+        # otherwise _capacity_clamp rejects every utterance (the r05 soak
+        # failure mode: handler-default bucket 256 vs --tts_batched_max_t 192).
+        overhang = max(chunk_frames, max(_TTS_RAMP))
+        cap = min(256, max(16, max_t - overhang - 1))
+        bucket = 16
+        while bucket * 2 <= cap:
+            bucket *= 2
+        #: pad/truncate text token ids to this length before stream()/start()
+        self.text_bucket = bucket
 
         self._state = bd.init_multi_state(cfg.lm, n_slots, max_t)
         self._embeds = jnp.zeros((n_slots, cfg.lm.d_model), cfg.lm.dtype)
@@ -913,6 +925,24 @@ class BatchedTTSScheduler:
         as :meth:`BatchedLMScheduler.warmup`."""
         import jax.numpy as jnp
 
+        # prefill programs at the ONE text-bucket shape callers use (the
+        # fused prefill+first-ramp-chunk is the TTFA-critical dispatch; the
+        # plain prefill covers the cancelled-before-start race)
+        text = jnp.zeros((1, self.text_bucket), jnp.int32)
+        spk = self.params["speakers"][:1]
+        audio, _eos, emb, self._state, self._contexts = (
+            self._tts.jit_prefill_and_first_chunk_slot_tail(
+                self.params, self.cfg, text, spk, self._state, self._contexts,
+                _TTS_RAMP[0], jnp.asarray(0, jnp.int32),
+            )
+        )
+        self._embeds = self._embeds.at[0].set(emb)
+        np.asarray(audio[:8])
+        bos, self._state = self._tts.jit_prefill_tts_slot(
+            self.params, self.cfg, text, spk, self._state,
+            jnp.asarray(0, jnp.int32),
+        )
+        self._embeds = self._embeds.at[0].set(bos)
         for w in self._width_buckets:
             ids = jnp.zeros((w,), jnp.int32)
             audio, _eos, self._embeds, self._state, self._contexts = (

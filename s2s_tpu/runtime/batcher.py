@@ -246,26 +246,28 @@ class BatchedParakeetSTT:
     def warmup(self, lengths: tuple[int, ...] = (), widths: tuple[int, ...] = ()) -> None:
         """Pre-compile the hot (width, length-bucket) programs (a cold
         compile when the first concurrent windows coincide stalls every
-        session).  Defaults to the common final/progressive buckets at
-        width 1 and the full batch — the in-between widths compile on
-        first use."""
+        session — a mid-serve compile freezes ALL sessions' STT for its
+        duration, so the short buckets are warmed at every width)."""
         import jax.numpy as jnp
 
         from s2s_tpu.models import parakeet
 
-        if not lengths:
-            # 2 s finals, 5 s utterances, the 15 s progressive window cap
-            lengths = tuple(int(s * 16000) for s in (2, 5, 15))
-        if not widths:
-            widths = tuple(sorted({1, self._batcher._max_batch}))
-        for length in lengths:
-            for width in widths:
-                toks, ns = parakeet.transcribe_step_batch(
-                    self.params, self.cfg,
-                    jnp.zeros((width, length), jnp.float32),
-                    jnp.zeros((width,), jnp.int32),
-                )
-                ns.block_until_ready()
+        pairs: list[tuple[int, int]]
+        if lengths and widths:
+            pairs = [(l, w) for l in lengths for w in widths]
+        else:
+            max_w = self._batcher._max_batch
+            short = [int(s * 16000) for s in (1, 2, 3)]  # progressive ticks + short finals
+            longer = [int(s * 16000) for s in (5, 15)]  # long utterances, window cap
+            pairs = [(l, w) for l in short for w in self.WIDTHS if w <= max_w]
+            pairs += [(l, w) for l in longer for w in sorted({1, max_w})]
+        for length, width in pairs:
+            toks, ns = parakeet.transcribe_step_batch(
+                self.params, self.cfg,
+                jnp.zeros((width, length), jnp.float32),
+                jnp.zeros((width,), jnp.int32),
+            )
+            ns.block_until_ready()
 
     def close(self) -> None:
         self._batcher.close()

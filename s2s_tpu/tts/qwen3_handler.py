@@ -186,7 +186,9 @@ class Qwen3TTSHandler(BaseTTSHandler):
         final_text, speaker_vec, speaker_id, key, max_new = self._plan_utterance(
             text, item.runtime_config, None
         )
-        tokens, _ = self.model._encode_text(final_text)
+        tokens, _ = self.model._encode_text(
+            final_text, bucket=getattr(self.shared_tts, "text_bucket", None)
+        )
         if speaker_vec is None:
             speaker_vec = self.model.params["speakers"][jnp.asarray([speaker_id])]
         handle = self.shared_tts.start(
@@ -230,7 +232,9 @@ class Qwen3TTSHandler(BaseTTSHandler):
                 return
             if spec is not None:
                 spec[1].cancel()
-            tokens, _ = self.model._encode_text(text)
+            tokens, _ = self.model._encode_text(
+                text, bucket=getattr(self.shared_tts, "text_bucket", None)
+            )
             if speaker_vec is None:
                 speaker_vec = self.model.params["speakers"][jnp.asarray([speaker_id])]
             yield from self.shared_tts.stream(

@@ -377,7 +377,11 @@ async def run_clients(args, url: str, run_s: float) -> list[dict]:
     tasks = [
         run_client(
             0, url, probe=True, stop_at=stop_at, cadence_s=args.probe_cadence_s,
-            speech_s=args.speech_s, max_output_tokens=12,
+            # 32, not fewer: a random-init LM's short outputs sometimes
+            # filter to nothing speakable, and an empty response produces no
+            # wire response.done (parity with the reference) — the turn then
+            # burns its whole timeout
+            speech_s=args.speech_s, max_output_tokens=32,
             turn_timeout_s=args.turn_timeout_s, results=results,
         )
     ]
@@ -470,7 +474,7 @@ def main() -> None:
                 "minutes": args.minutes,
                 "tiny": args.tiny,
                 "speech_s": args.speech_s,
-                "probe_max_output_tokens": 12,
+                "probe_max_output_tokens": 32,
                 "bg_max_output_tokens": 64,
                 "probe_cadence_s": args.probe_cadence_s,
                 "bg_cadence_s": args.bg_cadence_s,

@@ -320,6 +320,58 @@ def test_qwen3_handler_batched_shared_engine():
         sched.shutdown()
 
 
+def test_qwen3_batched_text_bucket_fits_slot_capacity():
+    """Regression (r05 soak): the handler must encode text at the shared
+    scheduler's capacity-aware ``text_bucket``, not its model-default bucket.
+    With ``--tts_batched_max_t`` below the default bucket the old code padded
+    every utterance past the slot KV row and ``_capacity_clamp`` rejected ALL
+    batched synthesis (zero audio served)."""
+    from s2s_tpu.models.qwen3_tts import Qwen3TTS, Qwen3TTSConfig
+    from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler
+
+    model = Qwen3TTS(cfg=Qwen3TTSConfig.tiny(), chunk_frames=4)
+    # max_t 48 < the tiny config's default text bucket (127): the soak shape
+    sched = BatchedTTSScheduler(model.params, model.cfg, n_slots=2, max_t=48,
+                                context_frames=4, chunk_frames=4)
+    try:
+        assert sched.text_bucket <= 48 - 4 - 1
+        # the pre-fix behavior: a default-bucket encode is rejected outright
+        default_tokens, _ = model._encode_text("Hello there.")
+        assert default_tokens.shape[1] > 48
+        assert sched._capacity_clamp(np.asarray(default_tokens), 6) == 0
+        # the handler path (bucket=sched.text_bucket) is admitted and streams
+        handler = Qwen3TTSHandler(
+            threading.Event(), Queue(), Queue(),
+            setup_kwargs=dict(model=model, shared_tts=sched,
+                              streaming_chunk_size=4, max_new_tokens=6),
+        )
+        chunks = list(handler.process(tts_input("Hello there.")))
+        assert chunks and all(len(c) == 512 for c in chunks)
+    finally:
+        sched.shutdown()
+
+
+def test_tts_scheduler_text_bucket_scales_with_capacity():
+    """text_bucket stays a power of two that fits max_t minus the decode
+    overhang, capped at the model-default 256 for large caches."""
+    from s2s_tpu.models.qwen3_tts import Qwen3TTSConfig
+    from s2s_tpu.parallel.session_scheduler import BatchedTTSScheduler
+
+    import jax
+
+    cfg = Qwen3TTSConfig.tiny()
+    from s2s_tpu.models.qwen3_tts import init_params
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    for max_t, chunk, want in ((48, 4, 32), (192, 8, 128), (1024, 8, 256)):
+        sched = BatchedTTSScheduler(params, cfg, n_slots=1, max_t=max_t,
+                                    context_frames=4, chunk_frames=chunk)
+        try:
+            assert sched.text_bucket == want, (max_t, chunk, sched.text_bucket)
+        finally:
+            sched.shutdown()
+
+
 def test_qwen3_shared_engine_sessions_stream_concurrently():
     """Batched-engine utterances must not serialize on the process-wide
     INTERACTIVE device slot: with N serving sessions the engine batches all
