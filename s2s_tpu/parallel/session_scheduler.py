@@ -245,7 +245,11 @@ class BatchedLMScheduler(_TraceMixin):
         #: scheduler): steady chunks hold back while any priority window
         #: is open anywhere
         self.gate = gate
-        self._max_t = max_t or cfg.max_seq_len
+        # KV capacity cannot exceed the rope table (cfg.max_seq_len): a
+        # prompt bucket or decode position past it would slice a short
+        # cos/sin table (shape error at prefill) or clamp the rope gather
+        # (silent positional corruption at decode)
+        self._max_t = min(max_t or cfg.max_seq_len, cfg.max_seq_len)
 
         self._state = batched_decode.init_multi_state(cfg, n_slots, self._max_t)
         import jax.numpy as jnp
@@ -283,6 +287,30 @@ class BatchedLMScheduler(_TraceMixin):
         it scribbles on slot 0's (unclaimed) state row."""
         import jax.numpy as jnp
 
+        # prefill programs at every prompt bucket (prompts round up to
+        # powers of two, capped at max_t — start()): a cold prefill compile
+        # mid-serving stalls EVERY session's decode for its duration.  The
+        # fused variant dispatches one chunk size (the full priority window,
+        # _drive()); the plain variant serves EVERY speculative
+        # (priority=False) start, so it too must cover every bucket.
+        buckets, b = [], 16
+        while b < self._max_t:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self._max_t)
+        n_prio0 = self._prio_buckets[-1]
+        for pb in buckets:
+            if self.priority_tokens > 0:
+                toks, _em, tok, self._state = self._bd.jit_prefill_and_chunk_slot_tail(
+                    self.params, self.cfg, jnp.zeros((1, pb), jnp.int32),
+                    jnp.asarray(1, jnp.int32), self._state,
+                    jnp.asarray(0, jnp.int32), n_prio0, self.eos_id,
+                )
+                np.asarray(toks)
+            _tok, self._state = self._bd.jit_prefill_slot(
+                self.params, self.cfg, jnp.zeros((1, pb), jnp.int32),
+                jnp.asarray(1, jnp.int32), self._state, jnp.asarray(0, jnp.int32),
+            )
         for w in self._width_buckets:
             ids = jnp.zeros((w,), jnp.int32)
             toks, _em, tok, self._state = self._bd.jit_decode_chunk_gathered_tail(
@@ -591,9 +619,11 @@ class BatchedLMScheduler(_TraceMixin):
                     # completion record that clears ``inflight``
                     fused = n_req > 0 and not slot.cancelled
                     if fused:
-                        # round up to a warmed bucket (never recompile);
+                        # the fused prefill+chunk program is compiled at ONE
+                        # chunk size per prompt bucket (warmup()); a short
+                        # budget still dispatches the full window — the
                         # overshoot decodes but is never delivered (cap)
-                        n_prio = self._prio_bucket(n_req)
+                        n_prio = self._prio_buckets[-1]
                         slot.inflight = True
                         slot.priority_remaining = max(0, slot.priority_remaining - n_prio)
                         slot.remaining = max(0, slot.remaining - n_prio)
@@ -885,6 +915,8 @@ class BatchedTTSScheduler:
         self.chunk_frames = chunk_frames
         self.context_frames = context_frames
         self.gate = gate
+        # same rope-table clamp as BatchedLMScheduler
+        max_t = min(max_t, cfg.lm.max_seq_len)
         self._max_t = max_t
         # Capacity-aware text bucket: callers encode text padded to ONE fixed
         # shape (a single compiled prefill program), and that padded bucket

@@ -493,9 +493,14 @@ def main() -> None:
         print(json.dumps({"summary": summary}), flush=True)
     finally:
         if proc is not None and proc.poll() is None:
+            # settle so in-flight turns drain, then the graceful path
+            # (serve's SIGTERM handler joins handler threads); SIGKILL only
+            # as a last resort — killing the process mid-TPU-claim can wedge
+            # the device pool for every later process on this host
+            time.sleep(10)
             os.killpg(proc.pid, signal.SIGTERM)
             try:
-                proc.wait(timeout=30)
+                proc.wait(timeout=150)
             except subprocess.TimeoutExpired:
                 os.killpg(proc.pid, signal.SIGKILL)
 

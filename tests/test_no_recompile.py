@@ -81,6 +81,39 @@ def test_lm_scheduler_never_recompiles_after_warm_pass(watch):
         sched.shutdown()
 
 
+def test_speculative_prefill_warmed_at_every_prompt_bucket(watch):
+    """A speculative start (priority=False) dispatches the PLAIN prefill
+    program at the prompt's bucket — serving's hottest cold-compile trap,
+    since speculation fires on partial transcripts mid-serving.  warmup()
+    itself (not a warm pass) must cover every prompt bucket for it."""
+    cfg, params = _lm()
+    sched = BatchedLMScheduler(params, cfg, n_slots=4, eos_id=-1,
+                               chunk_tokens=4, priority_tokens=4, max_t=64)
+    try:
+        sched.warmup()
+        # absorb the per-dispatch glue programs (device puts, token-row
+        # updates) with one ordinary turn per lane; these are shape-stable
+        # across prompts, so a single visit suffices
+        # ordinary turn only: the fused-prefill lane shares the dispatch
+        # glue (scalar token-row updates) with the plain lane, so this must
+        # NOT mask an unwarmed plain-prefill bucket
+        list(sched.generate([1, 2, 3], max_new=8))
+        base = watch.count
+        # now speculative starts at EVERY prompt bucket (16 and 32 for
+        # max_t 64) must hit only programs warmup() compiled
+        for plen in (5, 14, 16, 17, 25, 32):
+            h = sched.start([(j % 60) + 1 for j in range(plen)],
+                            max_new=4, priority=False)
+            assert h is not None
+            list(h.tokens())
+        assert watch.count == base, (
+            f"{watch.count - base} speculative-prefill shape(s) compiled "
+            "mid-serving: warmup() must cover every prompt bucket"
+        )
+    finally:
+        sched.shutdown()
+
+
 def test_tts_scheduler_never_recompiles_after_warm_pass(watch):
     from s2s_tpu.models import qwen3_tts
 
